@@ -1,0 +1,122 @@
+"""
+Synthetic KIR-like allele database generator.
+
+The reference validates itself against simulated cohorts with known answers
+(research/kg_create_data.py:147-174 samples haplotype pairs + random alleles;
+art_illumina makes the reads).  With no network access to IPD-KIR, this
+module manufactures a structurally KIR-like database — homologous genes,
+allele families sharing variant backbones, SNPs + multi-base deletions,
+exon/intron block structure — that drives every end-to-end test.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..msa.genemsa import Block, Genemsa, blockTypeFromName
+
+BASES = "ACGT"
+
+
+@dataclass
+class SynthConfig:
+    n_genes: int = 4
+    n_alleles_per_gene: int = 12
+    gene_length: int = 4000          # MSA columns per gene
+    n_exons: int = 5
+    gene_divergence: float = 0.04    # fraction of columns differing between genes
+    n_snp_sites: int = 60            # catalogued SNP sites per gene
+    n_del_sites: int = 3             # catalogued deletion sites per gene
+    max_del_len: int = 12
+    n_families: int = 4              # 3-digit allele families per gene
+    seed: int = 0
+    gene_prefix: str = "KIRS"
+
+
+def _randomSeq(rng: np.random.Generator, n: int) -> np.ndarray:
+    return rng.integers(0, 4, size=n, dtype=np.int8)
+
+
+def _mutate(rng: np.random.Generator, seq: np.ndarray, rate: float) -> np.ndarray:
+    out = seq.copy()
+    idx = np.nonzero(rng.random(len(seq)) < rate)[0]
+    out[idx] = (out[idx] + rng.integers(1, 4, size=len(idx))) % 4
+    return out
+
+
+def _blocks(cfg: SynthConfig) -> list[Block]:
+    """5UTR, exon1, intron1, ..., exonN, 3UTR with plausible length split."""
+    names = ["5UTR"]
+    for i in range(1, cfg.n_exons):
+        names += [f"exon{i}", f"intron{i}"]
+    names += [f"exon{cfg.n_exons}", "3UTR"]
+    n = len(names)
+    # exons shorter than introns/UTRs, everything sums to gene_length
+    weights = np.array([1.0 if nm.startswith("exon") else 2.5 for nm in names])
+    lengths = np.floor(weights / weights.sum() * cfg.gene_length).astype(int)
+    lengths[-1] += cfg.gene_length - lengths.sum()
+    return [Block(nm, blockTypeFromName(nm), int(l)) for nm, l in zip(names, lengths)]
+
+
+def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
+    """Build {gene: MSA} with a BACKBONE consensus reference per gene.
+
+    Allele naming follows IPD-KIR style 7-digit fields:
+    ``{prefix}{g}*{fff}{ss}{xx}`` (family / synonymous / extra digits) so the
+    3/5/7-digit resolution helpers behave like they do on real names.
+    """
+    cfg = cfg or SynthConfig()
+    rng = np.random.Generator(np.random.Philox(cfg.seed))
+    ancestor = _randomSeq(rng, cfg.gene_length)
+    blocks = _blocks(cfg)
+
+    genes: dict[str, Genemsa] = {}
+    for g in range(cfg.n_genes):
+        gene_name = f"{cfg.gene_prefix}{g + 1}DL{g + 1}"
+        base = _mutate(rng, ancestor, cfg.gene_divergence)
+
+        # catalogued variant sites for this gene
+        snp_pos = rng.choice(cfg.gene_length, size=cfg.n_snp_sites, replace=False)
+        snp_alt = (base[snp_pos] + rng.integers(1, 4, size=cfg.n_snp_sites)) % 4
+        del_pos = rng.choice(
+            cfg.gene_length - cfg.max_del_len - 1, size=cfg.n_del_sites, replace=False
+        )
+        del_len = rng.integers(2, cfg.max_del_len + 1, size=cfg.n_del_sites)
+
+        # allele families: each family owns a subset of sites; alleles within
+        # a family toggle a couple of extra "synonymous" sites
+        fam_patterns = rng.random((cfg.n_families, cfg.n_snp_sites)) < 0.35
+        fam_del = rng.random((cfg.n_families, cfg.n_del_sites)) < 0.3
+
+        msa = Genemsa(gene_name=gene_name, blocks=[Block(b.name, b.type, b.length) for b in blocks])
+        for a in range(cfg.n_alleles_per_gene):
+            fam = a % cfg.n_families
+            sub = a // cfg.n_families
+            snp_mask = fam_patterns[fam].copy()
+            # per-allele private SNPs
+            priv = rng.choice(cfg.n_snp_sites, size=2, replace=False)
+            snp_mask[priv] = ~snp_mask[priv]
+            seq = base.copy()
+            seq[snp_pos[snp_mask]] = snp_alt[snp_mask]
+            chars = np.frombuffer(
+                "".join(BASES[c] for c in seq).encode(), dtype=np.uint8
+            ).copy()
+            for d in range(cfg.n_del_sites):
+                if fam_del[fam, d]:
+                    chars[del_pos[d] : del_pos[d] + del_len[d]] = ord("-")
+            name = f"{gene_name}*{fam + 1:03d}{sub + 1:02d}{rng.integers(1, 10):02d}"
+            # ensure uniqueness of names
+            while name in msa.alleles:
+                name = name[:-2] + f"{rng.integers(10, 99):02d}"
+            msa.append(name, chars.tobytes().decode())
+
+        backbone = f"{gene_name}*BACKBONE"
+        msa.append(backbone, msa.get_consensus(include_gap=False))
+        msa.set_reference(backbone)
+        genes[gene_name] = msa
+    return genes
+
+
+def alleleUngappedSeq(msa: Genemsa, allele: str) -> str:
+    return msa.get(allele).replace("-", "").replace("E", "")

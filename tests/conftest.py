@@ -1,0 +1,31 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initialises.
+
+Multi-chip sharding tests run on this fake mesh (SURVEY §4.6: the reference
+has no distributed runtime; we test psum/all_gather cohort reductions on
+XLA's host-platform device emulation).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from kir_graph_tpu.sim.synth_db import SynthConfig, makeSyntheticDB  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synth_genes():
+    return makeSyntheticDB(SynthConfig(seed=7))
+
+
+@pytest.fixture(scope="session")
+def synth_index(synth_genes):
+    from kir_graph_tpu.index.build import buildIndexFromMsa
+
+    return buildIndexFromMsa(synth_genes)
