@@ -1,0 +1,285 @@
+"""
+Placement annotation: traceback columns -> per-read variant evidence.
+
+Fuses what the reference does over a BAM round-trip — CIGAR/MD/Zs parsing
+(hisat2.py:279-515), novel-variant registration (581-606), and
+positive/negative variant extraction (716-800) — into vectorised array ops
+over the aligner's traceback columns.  Also emits depth and pileup counts
+(replacing `samtools depth -aa` / `mpileup`).
+"""
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..index.build import KirIndex
+from ..index.variants import IdAllocator, Variant
+from ..utils import logger
+from .pipeline import AlignResult
+from ..typing.pairread import PairRead
+
+_TYPE_RANK = {"insertion": 0, "single": 1, "deletion": 2}
+
+
+def _canonDelPos(seq: np.ndarray, pos: int, length: int) -> int:
+    """Left-align a deletion run against the backbone (VCF-style)."""
+    while pos > 0 and seq[pos - 1] == seq[pos + length - 1]:
+        pos -= 1
+    return pos
+
+
+@dataclass
+class GeneTables:
+    name: str
+    var_keys: list            # sort keys [(pos, rank, val)] for span bisect
+    var_ids: list[str]
+    var_pos: np.ndarray
+    var_is_del: np.ndarray
+    var_val: np.ndarray
+    var_in_exon: np.ndarray
+    del_lookup: dict          # (canon_pos, len) -> local idx
+    snp_lookup: np.ndarray    # [L, 4] -> local idx (-1)
+    seq: np.ndarray
+
+
+class VariantAnnotator:
+    def __init__(self, index: KirIndex, num_editdist: int = 4):
+        self.index = index
+        self.num_editdist = num_editdist
+        self.tables: list[GeneTables] = []
+        for name in index.gene_names:
+            g = index.genes[name]
+            snp_lookup = np.full((g.length, 4), -1, dtype=np.int32)
+            del_lookup: dict = {}
+            keys = []
+            for i, v in enumerate(g.variants):
+                val = v.val if v.typ == "deletion" else str(v.val)
+                keys.append((v.pos, _TYPE_RANK[v.typ], str(val)))
+                if v.typ == "single":
+                    snp_lookup[v.pos, int(g.var_val[i])] = i
+                else:
+                    canon = _canonDelPos(g.seq, v.pos, int(v.val))
+                    del_lookup[(canon, int(v.val))] = i
+                    del_lookup.setdefault((v.pos, int(v.val)), i)
+            self.tables.append(
+                GeneTables(
+                    name=name,
+                    var_keys=keys,
+                    var_ids=[str(v.id) for v in g.variants],
+                    var_pos=g.var_pos,
+                    var_is_del=g.var_is_del,
+                    var_val=g.var_val,
+                    var_in_exon=g.var_in_exon,
+                    del_lookup=del_lookup,
+                    snp_lookup=snp_lookup,
+                    seq=g.seq,
+                )
+            )
+
+    # ------------------------------------------------------------------
+    def annotate(
+        self, result: AlignResult, exon_only: bool = False
+    ) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
+        """-> (ReadsAndVariantsData, depth [G, Lmax], pileup [G, Lmax, 5],
+               pass_mask [N])
+
+        pass_mask mirrors the reference read filter: concordantly mapped
+        and NM <= num_editdist on both mates (hisat2.py:541-578).  Pairs
+        with novel indels stay in depth but contribute empty variant lists
+        (hisat2.py:746-754).
+        """
+        idx = self.index
+        G, Lmax = idx.backbone.shape
+        N = len(result.gene)
+        mapped = result.gene >= 0
+
+        # per-mate vectorised masks
+        mate_data = []
+        for cols, bases, lens in (
+            (result.cols_l, result.bases_l, result.len_l),
+            (result.cols_r, result.bases_r, result.len_r),
+        ):
+            in_len = np.arange(cols.shape[1])[None, :] < lens[:, None]
+            consumed = (cols >= 0) & in_len & mapped[:, None]
+            ins = (cols == -2) & in_len & mapped[:, None]
+            safe_cols = np.clip(cols, 0, Lmax - 1)
+            safe_gene = np.clip(result.gene, 0, G - 1)
+            bb = idx.backbone[safe_gene[:, None], safe_cols]
+            mismatch = consumed & (bases != bb)
+            mate_data.append(
+                {
+                    "cols": cols,
+                    "bases": bases,
+                    "consumed": consumed,
+                    "ins": ins,
+                    "mismatch": mismatch,
+                    "lens": lens,
+                }
+            )
+
+        reads: list[PairRead] = []
+        novel_ids = IdAllocator()
+        novel_map: dict[tuple, Variant] = {}
+        pass_mask = np.zeros(N, dtype=bool)
+        nm = np.zeros((2, N), dtype=np.int32)
+
+        # host loop over mapped pairs; per-mate work is tiny slices
+        for n in np.nonzero(mapped)[0]:
+            gi = result.gene[n]
+            t = self.tables[gi]
+            ok = True
+            per_mate = []
+            for m, md in enumerate(mate_data):
+                info = self._annotateMate(
+                    t, md["cols"][n], md["bases"][n], int(md["lens"][n]), novel_ids, novel_map
+                )
+                nm[m, n] = info["nm"]
+                if info["nm"] > self.num_editdist:
+                    ok = False
+                per_mate.append(info)
+            if not ok:
+                continue
+            pass_mask[n] = True
+            reads.append(
+                PairRead(
+                    backbone=t.name,
+                    multiple=int(result.nh[n]),
+                    lpv=per_mate[0]["pos_ids"],
+                    lnv=per_mate[0]["neg_ids"],
+                    rpv=per_mate[1]["pos_ids"],
+                    rnv=per_mate[1]["neg_ids"],
+                )
+            )
+
+        # depth / pileup from passing, unique-mapped pairs
+        depth = np.zeros((G, Lmax), dtype=np.int32)
+        pileup = np.zeros((G, Lmax, 5), dtype=np.int32)
+        uniq = pass_mask & (result.nh == 1)
+        for md in mate_data:
+            sel = md["consumed"] & uniq[:, None]
+            rows, cposs = np.nonzero(sel)
+            genes = result.gene[rows]
+            cols = md["cols"][rows, cposs]
+            np.add.at(depth, (genes, cols), 1)
+            np.add.at(pileup, (genes, cols, md["bases"][rows, cposs]), 1)
+
+        # collect variant catalog + novel variants
+        variants: list[Variant] = []
+        for t in self.tables:
+            variants.extend(self.index.genes[t.name].variants)
+        variants.extend(novel_map.values())
+
+        logger.info(
+            f"[Align] pairs mapped {int(mapped.sum())}, "
+            f"passed NM filter {int(pass_mask.sum())}, "
+            f"unique {int(uniq.sum())}"
+        )
+        return (
+            {"variants": variants, "reads": reads},
+            depth,
+            pileup,
+            pass_mask,
+        )
+
+    # ------------------------------------------------------------------
+    def _annotateMate(
+        self,
+        t: GeneTables,
+        cols: np.ndarray,
+        bases: np.ndarray,
+        read_len: int,
+        novel_ids: IdAllocator,
+        novel_map: dict,
+    ) -> dict:
+        """One mate -> NM + positive/negative variant id lists."""
+        cols = cols[:read_len]
+        bases = bases[:read_len]
+        consumed = cols >= 0
+        if not consumed.any():
+            return {"nm": 99, "pos_ids": [], "neg_ids": []}
+        ccols = cols[consumed]
+        cbases = bases[consumed]
+
+        # novel insertion in read?
+        has_ins = bool((cols == -2).any())
+        n_ins = int((cols == -2).sum())
+
+        # deletion runs between consecutive consumed columns
+        gaps = np.diff(ccols) - 1
+        run_starts = ccols[:-1][gaps > 0] + 1
+        run_lens = gaps[gaps > 0]
+
+        # SNPs
+        bb = t.seq[ccols]
+        mm = cbases != bb
+        n_mask = cbases >= 4
+        mm_pos = ccols[mm & ~n_mask]
+        mm_base = cbases[mm & ~n_mask]
+        snp_idx = t.snp_lookup[mm_pos, mm_base]
+        known_snp = snp_idx[snp_idx >= 0]
+        novel_snp_pos = mm_pos[snp_idx < 0]
+        novel_snp_base = mm_base[snp_idx < 0]
+        n_pos_cols = ccols[mm & n_mask]
+
+        # deletions: match catalog via canonical position
+        known_del = []
+        novel_del_len = 0
+        for s, l in zip(run_starts, run_lens):
+            canon = _canonDelPos(t.seq, int(s), int(l))
+            li = t.del_lookup.get((canon, int(l)))
+            if li is None:
+                li = t.del_lookup.get((int(s), int(l)))
+            if li is not None:
+                known_del.append(li)
+            else:
+                novel_del_len += int(l)
+
+        nm = int(len(novel_snp_pos) + len(n_pos_cols) + n_ins + novel_del_len)
+
+        # novel indel => discard evidence (reference hisat2.py:746-754)
+        if has_ins or novel_del_len:
+            return {"nm": nm, "pos_ids": [], "neg_ids": []}
+
+        # register novel SNVs (shared nv ids across reads)
+        novel_local_ids = []
+        for p, b in zip(novel_snp_pos, novel_snp_base):
+            key = (t.name, int(p), "ACGT"[b])
+            v = novel_map.get(key)
+            if v is None:
+                v = Variant(
+                    pos=int(p),
+                    typ="single",
+                    ref=t.name,
+                    val="ACGT"[b],
+                    id=novel_ids.nextNovel(),
+                )
+                novel_map[key] = v
+            novel_local_ids.append(str(v.id))
+
+        pos_ids = [t.var_ids[i] for i in known_snp] + [
+            t.var_ids[i] for i in known_del
+        ] + novel_local_ids
+
+        # negatives: catalogued variants inside the read span, minus
+        # positives, N-site SNPs and deletions reaching the read end
+        left = int(ccols[0])
+        right = int(ccols[-1]) + 1
+        lo = bisect.bisect_left(t.var_keys, (left, 1, "A"))
+        hi = bisect.bisect_left(t.var_keys, (right, 1, "T"))
+        pos_set = set(known_snp) | set(known_del)
+        n_cols_set = set(int(c) for c in n_pos_cols)
+        neg_ids = []
+        for i in range(lo, hi):
+            if i in pos_set:
+                continue
+            p = int(t.var_pos[i])
+            if t.var_is_del[i]:
+                if p + int(t.var_val[i]) + 10 >= right:
+                    continue
+            else:
+                if p in n_cols_set:
+                    continue
+            neg_ids.append(t.var_ids[i])
+        return {"nm": nm, "pos_ids": pos_ids, "neg_ids": neg_ids}

@@ -1,0 +1,185 @@
+"""
+Banded variant-aware glocal alignment DP.
+
+Scores a read end-to-end against a backbone window where catalogued SNP
+alts match for free (alt_mask bit) and catalogued deletion columns skip for
+~free — i.e. the graph alignment of HISAT2 collapsed onto the backbone
+coordinate system (possible because the catalog has no insertion variants,
+see index/variants.py).  Costs therefore count only *novel* edits, matching
+hisat2's NM semantics used by the reference filter (hisat2.py:541-578).
+
+State: (i, off) = read base i consumed at window column i + off.
+Transitions per row i:
+  diag  (i-1, off)   -> (i, off): + 0/1 (match / novel SNP)
+  ins   (i-1, off+1) -> (i, off): + INS_COST (novel insertion in read)
+  del   (i, off')    -> (i, off) for off' < off: + sum of per-column skip
+        costs (catalogued deletion column: DEL_EPS, novel: DEL_COST)
+The in-row deletion relaxation is a prefix-min over (tmp - cumsum(skip)),
+computed with an associative scan — the whole DP is vectorised over
+[jobs, band] with a lax.scan over read positions.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class AlignParams:
+    band: int = 48            # diagonal offsets explored per read
+    read_len: int = 160       # padded read length (static)
+    mismatch: float = 1.0
+    ins_cost: float = 2.0
+    del_cost: float = 2.0     # per novel deleted column
+    del_eps: float = 1.0 / 64 # per catalogued deleted column
+    big: float = 1e9
+
+    @property
+    def window(self) -> int:
+        return self.read_len + self.band
+
+
+def _cumminWithArg(values: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Leftmost running argmin along the last axis."""
+    n = values.shape[-1]
+    idx = jnp.broadcast_to(jnp.arange(n), values.shape)
+
+    def combine(a, b):
+        av, ai = a
+        bv, bi = b
+        take_b = bv < av
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+
+    return jax.lax.associative_scan(combine, (values, idx), axis=-1)
+
+
+def _subCost(read_base: jax.Array, wbase: jax.Array, walt: jax.Array, p: AlignParams) -> jax.Array:
+    """0 if base matches backbone or a catalogued SNP alt, else mismatch."""
+    rb = read_base[:, None]
+    is_known_alt = ((walt >> rb.astype(jnp.uint8)) & 1).astype(bool) & (rb < 4)
+    match = (rb == wbase) & (rb < 4)
+    return jnp.where(match | is_known_alt, 0.0, p.mismatch)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bandedScore(
+    wbase: jax.Array,     # [J, W] int8 backbone window
+    walt: jax.Array,      # [J, W] uint8 SNP-alt bitmask
+    wdel: jax.Array,      # [J, W] float32 per-column skip cost
+    reads: jax.Array,     # [J, RL] int8
+    read_len: jax.Array,  # [J] int32
+    p: AlignParams,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (cost [J] f32, end_off [J] i32): best alignment cost and final
+    band offset (score-only pass, no pointers)."""
+    J = wbase.shape[0]
+    B = p.band
+
+    def step(carry, i):
+        prev, best_cost, best_off = carry
+        wb = jax.lax.dynamic_slice(wbase, (0, i), (J, B))
+        wa = jax.lax.dynamic_slice(walt, (0, i), (J, B))
+        wd = jax.lax.dynamic_slice(wdel, (0, i), (J, B))
+        sub = _subCost(reads[:, i], wb, wa, p)
+        m = prev + sub
+        ins = jnp.concatenate(
+            [prev[:, 1:], jnp.full((J, 1), p.big)], axis=1
+        ) + p.ins_cost
+        tmp = jnp.minimum(m, ins)
+        d_prefix = jnp.cumsum(wd, axis=1)
+        row, _ = _cumminWithArg(tmp - d_prefix)
+        row = row + d_prefix
+        at_end = i == (read_len - 1)
+        row_min = row.min(axis=1)
+        row_arg = row.argmin(axis=1)
+        best_cost = jnp.where(at_end, row_min, best_cost)
+        best_off = jnp.where(at_end, row_arg, best_off)
+        return (row, best_cost, best_off), None
+
+    init = (
+        jnp.zeros((J, B), dtype=jnp.float32),
+        jnp.full((J,), p.big, dtype=jnp.float32),
+        jnp.zeros((J,), dtype=jnp.int32),
+    )
+    (prev, best_cost, best_off), _ = jax.lax.scan(
+        step, init, jnp.arange(p.read_len)
+    )
+    return best_cost, best_off.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bandedTraceback(
+    wbase: jax.Array,
+    walt: jax.Array,
+    wdel: jax.Array,
+    reads: jax.Array,
+    read_len: jax.Array,
+    p: AlignParams,
+) -> tuple[jax.Array, jax.Array]:
+    """Full pass with pointers; -> (cost [J], cols [J, RL] i32).
+
+    cols[j, i] = window column where read base i was consumed (-1 past the
+    read end).  Deletions appear as gaps between consecutive cols; an
+    insertion repeats the previous column (col[i+1] == col[i]).
+    """
+    J = wbase.shape[0]
+    B = p.band
+
+    def fwd(carry, i):
+        prev, best_cost, best_off = carry
+        wb = jax.lax.dynamic_slice(wbase, (0, i), (J, B))
+        wa = jax.lax.dynamic_slice(walt, (0, i), (J, B))
+        wd = jax.lax.dynamic_slice(wdel, (0, i), (J, B))
+        sub = _subCost(reads[:, i], wb, wa, p)
+        m = prev + sub
+        ins = jnp.concatenate(
+            [prev[:, 1:], jnp.full((J, 1), p.big)], axis=1
+        ) + p.ins_cost
+        is_ins = ins < m
+        tmp = jnp.where(is_ins, ins, m)
+        d_prefix = jnp.cumsum(wd, axis=1)
+        row, arg = _cumminWithArg(tmp - d_prefix)
+        row = row + d_prefix
+        at_end = i == (read_len - 1)
+        best_cost = jnp.where(at_end, row.min(axis=1), best_cost)
+        best_off = jnp.where(at_end, row.argmin(axis=1).astype(jnp.int32), best_off)
+        return (row, best_cost, best_off), (arg.astype(jnp.uint8), is_ins)
+
+    init = (
+        jnp.zeros((J, B), dtype=jnp.float32),
+        jnp.full((J,), p.big, dtype=jnp.float32),
+        jnp.zeros((J,), dtype=jnp.int32),
+    )
+    (prev, best_cost, best_off), (ptr, insbit) = jax.lax.scan(
+        fwd, init, jnp.arange(p.read_len)
+    )
+    # ptr: [RL, J, B] chosen tmp index; insbit: [RL, J, B] ins-vs-diag at tmp
+
+    jidx = jnp.arange(J)
+
+    def bwd(off, i):
+        active = i <= (read_len - 1)
+        off = jnp.where(i == (read_len - 1), best_off, off)
+        src = ptr[i][jidx, off]                     # off' where base i consumed
+        took_ins = insbit[i][jidx, src]
+        # inserted base consumes no column: marked -2
+        col = jnp.where(
+            active,
+            jnp.where(took_ins, -2, i + src.astype(jnp.int32)),
+            -1,
+        )
+        prev_off = jnp.where(took_ins, src.astype(jnp.int32) + 1, src.astype(jnp.int32))
+        off = jnp.where(active, prev_off, off)
+        return off, col
+
+    _, cols_rev = jax.lax.scan(
+        bwd,
+        jnp.zeros((J,), dtype=jnp.int32),
+        jnp.arange(p.read_len - 1, -1, -1),
+    )
+    cols = cols_rev[::-1].T                          # [J, RL]
+    return best_cost, cols

@@ -1,0 +1,37 @@
+"""
+Read batch encoding: FASTQ strings -> fixed-shape int8 arrays.
+
+(The C++ fast path in native/ produces the same layout straight from
+gzipped FASTQ; this is the portable fallback.)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.build import BASE_PAD, encodeSeq
+
+MAX_READ_LEN = 160
+
+
+def encodeReads(seqs: list[str], max_len: int = MAX_READ_LEN) -> tuple[np.ndarray, np.ndarray]:
+    """-> codes [N, max_len] int8 (pad 4), lengths [N] int32."""
+    n = len(seqs)
+    codes = np.full((n, max_len), BASE_PAD, dtype=np.int8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = encodeSeq(s[:max_len])
+        codes[i, : len(c)] = c
+        lengths[i] = len(c)
+    return codes, lengths
+
+
+def revCompCodes(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Reverse-complement of padded code rows (pad stays at the tail)."""
+    n, m = codes.shape
+    comp = np.array([3, 2, 1, 0, 4], dtype=np.int8)
+    flipped = comp[codes[:, ::-1]]
+    # row i is left-padded by (m - L); shift it back to the front
+    shift = (m - lengths)[:, None]
+    col = np.arange(m)[None, :]
+    gathered = np.take_along_axis(flipped, np.minimum(shift + col, m - 1), axis=1)
+    return np.where(col < lengths[:, None], gathered, BASE_PAD).astype(np.int8)

@@ -1,0 +1,349 @@
+"""
+GraphAligner: the end-to-end read->placement engine.
+
+Replaces the hisat2 subprocess + SAM round-trip (reference hisat2.py:68-92,
+readPair/filterRead 228-276/541-578).  Per batch:
+
+1. seed both mates in both orientations against the k-mer table
+2. score every (read, orientation, gene, diagonal) candidate with the
+   banded variant-aware DP (score-only pass)
+3. pick concordant FR mate pairings per read, dedup placements by exact
+   alignment end column, count NH (equal-best placements)
+4. re-run the DP with pointers for the two winning jobs per pair and
+   emit absolute traceback columns for the annotator
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.build import BASE_PAD, KirIndex
+from ..utils import logger
+from .dp import AlignParams, bandedScore, bandedTraceback
+from .encode import revCompCodes
+from .seeding import DIAG_BUCKET, SeedTable, findCandidates
+
+PAD_L = 64  # front padding of window coordinate space
+
+
+@dataclass
+class AlignResult:
+    """Per-pair winning placements (host arrays)."""
+
+    gene: np.ndarray        # [N] int32, -1 = unmapped/discordant
+    nh: np.ndarray          # [N] int32 number of equal-best placements
+    cost: np.ndarray        # [N] f32 combined DP cost
+    # winning mate orientations: True = mate stored reverse-complemented
+    rc_l: np.ndarray        # [N] bool
+    rc_r: np.ndarray
+    cols_l: np.ndarray      # [N, RL] int32 absolute backbone column per base
+    cols_r: np.ndarray      #            (-1 = past end, -2 = inserted base)
+    bases_l: np.ndarray     # [N, RL] int8 oriented read codes
+    bases_r: np.ndarray
+    len_l: np.ndarray       # [N] int32
+    len_r: np.ndarray
+
+
+class GraphAligner:
+    def __init__(
+        self,
+        index: KirIndex,
+        params: AlignParams | None = None,
+        stride: int = 8,
+        max_postings: int = 64,
+        top_c: int = 4,
+        min_votes: int = 2,
+        max_pair_buckets: int = 70,   # max mate diagonal distance in buckets
+    ):
+        self.index = index
+        self.p = params or AlignParams()
+        self.stride = stride
+        self.max_postings = max_postings
+        self.top_c = top_c
+        self.min_votes = min_votes
+        self.max_pair_buckets = max_pair_buckets
+
+        self.table = SeedTable.fromIndex(index)
+        G, Lmax = index.backbone.shape
+        self.Lmax = Lmax
+        W = self.p.window
+        pad_total = Lmax + PAD_L + W + 8
+        backbone = np.full((G, pad_total), BASE_PAD, dtype=np.int8)
+        backbone[:, PAD_L : PAD_L + Lmax] = index.backbone
+        alt = np.zeros((G, pad_total), dtype=np.uint8)
+        alt[:, PAD_L : PAD_L + Lmax] = index.alt_mask
+        delcost = np.full((G, pad_total), self.p.del_cost, dtype=np.float32)
+        delcost[:, PAD_L : PAD_L + Lmax] = np.where(
+            index.del_ok, self.p.del_eps, self.p.del_cost
+        )
+        self._backbone = jnp.asarray(backbone)
+        self._alt = jnp.asarray(alt)
+        self._delcost = jnp.asarray(delcost)
+
+    # ------------------------------------------------------------------
+    def _windows(self, gene: np.ndarray, w0: np.ndarray):
+        """Gather [J, W] window slices (w0 is absolute backbone col)."""
+        W = self.p.window
+        idx = (w0[:, None] + PAD_L) + np.arange(W)[None, :]
+        g = jnp.asarray(gene)
+        idx_j = jnp.asarray(idx)
+        return (
+            self._backbone[g[:, None], idx_j],
+            self._alt[g[:, None], idx_j],
+            self._delcost[g[:, None], idx_j],
+        )
+
+    @staticmethod
+    def _bucket(n: int, chunk: int) -> int:
+        """Pad size bucketing: few distinct shapes -> few XLA compiles."""
+        b = 256
+        while b < n and b < chunk:
+            b *= 2
+        return min(b, chunk)
+
+    def _scoreJobs(self, gene, w0, codes, lens, chunk: int = 16384):
+        """Score-only DP over job arrays; returns cost, end_off."""
+        J = len(gene)
+        costs = np.empty(J, dtype=np.float32)
+        end_off = np.empty(J, dtype=np.int32)
+        for s in range(0, J, chunk):
+            e = min(s + chunk, J)
+            n = e - s
+            pad = self._bucket(n, chunk) - n
+            wg = np.concatenate([gene[s:e], np.zeros(pad, dtype=gene.dtype)])
+            ww = np.concatenate([w0[s:e], np.zeros(pad, dtype=w0.dtype)])
+            wb, wa, wd = self._windows(wg, ww)
+            rc = np.concatenate(
+                [codes[s:e], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
+            )
+            rl = np.concatenate([lens[s:e], np.full(pad, 1, np.int32)])
+            c, o = bandedScore(
+                wb, wa, wd, jnp.asarray(rc), jnp.asarray(rl), self.p
+            )
+            costs[s:e] = np.asarray(c)[:n]
+            end_off[s:e] = np.asarray(o)[:n]
+        return costs, end_off
+
+    def _tracebackJobs(self, gene, w0, codes, lens, chunk: int = 8192):
+        J = len(gene)
+        RL = self.p.read_len
+        costs = np.empty(J, dtype=np.float32)
+        cols = np.empty((J, RL), dtype=np.int32)
+        for s in range(0, J, chunk):
+            e = min(s + chunk, J)
+            n = e - s
+            pad = self._bucket(n, chunk) - n
+            wg = np.concatenate([gene[s:e], np.zeros(pad, dtype=gene.dtype)])
+            ww = np.concatenate([w0[s:e], np.zeros(pad, dtype=w0.dtype)])
+            wb, wa, wd = self._windows(wg, ww)
+            rc = np.concatenate(
+                [codes[s:e], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
+            )
+            rl = np.concatenate([lens[s:e], np.full(pad, 1, np.int32)])
+            c, col = bandedTraceback(
+                wb, wa, wd, jnp.asarray(rc), jnp.asarray(rl), self.p
+            )
+            costs[s:e] = np.asarray(c)[:n]
+            # absolute columns (consumed only; keep -1/-2 markers)
+            col = np.asarray(col)[:n]
+            abs_col = np.where(col >= 0, col + ww[:n, None], col)
+            cols[s:e] = abs_col
+        return costs, cols
+
+    # ------------------------------------------------------------------
+    def alignPairs(
+        self,
+        codes1: np.ndarray,
+        len1: np.ndarray,
+        codes2: np.ndarray,
+        len2: np.ndarray,
+    ) -> AlignResult:
+        # bucket the pair count so XLA shapes repeat across batches
+        N0 = len(codes1)
+        Nb = self._bucket(N0, 1 << 22)
+        if Nb > N0:
+            pad = Nb - N0
+
+            def padc(c):
+                return np.concatenate(
+                    [c, np.full((pad, c.shape[1]), BASE_PAD, np.int8)]
+                )
+
+            def padl(l):
+                return np.concatenate([l, np.full(pad, 1, l.dtype)])
+
+            codes1, codes2 = padc(codes1), padc(codes2)
+            len1, len2 = padl(len1), padl(len2)
+        result = self._alignPairsInner(codes1, len1, codes2, len2)
+        if Nb > N0:
+            result = AlignResult(
+                **{
+                    k: getattr(result, k)[:N0]
+                    for k in AlignResult.__dataclass_fields__
+                }
+            )
+        return result
+
+    def _alignPairsInner(
+        self,
+        codes1: np.ndarray,
+        len1: np.ndarray,
+        codes2: np.ndarray,
+        len2: np.ndarray,
+    ) -> AlignResult:
+        N = len(codes1)
+        RL = self.p.read_len
+        md = self.table.max_diag
+
+        # --- candidates for each mate x orientation: [N, 2*2, C]
+        mates = []
+        for codes, lens in ((codes1, len1), (codes2, len2)):
+            rc = revCompCodes(codes, lens)
+            for oriented, is_rc in ((codes, False), (rc, True)):
+                cand, votes = findCandidates(
+                    self.table,
+                    oriented,
+                    stride=self.stride,
+                    max_postings=self.max_postings,
+                    top_c=self.top_c,
+                    min_votes=self.min_votes,
+                )
+                mates.append((cand, oriented, is_rc))
+
+        # --- flatten into score jobs
+        # job slots: slot s = (mate_orient m in 0..3, c in 0..C)
+        C = self.top_c
+        S = 4 * C
+        job_gene = np.full((N, S), -1, dtype=np.int32)
+        job_diag = np.zeros((N, S), dtype=np.int32)  # bucket index
+        for m, (cand, _, _) in enumerate(mates):
+            ok = cand >= 0
+            job_gene[:, m * C : (m + 1) * C] = np.where(ok, cand // md, -1)
+            job_diag[:, m * C : (m + 1) * C] = np.where(ok, cand % md, 0)
+
+        flat_ok = job_gene.ravel() >= 0
+        flat_idx = np.nonzero(flat_ok)[0]
+        read_of_job = flat_idx // S
+        slot_of_job = flat_idx % S
+        morient = slot_of_job // C  # 0: m1 fwd, 1: m1 rc, 2: m2 fwd, 3: m2 rc
+
+        g = job_gene.ravel()[flat_idx]
+        w0 = (job_diag.ravel()[flat_idx] * DIAG_BUCKET) - DIAG_BUCKET
+        jcodes = np.empty((len(flat_idx), codes1.shape[1]), dtype=np.int8)
+        jlens = np.empty(len(flat_idx), dtype=np.int32)
+        for m, (_, oriented, _) in enumerate(mates):
+            sel = morient == m
+            jcodes[sel] = oriented[read_of_job[sel]]
+            jlens[sel] = (len1 if m < 2 else len2)[read_of_job[sel]]
+
+        logger.info(f"[Align] {N} pairs -> {len(flat_idx)} score jobs")
+        cost, end_off = self._scoreJobs(g, w0, jcodes, jlens)
+
+        # scatter job results back into [N, S] slot grids
+        BIG = np.float32(1e9)
+        slot_cost = np.full((N, S), BIG, dtype=np.float32)
+        slot_end = np.zeros((N, S), dtype=np.int64)
+        slot_cost[read_of_job, slot_of_job] = cost
+        slot_end[read_of_job, slot_of_job] = (
+            w0 + jlens - 1 + end_off
+        )  # absolute end col
+
+        # --- concordant pairing: m1 slots x m2 slots, opposite orientation
+        m1_cost = slot_cost[:, : 2 * C].reshape(N, 2, C)
+        m2_cost = slot_cost[:, 2 * C :].reshape(N, 2, C)
+        m1_gene = job_gene[:, : 2 * C].reshape(N, 2, C)
+        m2_gene = job_gene[:, 2 * C :].reshape(N, 2, C)
+        m1_diag = job_diag[:, : 2 * C].reshape(N, 2, C)
+        m2_diag = job_diag[:, 2 * C :].reshape(N, 2, C)
+        m1_end = slot_end[:, : 2 * C].reshape(N, 2, C)
+        m2_end = slot_end[:, 2 * C :].reshape(N, 2, C)
+
+        # combos [N, 2(m1 orient), C, C]: m2 uses the opposite orientation,
+        # i.e. index the m2 orientation axis flipped
+        m2_cost_op = m2_cost[:, ::-1, :]
+        m2_gene_op = m2_gene[:, ::-1, :]
+        m2_diag_op = m2_diag[:, ::-1, :]
+        m2_end_op = m2_end[:, ::-1, :]
+
+        pc = m1_cost[:, :, :, None] + m2_cost_op[:, :, None, :]
+        same_gene = (m1_gene[:, :, :, None] == m2_gene_op[:, :, None, :]) & (
+            m1_gene[:, :, :, None] >= 0
+        )
+        diag_dist = np.abs(m1_diag[:, :, :, None] - m2_diag_op[:, :, None, :])
+        valid = same_gene & (diag_dist <= self.max_pair_buckets)
+        pair_cost = np.where(valid, pc, BIG)  # [N, 2, C, C]
+
+        flat_pair = pair_cost.reshape(N, -1)
+        best = flat_pair.min(axis=1)
+        mapped = best < BIG / 2
+
+        # NH: count distinct placements among equal-best combos
+        place_hash = (
+            m1_gene[:, :, :, None].astype(np.int64) * (self.Lmax * 2)
+            + m1_end[:, :, :, None]
+        ) * (self.Lmax * 2) + m2_end_op[:, :, None, :]
+        place_hash = np.where(valid, place_hash, -1).reshape(N, -1)
+        is_best = (flat_pair <= best[:, None] + 1e-4) & (place_hash >= 0)
+        hash_masked = np.where(is_best, place_hash, np.int64(-1))
+        hash_sorted = np.sort(hash_masked, axis=1)
+        new_run = np.concatenate(
+            [
+                (hash_sorted[:, :1] >= 0),
+                (hash_sorted[:, 1:] != hash_sorted[:, :-1])
+                & (hash_sorted[:, 1:] >= 0),
+            ],
+            axis=1,
+        )
+        nh = new_run.sum(axis=1).astype(np.int32)
+
+        best_combo = np.argmin(flat_pair, axis=1)
+        bo = best_combo // (C * C)        # m1 orientation of winner
+        bc1 = (best_combo // C) % C
+        bc2 = best_combo % C
+
+        # winner job slots
+        slot1 = bo * C + bc1              # within mate1 block
+        slot2 = (1 - bo) * C + bc2        # within mate2 block
+
+        # --- traceback winners
+        def winnerJobs(slotm, base_offset, codes_f, codes_r, lens):
+            gsel = job_gene[np.arange(N), base_offset + slotm]
+            dsel = job_diag[np.arange(N), base_offset + slotm]
+            w0w = dsel * DIAG_BUCKET - DIAG_BUCKET
+            is_rc = (slotm // C) == 1
+            oc = np.where(is_rc[:, None], codes_r, codes_f)
+            return gsel, w0w, oc, lens, is_rc
+
+        rc1_codes = revCompCodes(codes1, len1)
+        rc2_codes = revCompCodes(codes2, len2)
+        g1, w01, oc1, l1, isrc1 = winnerJobs(slot1, 0, codes1, rc1_codes, len1)
+        g2, w02, oc2, l2, isrc2 = winnerJobs(slot2, 2 * C, codes2, rc2_codes, len2)
+
+        midx = np.nonzero(mapped)[0]
+        cols_l = np.full((N, RL), -1, dtype=np.int32)
+        cols_r = np.full((N, RL), -1, dtype=np.int32)
+        if len(midx):
+            _, cl = self._tracebackJobs(
+                g1[midx], w01[midx], oc1[midx], l1[midx]
+            )
+            _, cr = self._tracebackJobs(
+                g2[midx], w02[midx], oc2[midx], l2[midx]
+            )
+            cols_l[midx] = cl
+            cols_r[midx] = cr
+
+        return AlignResult(
+            gene=np.where(mapped, g1, -1).astype(np.int32),
+            nh=np.where(mapped, nh, 0).astype(np.int32),
+            cost=np.where(mapped, best, np.inf).astype(np.float32),
+            rc_l=isrc1,
+            rc_r=isrc2,
+            cols_l=cols_l,
+            cols_r=cols_r,
+            bases_l=oc1,
+            bases_r=oc2,
+            len_l=len1.astype(np.int32),
+            len_r=len2.astype(np.int32),
+        )

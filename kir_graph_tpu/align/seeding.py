@@ -1,0 +1,154 @@
+"""
+K-mer seeding: reads -> candidate (gene, diagonal) placements.
+
+Replaces HISAT2's graph FM-index seed phase.  The sorted k-mer hash table
+(index/build.py:buildKmerTable) lives in HBM; lookups are a vectorised
+binary search (searchsorted) and candidate selection is a per-read
+sort + run-count + top-k — all XLA-friendly dense int32/uint32 ops
+(TPU has no 64-bit integer path).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.build import KMER_MIX1, KMER_MIX2
+
+DIAG_BUCKET = 16
+
+
+@dataclass
+class SeedTable:
+    """Device-resident k-mer table + geometry constants."""
+
+    keys: jax.Array       # [U] uint32 sorted hashes
+    start: jax.Array      # [U+1] int32
+    gene: jax.Array       # [P] int32
+    pos: jax.Array        # [P] int32
+    k: int
+    n_genes: int
+    max_diag: int
+
+    @classmethod
+    def fromIndex(cls, index) -> "SeedTable":
+        Lmax = int(index.backbone.shape[1])
+        return cls(
+            keys=jnp.asarray(index.kmer_keys),
+            start=jnp.asarray(index.kmer_start),
+            gene=jnp.asarray(index.kmer_gene),
+            pos=jnp.asarray(index.kmer_pos),
+            k=index.kmer,
+            n_genes=len(index.gene_names),
+            max_diag=Lmax // DIAG_BUCKET + 4,
+        )
+
+
+def _packKmers(codes: jax.Array, k: int, stride: int):
+    """codes [R, L] -> hashes [R, S] uint32, offsets [S], valid [R, S]."""
+    R, L = codes.shape
+    h = k // 2
+    n_pos = (L - k) // stride + 1
+    offsets = jnp.arange(n_pos) * stride                       # [S]
+    gather_idx = offsets[:, None] + jnp.arange(k)[None, :]     # [S, k]
+    window = codes[:, gather_idx]                              # [R, S, k]
+    valid = ~(window >= 4).any(axis=2)
+    w = window.astype(jnp.uint32)
+    shifts = (2 * jnp.arange(h - 1, -1, -1)).astype(jnp.uint32)
+    hi = (w[:, :, :h] << shifts).sum(axis=2, dtype=jnp.uint32)
+    lo = (w[:, :, h:] << shifts).sum(axis=2, dtype=jnp.uint32)
+    keys = (hi * jnp.uint32(KMER_MIX1)) ^ (lo * jnp.uint32(KMER_MIX2))
+    return keys, offsets, valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "stride", "max_postings", "top_c", "n_genes", "max_diag", "min_votes",
+    ),
+)
+def _findCandidates(
+    codes: jax.Array,
+    table_keys: jax.Array,
+    table_start: jax.Array,
+    table_gene: jax.Array,
+    table_pos: jax.Array,
+    k: int,
+    stride: int,
+    max_postings: int,
+    top_c: int,
+    n_genes: int,
+    max_diag: int,
+    min_votes: int,
+) -> tuple[jax.Array, jax.Array]:
+    """-> cand_key [R, top_c] int32 (gene*max_diag + diag_bucket, -1 = none),
+    cand_votes [R, top_c] int32."""
+    keys, offsets, valid = _packKmers(codes, k, stride)        # [R, S]
+    R, S = keys.shape
+
+    idx = jnp.searchsorted(table_keys, keys.ravel()).reshape(R, S)
+    idx = jnp.clip(idx, 0, table_keys.shape[0] - 1)
+    hit = valid & (table_keys[idx] == keys)
+
+    p_start = table_start[idx]                                 # [R, S]
+    p_end = table_start[idx + 1]
+    slot = jnp.arange(max_postings)
+    p_idx = p_start[:, :, None] + slot[None, None, :]          # [R, S, P]
+    p_ok = hit[:, :, None] & (p_idx < p_end[:, :, None])
+    p_idx = jnp.clip(p_idx, 0, table_gene.shape[0] - 1)
+    gene = table_gene[p_idx]
+    pos = table_pos[p_idx]
+
+    diag = jnp.maximum(pos - offsets[None, :, None], 0)
+    vote = gene * max_diag + diag // DIAG_BUCKET
+    SENTINEL = n_genes * max_diag + 1
+    vote = jnp.where(p_ok, vote, SENTINEL).reshape(R, S * max_postings)
+
+    vote_sorted = jnp.sort(vote, axis=1)
+    lo = jax.vmap(jnp.searchsorted)(vote_sorted, vote_sorted)
+    hi = jax.vmap(partial(jnp.searchsorted, side="right"))(vote_sorted, vote_sorted)
+    counts = hi - lo
+    is_run_start = jnp.concatenate(
+        [
+            jnp.ones((R, 1), dtype=bool),
+            vote_sorted[:, 1:] != vote_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    counts = jnp.where(
+        is_run_start & (vote_sorted != SENTINEL) & (counts >= min_votes), counts, 0
+    )
+    top_votes, top_idx = jax.lax.top_k(counts, top_c)
+    cand = jnp.take_along_axis(vote_sorted, top_idx, axis=1)
+    cand = jnp.where(top_votes > 0, cand, -1)
+    return cand.astype(jnp.int32), top_votes.astype(jnp.int32)
+
+
+def findCandidates(
+    table: SeedTable,
+    codes: np.ndarray,
+    stride: int = 8,
+    max_postings: int = 64,
+    top_c: int = 4,
+    min_votes: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate (gene, diag-bucket) keys per read. key // max_diag = gene,
+    (key % max_diag) * DIAG_BUCKET = window diagonal estimate."""
+    cand, votes = _findCandidates(
+        jnp.asarray(codes),
+        table.keys,
+        table.start,
+        table.gene,
+        table.pos,
+        table.k,
+        stride,
+        max_postings,
+        top_c,
+        table.n_genes,
+        table.max_diag,
+        min_votes,
+    )
+    return np.asarray(cand), np.asarray(votes)

@@ -31,6 +31,24 @@ for _i, _c in enumerate("ACGT"):
 
 DEFAULT_KMER = 24
 
+# k-mer hash mixing constants (shared with align/seeding.py — the device
+# computes the identical uint32 arithmetic)
+KMER_MIX1 = np.uint32(2654435761)
+KMER_MIX2 = np.uint32(0x85EBCA6B)
+
+
+def hashKmerWindows(window: np.ndarray) -> np.ndarray:
+    """[n, k] base codes -> [n] uint32 hash: pack each half into 2k bits,
+    multiply-mix, xor.  k must be even and <= 32."""
+    k = window.shape[1]
+    assert k % 2 == 0 and k <= 32
+    h = k // 2
+    w = window.astype(np.uint32)
+    shifts_hi = (2 * np.arange(h - 1, -1, -1)).astype(np.uint32)
+    hi = (w[:, :h] << shifts_hi).sum(axis=1, dtype=np.uint32)
+    lo = (w[:, h:] << shifts_hi).sum(axis=1, dtype=np.uint32)
+    return (hi * KMER_MIX1) ^ (lo * KMER_MIX2)
+
 
 def encodeSeq(seq: str) -> np.ndarray:
     """ASCII sequence -> int8 codes (A0 C1 G2 T3, everything else 4)."""
@@ -99,10 +117,13 @@ class KirIndex:
     del_ok: np.ndarray | None = None     # [G, Lmax] bool
     exon_mask: np.ndarray | None = None  # [G, Lmax] bool
 
-    # k-mer table
-    kmer_keys: np.ndarray | None = None      # [U] uint64 sorted
+    # k-mer table (32-bit hashed keys: TPU has no 64-bit integer path, so
+    # the k-mer is split into two 12-base halves and mixed; rare hash
+    # collisions only add spurious seed votes, which the DP pass rejects)
+    kmer_keys: np.ndarray | None = None      # [U] uint32 sorted hashes
     kmer_start: np.ndarray | None = None     # [U+1] int32 posting offsets
-    kmer_postings: np.ndarray | None = None  # [P] uint64 (gene<<32 | pos)
+    kmer_gene: np.ndarray | None = None      # [P] int32
+    kmer_pos: np.ndarray | None = None       # [P] int32
 
     def finalize(self, build_kmers: bool = True) -> "KirIndex":
         self.gene_names = sorted(self.genes)
@@ -156,28 +177,30 @@ class KirIndex:
                 n = len(codes) - k + 1
                 if n <= 0:
                     continue
-                # rolling 2-bit pack via convolution-style matmul
                 window = np.lib.stride_tricks.sliding_window_view(codes, k)
                 valid = ~(window >= 4).any(axis=1)
-                keys = (window << (2 * np.arange(k - 1, -1, -1))).sum(axis=1)
-                keys = keys[valid].astype(np.uint64)
-                pos = columns[:n][valid].astype(np.uint64)
-                posting = (np.uint64(gi) << np.uint64(32)) | pos
-                all_entries.append(np.stack([keys, posting], axis=1))
+                keys = hashKmerWindows(window)[valid]
+                pos = columns[:n][valid].astype(np.int64)
+                entry = np.stack(
+                    [keys.astype(np.int64), np.full(len(pos), gi), pos], axis=1
+                )
+                all_entries.append(entry)
         if not all_entries:
-            self.kmer_keys = np.zeros(0, dtype=np.uint64)
+            self.kmer_keys = np.zeros(0, dtype=np.uint32)
             self.kmer_start = np.zeros(1, dtype=np.int32)
-            self.kmer_postings = np.zeros(0, dtype=np.uint64)
+            self.kmer_gene = np.zeros(0, dtype=np.int32)
+            self.kmer_pos = np.zeros(0, dtype=np.int32)
             return
         entries = np.concatenate(all_entries)
-        entries = np.unique(entries, axis=0)  # sorts by (key, posting)
+        entries = np.unique(entries, axis=0)  # sorts by (key, gene, pos)
         keys = entries[:, 0]
         uniq_keys, start_idx = np.unique(keys, return_index=True)
-        self.kmer_keys = uniq_keys
+        self.kmer_keys = uniq_keys.astype(np.uint32)
         self.kmer_start = np.concatenate(
             [start_idx, [len(keys)]]
         ).astype(np.int32)
-        self.kmer_postings = entries[:, 1].copy()
+        self.kmer_gene = entries[:, 1].astype(np.int32)
+        self.kmer_pos = entries[:, 2].astype(np.int32)
         logger.info(
             f"[Index] kmer table: {len(uniq_keys)} keys, "
             f"{len(entries)} postings (k={self.kmer})"
@@ -276,7 +299,8 @@ def saveIndex(index: KirIndex, prefix: str) -> None:
         "exon_mask": index.exon_mask,
         "kmer_keys": index.kmer_keys,
         "kmer_start": index.kmer_start,
-        "kmer_postings": index.kmer_postings,
+        "kmer_gene": index.kmer_gene,
+        "kmer_pos": index.kmer_pos,
     }
     meta: dict = {"kmer": index.kmer, "genes": []}
     for name in index.gene_names:
@@ -362,5 +386,6 @@ def loadIndex(prefix: str) -> KirIndex:
     index.exon_mask = data["exon_mask"]
     index.kmer_keys = data["kmer_keys"]
     index.kmer_start = data["kmer_start"]
-    index.kmer_postings = data["kmer_postings"]
+    index.kmer_gene = data["kmer_gene"]
+    index.kmer_pos = data["kmer_pos"]
     return index

@@ -1,0 +1,199 @@
+"""
+kir-graph-tpu CLI: the `graphkir` equivalent.
+
+Flag surface mirrors the reference CLI (graphkir/main.py:258-420) minus the
+external-container engine (no subprocesses here — alignment runs on the
+JAX device) and plus `--index-prefix` (prebuilt array index) /
+`--msa-prefix` (build index from MSA files).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+import pandas as pd
+
+from ..cn.predict import predictSamplesCN
+from ..index.build import buildIndexFromMsaPrefix, loadIndex, saveIndex
+from ..utils import getCommonName, logger, mergeAllele, mergeCN, setThreads
+from .run import SamplePipeline
+
+
+def createParser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native Graph-KIR: KIR copy number + star allele typing",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--thread", default=1, help="Host worker threads")
+    parser.add_argument(
+        "--log-level", default="INFO", choices=list(logging._nameToLevel)
+    )
+
+    parser.add_argument("--r1", action="append", help="Read-1 FASTQ (repeatable)")
+    parser.add_argument("--r2", action="append", help="Read-2 FASTQ (repeatable)")
+    parser.add_argument(
+        "--input-csv", help="CSV with columns name,r1,r2[,cnfile]"
+    )
+    parser.add_argument("--output-folder", help="Output folder")
+    parser.add_argument("--output-cohort-name", help="Cohort output prefix")
+
+    parser.add_argument(
+        "--index-prefix",
+        help="Prebuilt array-index prefix (from saveIndex): {prefix}.npz/.json",
+    )
+    parser.add_argument(
+        "--msa-prefix",
+        help="MSA file prefix ({prefix}.{gene}.fa/.json) to build the index from",
+    )
+
+    parser.add_argument("--cn-exon", action="store_true", help="Exon-only CN depth")
+    parser.add_argument("--cn-cohort", action="store_true", help="Cohort-mode CN")
+    parser.add_argument(
+        "--cn-select", default="p75", choices=["p75", "mean", "median"]
+    )
+    parser.add_argument(
+        "--cn-algorithm", default="LCND", choices=["LCND", "KDE", "CNgroup"]
+    )
+    parser.add_argument("--cn-dist-dev", default=0.08, type=float)
+    parser.add_argument("--cn-3dl3-not-diploid", action="store_true")
+    parser.add_argument(
+        "--cn-provided", nargs="*", help="Pre-computed CN TSV per sample"
+    )
+    parser.add_argument(
+        "--allele-strategy",
+        default="full",
+        choices=["full", "exonfirst", "report", "em"],
+    )
+    parser.add_argument("--allele-top-n", default=600, type=int)
+    parser.add_argument("--step-skip-typing", action="store_true")
+    parser.add_argument("--plot", action="store_true")
+    return parser
+
+
+def resolveIndex(args) -> "SamplePipeline":
+    if args.index_prefix and os.path.exists(args.index_prefix + ".npz"):
+        logger.info(f"[Index] Load prebuilt index {args.index_prefix}")
+        index = loadIndex(args.index_prefix)
+    elif args.msa_prefix:
+        logger.info(f"[Index] Build index from MSA {args.msa_prefix}")
+        index = buildIndexFromMsaPrefix(args.msa_prefix)
+        if args.index_prefix:
+            saveIndex(index, args.index_prefix)
+    else:
+        raise ValueError("Provide --index-prefix or --msa-prefix")
+    return SamplePipeline(index)
+
+
+def main(args: argparse.Namespace) -> None:
+    setThreads(int(args.thread))
+    logging.basicConfig(level=args.log_level)
+    logger.setLevel(args.log_level)
+
+    # ---- inputs
+    cn_files: list[str] = []
+    if not args.input_csv:
+        if not args.r1 or len(args.r1 or []) != len(args.r2 or []):
+            raise ValueError("Provide matching --r1/--r2 lists or --input-csv")
+        reads = list(zip(args.r1, args.r2))
+        names = [getCommonName(a, b) for a, b in reads]
+        cn_files = list(args.cn_provided or [""] * len(names))
+    else:
+        df = pd.read_csv(args.input_csv)
+        names = list(df["name"])
+        reads = list(zip(df["r1"], df["r2"]))
+        cn_files = (
+            list(df["cnfile"].fillna("")) if "cnfile" in df.columns
+            else [""] * len(names)
+        )
+    if len(cn_files) != len(names):
+        raise ValueError("cnfile count mismatch")
+    logger.info(f"[Main] Samples: {names}")
+
+    if args.output_folder:
+        Path(args.output_folder).mkdir(exist_ok=True, parents=True)
+        names = [str(Path(args.output_folder) / Path(n).name) for n in names]
+        output_folder = args.output_folder
+    else:
+        output_folder = str(Path(names[0]).parent)
+    cohort_name = args.output_cohort_name or str(Path(output_folder) / "cohort")
+    Path(cohort_name).parent.mkdir(exist_ok=True, parents=True)
+
+    pipe = resolveIndex(args)
+    algo = "CNgroup" if args.cn_algorithm == "LCND" else args.cn_algorithm
+
+    # ---- map + depth
+    processed, depth_files = [], []
+    for name, (fq1, fq2) in zip(names, reads):
+        prefix = pipe.mapSample(name, fq1, fq2)
+        processed.append(prefix)
+        depth_files.append(pipe.depthStage(prefix, exon_region_only=args.cn_exon))
+
+    # ---- copy number
+    cluster_kwargs = {"base_dev": float(args.cn_dist_dev), "start_base": 2}
+    if all(cn_files):
+        pass
+    elif not args.cn_cohort:
+        for i, depth_file in enumerate(depth_files):
+            if cn_files[i]:
+                continue
+            cn_files[i] = pipe.cnSample(
+                depth_file,
+                cn_select=args.cn_select,
+                cn_algorithm=algo,
+                assume_3DL3_diploid=not args.cn_3dl3_not_diploid,
+                cluster_method_kwargs=cluster_kwargs,
+            )
+    else:
+        suffix = f".{args.cn_select}.cohort.{algo}"
+        cn_cohort_name = cohort_name + suffix
+        cn_files = [
+            str(Path(p).with_suffix(suffix + ".tsv")) for p in depth_files
+        ]
+        predictSamplesCN(
+            depth_files,
+            cn_files,
+            cluster_method=algo,
+            cluster_method_kwargs=cluster_kwargs,
+            save_cn_model_path=cn_cohort_name + ".json",
+            select_mode=args.cn_select,
+        )
+    logger.info(f"[CN] files: {cn_files}")
+    mergeCN(cn_files, cohort_name + ".cn.tsv")
+    logger.info(f"[CN] cohort table: {cohort_name}.cn.tsv")
+
+    # ---- typing
+    if not args.step_skip_typing:
+        method = args.allele_strategy
+        if method == "report":
+            method = "em"
+        if method == "exonfirst":
+            method = "exonfirst_1"
+        allele_files = [
+            pipe.typeSample(p, cnf, method=method, top_n=args.allele_top_n)
+            for p, cnf in zip(processed, cn_files)
+        ]
+        mergeAllele(allele_files, cohort_name + ".allele.tsv")
+        logger.info(f"[Allele] cohort table: {cohort_name}.allele.tsv")
+
+    if args.plot:
+        from ..plot import plotCN, plotGeneDepths, savePlot
+
+        figs = []
+        for depth_file in depth_files:
+            figs.extend(plotGeneDepths(depth_file))
+        for cnf in cn_files:
+            model_json = cnf[:-4] + ".json"
+            if os.path.exists(model_json):
+                figs.extend(plotCN(model_json))
+        savePlot(cohort_name + ".plot.html", figs)
+    logger.info("[Main] Success")
+
+
+def entrypoint() -> None:
+    main(createParser().parse_args())
+
+
+if __name__ == "__main__":
+    entrypoint()

@@ -1,0 +1,153 @@
+"""
+Per-sample pipeline stages: FASTQ -> variants JSON -> depth TSV -> CN -> alleles.
+
+Mirrors the reference stage graph (main.py:124-220) with the same
+file-suffix checkpointing convention (".variant", ".no_multi.depth",
+".p75.CNgroup", ".pv" — SURVEY §5 "FileNameFlow"): every stage checks its
+output file before recomputing, so interrupted cohorts resume for free.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..align.annotate import VariantAnnotator
+from ..align.encode import encodeReads
+from ..align.pipeline import GraphAligner
+from ..cn.predict import filterDepth, loadCN, predictSamplesCN
+from ..index.build import KirIndex
+from ..sim.reads import readFastq
+from ..typing.facade import selectKirTypingModel
+from ..typing.pairread import writeReadsAndVariantsData
+from ..utils import logger
+
+
+class SamplePipeline:
+    """Holds the device-resident index + aligner; drives per-sample stages."""
+
+    def __init__(self, index: KirIndex, num_editdist: int = 4):
+        self.index = index
+        self.aligner = GraphAligner(index)
+        self.annotator = VariantAnnotator(index, num_editdist=num_editdist)
+
+    # ------------------------------------------------------------------
+    def mapSample(self, name: str, fq1: str, fq2: str) -> str:
+        """FASTQ pair -> {name}.variant.json + {name}.variant.no_multi.depth.tsv
+
+        Fuses the reference's hisatMap + extractVariantFromBam + bam2Depth
+        (main.py:139-158) into one device pass; returns the processed-name
+        prefix ("{name}.variant").
+        """
+        out_prefix = name + ".variant"
+        depth_tsv = out_prefix + ".no_multi.depth.tsv"
+        if os.path.exists(out_prefix + ".json") and os.path.exists(depth_tsv):
+            logger.info(f"[Graph] {out_prefix} exists, skip mapping")
+            return out_prefix
+
+        logger.info(f"[Graph] Aligning {fq1} / {fq2}")
+        n1, s1 = readFastq(fq1)
+        n2, s2 = readFastq(fq2)
+        assert len(n1) == len(n2), "mate FASTQs must pair up"
+        c1, l1 = encodeReads(s1)
+        c2, l2 = encodeReads(s2)
+        result = self.aligner.alignPairs(c1, l1, c2, l2)
+        reads_data, depth, pileup, passed = self.annotator.annotate(result)
+
+        writeReadsAndVariantsData(reads_data, out_prefix + ".json")
+        self.writeDepthTsv(depth, depth_tsv)
+        np.save(out_prefix + ".pileup.npy", pileup)
+        return out_prefix
+
+    def writeDepthTsv(self, depth: np.ndarray, filename: str) -> None:
+        """[G, Lmax] depth -> samtools-depth-shaped TSV (1-based positions)."""
+        rows = []
+        for gi, gname in enumerate(self.index.gene_names):
+            L = int(self.index.lengths[gi])
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "gene": gname,
+                        "pos": np.arange(1, L + 1),
+                        "depth": depth[gi, :L],
+                    }
+                )
+            )
+        pd.concat(rows).to_csv(filename, sep="\t", header=False, index=False)
+
+    # ------------------------------------------------------------------
+    def depthStage(self, processed: str, exon_region_only: bool = False) -> str:
+        """Optionally restrict depth to exon regions (reference --cn-exon)."""
+        depth_file = processed + ".no_multi.depth"
+        if exon_region_only:
+            out = depth_file + ".exon"
+            if not os.path.exists(out + ".tsv"):
+                filterDepth(
+                    depth_file + ".tsv", out + ".tsv", self.index.exonRegions()
+                )
+            return out + ".tsv"
+        return depth_file + ".tsv"
+
+    # ------------------------------------------------------------------
+    def cnSample(
+        self,
+        depth_file: str,
+        cn_select: str = "p75",
+        cn_algorithm: str = "CNgroup",
+        assume_3DL3_diploid: bool = True,
+        diploid_depth: str = "",
+        cluster_method_kwargs: dict | None = None,
+    ) -> str:
+        """Per-sample CN estimation -> {depth}.{select}.{algo}.tsv"""
+        suffix = f".{cn_select}.{cn_algorithm}"
+        name = str(depth_file)
+        if name.endswith(".tsv"):
+            name = name[:-4]
+        name += suffix
+        if not os.path.exists(name + ".tsv"):
+            predictSamplesCN(
+                [depth_file],
+                [name + ".tsv"],
+                diploid_depth=diploid_depth,
+                cluster_method=cn_algorithm,
+                cluster_method_kwargs=cluster_method_kwargs or {},
+                assume_3DL3_diploid=assume_3DL3_diploid,
+                save_cn_model_path=name + ".json",
+                select_mode=cn_select,
+            )
+        return name + ".tsv"
+
+    # ------------------------------------------------------------------
+    def typeSample(
+        self,
+        processed: str,
+        cn_file: str,
+        method: str = "full",
+        top_n: int = 600,
+    ) -> str:
+        """Allele typing -> {processed}.cn{...}.{method}.tsv"""
+        cn_tag = os.path.basename(cn_file).replace("/", "_").replace(".", "_")
+        suffix = f".cn_{cn_tag}.pv.{method}"
+        name = processed + suffix
+        if os.path.exists(name + ".tsv"):
+            return name + ".tsv"
+
+        t = selectKirTypingModel(
+            method, processed + ".json", top_n=top_n, variant_correction=True
+        )
+        cn = loadCN(cn_file)
+        called_alleles, warning_genes = t.typing(cn)
+        logger.info(f"[Allele] {called_alleles} ({processed})")
+        pd.DataFrame(
+            {
+                "name": [name],
+                "alleles": ["_".join(called_alleles)],
+                "warnings": ["_".join(warning_genes)],
+            }
+        ).to_csv(name + ".tsv", sep="\t", index=False)
+
+        possible = pd.DataFrame(t.getAllPossibleTyping())
+        possible = possible.fillna("")
+        possible.to_csv(name + ".possible.tsv", index=False, sep="\t")
+        return name + ".tsv"

@@ -1,0 +1,401 @@
+"""
+Maximum-likelihood allele-set search (the paper's proposed typing method).
+
+Behavioural port of reference typing_mulit_allele.py:217-619, re-engineered
+array-first: the read x allele likelihood matrix is one MXU matmul and the
+CN-step beam extension is a chunked device reduction (see kernels.py);
+candidate bookkeeping (dedup, ranking) stays on host where it is tiny.
+"""
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+from typing import Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.variants import Variant
+from ..utils import logger
+from .homo import isHomozygous
+from .kernels import (
+    bestPerRead,
+    fractionOfReads,
+    logProbsFromCounts,
+    pairMaxScores,
+)
+from .pairread import PairRead
+
+
+@dataclass
+class TypingResult:
+    """Result of one CN step of the beam search
+    (fields mirror reference typing_mulit_allele.py:27-58)."""
+
+    n: int
+    value: np.ndarray               # [top_n] set log-likelihood
+    value_sum_indv: np.ndarray      # [top_n, n] per-allele CN=1 likelihoods
+    allele_id: np.ndarray           # [top_n, n]
+    allele_name: list[list[str]]
+    allele_prob: np.ndarray         # [reads, top_n] per-read best in set
+    fraction: np.ndarray            # [top_n, n]
+    fraction_uniq: np.ndarray       # [top_n, n]
+    allele_name_group: list[list[list[str]]] = field(default_factory=list)
+
+    def isFail(self) -> bool:
+        return not len(self.value)
+
+    def selectBest(
+        self, filter_fraction: bool = True, filter_minor: bool = False
+    ) -> list[str]:
+        """Best set subject to min-abundance >= (1/CN)/2; falls back to
+        rank 0 when nothing qualifies (reference 63-103)."""
+        ids: Iterable[int] = range(len(self.fraction))
+        if filter_fraction:
+            expect = 1 / self.n
+            ids = filter(
+                lambda i: all(f >= expect / 2 for f in self.fraction[i]), ids
+            )
+        if filter_minor:
+            ids = filter(
+                lambda i: np.abs(self.value_sum_indv[i]).min()
+                / np.abs(self.value_sum_indv[i]).max()
+                > 0.8,
+                ids,
+            )
+        id_list = list(ids) or [0]
+        best = id_list[0]
+        if not self.isFail():
+            assert len(self.allele_name[best]) == self.n
+            return self.allele_name[best]
+        logger.warning("[Allele] No candidates found. Return fail")
+        return ["fail"] * self.n
+
+    def sortByScoreAndEveness(self, preserve_topn: int = -1) -> "TypingResult":
+        if preserve_topn == -1:
+            preserve_topn = self.value.shape[0]
+        order = rankScore(self.value, self.value_sum_indv, self.fraction)
+        k = preserve_topn
+        return TypingResult(
+            n=self.n,
+            value=self.value[order][:k],
+            value_sum_indv=self.value_sum_indv[order][:k],
+            allele_id=self.allele_id[order][:k],
+            allele_name=[self.allele_name[i] for i in order][:k],
+            allele_prob=self.allele_prob[:, order][:, :k],
+            fraction=self.fraction[order][:k],
+            fraction_uniq=self.fraction_uniq[order][:k],
+        )
+
+    def topRank(self, threshold: float = 0.9) -> Iterable[int]:
+        assert not self.isFail()
+        yield 0
+        max_value = self.value[0]
+        for i, v in enumerate(self.value):
+            if i and v * threshold >= max_value:
+                yield i
+
+    def selectAllPossible(self, threshold: float = 0.9) -> list[tuple[float, list[str]]]:
+        if self.isFail():
+            return []
+        return [(float(self.value[r]), self.allele_name[r]) for r in self.topRank(threshold)]
+
+    def setNameGroup(self, mapping: dict[str, list[str]]) -> None:
+        self.allele_name_group = [
+            [mapping[a] for a in names] for names in self.allele_name
+        ]
+
+    def print(self, num: int = 100, top_threshold: float = 0.9) -> None:
+        out = io.StringIO()
+        print("Allele_num =", self.n, file=out)
+        if self.isFail():
+            logger.debug(f"[Allele] fail x {self.n}")
+            return
+        for printed, rank in enumerate(self.topRank(top_threshold)):
+            if printed > num:
+                break
+            print("Rank", rank, "likelihood", self.value[rank], file=out)
+            for i in range(self.n):
+                print(
+                    f"  id {self.allele_id[rank][i]:3}"
+                    f" name {self.allele_name[rank][i]:20s}"
+                    f" fraction {self.fraction[rank][i]:.5f}",
+                    file=out,
+                )
+        logger.debug(f"[Allele] {out.getvalue()}")
+
+
+def rankScore(
+    value: np.ndarray, value_sum_indv: np.ndarray, fraction: np.ndarray
+) -> np.ndarray:
+    """Stable 3-key ranking: likelihood desc, per-allele sum desc, abundance
+    evenness asc (reference typing_mulit_allele.py:202-214)."""
+    fraction_diff = np.abs(fraction - fraction.mean(axis=1, keepdims=True)).sum(axis=1)
+    sum_indv = value_sum_indv.sum(axis=1)
+    return np.lexsort((fraction_diff, -sum_indv, -value))
+
+
+class AlleleTyping:
+    """Beam search over allele sets, one allele added per CN step."""
+
+    def __init__(
+        self,
+        reads: list[PairRead],
+        variants: list[Variant],
+        force_homo: bool | None = None,
+        top_n: int = 300,
+        no_empty: bool = True,
+        variant_correction: bool = True,
+    ):
+        self.top_n = top_n
+        self._no_empty = no_empty
+        self.force_homo = force_homo
+
+        self.variants: dict[str, Variant] = {str(v.id): v for v in variants}
+        allele_names = sorted(
+            {a for v in variants for a in v.allele}
+        )
+        self.id_to_allele: dict[int, str] = dict(enumerate(allele_names))
+        self.allele_to_id: dict[str, int] = {n: i for i, n in enumerate(allele_names)}
+
+        if variant_correction:
+            reads = self.errorCorrection(reads)
+        if no_empty:
+            reads = self.removeEmptyReads(reads)
+        self.reads = reads
+
+        self.log_probs = self._buildLogProbs(reads)  # np.float32 [R, A]
+        self._log_probs_dev = jnp.asarray(self.log_probs)
+        self._allele_col_sum = (
+            self.log_probs.sum(axis=0)
+            if self.log_probs.size
+            else np.zeros(len(allele_names), dtype=np.float32)
+        )
+        self.probs = np.power(10.0, self.log_probs) if self.log_probs.size else self.log_probs
+        self.result: list[TypingResult] = []
+
+    # ------------------------------------------------------------------
+    def getReadsNum(self) -> int:
+        return len(self.log_probs)
+
+    @staticmethod
+    def removeEmptyReads(reads: list[PairRead]) -> list[PairRead]:
+        return [r for r in reads if r.lpv + r.lnv + r.rpv + r.rnv]
+
+    @staticmethod
+    def errorCorrection(reads: list[PairRead]) -> list[PairRead]:
+        """Drop variants with <3 supporting observations or <20% minority
+        evidence (reference typing_mulit_allele.py:302-338)."""
+        pos_count: dict[str, int] = {}
+        neg_count: dict[str, int] = {}
+        for read in reads:
+            for vid in read.lpv + read.rpv:
+                pos_count[vid] = pos_count.get(vid, 0) + 1
+                neg_count.setdefault(vid, 0)
+            for vid in read.lnv + read.rnv:
+                neg_count[vid] = neg_count.get(vid, 0) + 1
+                pos_count.setdefault(vid, 0)
+
+        excl_pos, excl_neg = set(), set()
+        for vid in pos_count:
+            p, n = pos_count[vid], neg_count[vid]
+            if p + n < 3:
+                excl_pos.add(vid)
+                excl_neg.add(vid)
+            else:
+                if p / (p + n) < 0.2:
+                    excl_pos.add(vid)
+                if n / (p + n) < 0.2:
+                    excl_neg.add(vid)
+        for read in reads:
+            read.lpv = [v for v in read.lpv if v not in excl_pos]
+            read.rpv = [v for v in read.rpv if v not in excl_pos]
+            read.lnv = [v for v in read.lnv if v not in excl_neg]
+            read.rnv = [v for v in read.rnv if v not in excl_neg]
+        return reads
+
+    def _buildLogProbs(self, reads: list[PairRead]) -> np.ndarray:
+        """Assemble count matrices on host, run the matmul kernel."""
+        A = len(self.allele_to_id)
+        V = len(self.variants)
+        R = len(reads)
+        if R == 0 or V == 0:
+            return np.zeros((0, A), dtype=np.float32)
+        vid_index = {vid: i for i, vid in enumerate(self.variants)}
+        membership = np.zeros((V, A), dtype=np.float32)
+        for vid, v in self.variants.items():
+            row = vid_index[vid]
+            for a in v.allele:
+                ai = self.allele_to_id.get(a)
+                if ai is not None:
+                    membership[row, ai] = 1.0
+
+        count_diff = np.zeros((R, V), dtype=np.float32)
+        n_pos = np.zeros(R, dtype=np.float32)
+        n_neg = np.zeros(R, dtype=np.float32)
+        for r, read in enumerate(reads):
+            for vid in read.lpv + read.rpv:
+                i = vid_index.get(vid)
+                if i is not None:
+                    count_diff[r, i] += 1
+                    n_pos[r] += 1
+            for vid in read.lnv + read.rnv:
+                i = vid_index.get(vid)
+                if i is not None:
+                    count_diff[r, i] -= 1
+                    n_neg[r] += 1
+        out = logProbsFromCounts(
+            jnp.asarray(count_diff), jnp.asarray(n_pos), jnp.asarray(n_neg),
+            jnp.asarray(membership),
+        )
+        return np.asarray(out)
+
+    # ------------------------------------------------------------------
+    def typing(self, cn: int) -> TypingResult:
+        if cn < 1:
+            raise ValueError(f"CN should be >= 1, got {cn}")
+        if self.force_homo is None:
+            homo = isHomozygous(self.reads, self.variants, cn)
+        else:
+            homo = self.force_homo
+
+        self.result = []
+        if homo:
+            self.addCandidate()
+            if cn > 1:
+                self.result.append(self.createHomoResult(self.result[0], cn))
+        else:
+            for _ in range(cn):
+                self.addCandidate()
+        self.result[-1].print()
+        return self.result[-1]
+
+    def mapAlleleIDs(self, list_ids: np.ndarray) -> list[list[str]]:
+        return [[self.id_to_allele[int(i)] for i in ids] for ids in list_ids]
+
+    @staticmethod
+    def createHomoResult(cn1: TypingResult, cn: int) -> TypingResult:
+        """Replicate the CN=1 winner cn times (reference 423-454)."""
+        if cn <= 1:
+            raise ValueError(f"CN should be > 1, got {cn}")
+        return TypingResult(
+            n=cn,
+            value=cn1.value * cn,
+            value_sum_indv=np.repeat(cn1.value_sum_indv, cn, axis=1),
+            allele_id=np.repeat(cn1.allele_id, cn, axis=1),
+            allele_name=[[names[0]] * cn for names in cn1.allele_name],
+            allele_prob=cn1.allele_prob,
+            fraction=np.ones((len(cn1.value), cn)) / cn,
+            fraction_uniq=np.ones((len(cn1.value), cn)) / cn,
+        )
+
+    @staticmethod
+    def uniqueAllele(ids: np.ndarray) -> np.ndarray:
+        """Mask of first occurrences of each unordered allele set
+        (reference 456-476)."""
+        key = np.sort(ids, axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        mask = np.zeros(len(ids), dtype=bool)
+        mask[first] = True
+        return mask
+
+    def _emptyResult(self) -> TypingResult:
+        return TypingResult(
+            n=len(self.result) + 1,
+            value=np.array([]),
+            value_sum_indv=np.array([]),
+            allele_id=np.array([]),
+            allele_name=[],
+            allele_prob=np.array([]),
+            fraction=np.array([]),
+            fraction_uniq=np.array([]),
+        )
+
+    def addCandidate(
+        self, candidate_allele: Optional[list[str]] = None
+    ) -> TypingResult:
+        """Extend every kept set by one allele, keep the best
+        max(top_n, |sets|/5) (reference 478-598)."""
+        if not self.log_probs.shape[0]:
+            logger.warning("[Allele] Empty reads for typing. Skip")
+            self.result.append(self._emptyResult())
+            return self.result[-1]
+
+        if candidate_allele is None:
+            allele_index = np.arange(self.log_probs.shape[1])
+        else:
+            allele_index = np.array(
+                [self.allele_to_id[a] for a in candidate_allele], dtype=int
+            )
+
+        if not self.result:
+            # CN=1: rank single alleles by total log-likelihood
+            scores = self._allele_col_sum[allele_index]
+            order = np.argsort(scores)[::-1][: self.top_n]
+            top_id = allele_index[order][:, None]
+            self.result.append(
+                TypingResult(
+                    n=1,
+                    value=scores[order],
+                    value_sum_indv=scores[order][:, None],
+                    allele_id=top_id,
+                    allele_name=self.mapAlleleIDs(top_id),
+                    allele_prob=self.log_probs[:, top_id.ravel()],
+                    fraction=np.ones(top_id.shape),
+                    fraction_uniq=np.ones(top_id.shape),
+                )
+            )
+            return self.result[-1]
+
+        prev = self.result[-1]
+        prev_prob = prev.allele_prob            # [R, T]
+        prev_id = prev.allele_id                # [T, n-1]
+        T = prev_id.shape[0]
+
+        # device reduction: score[t, a] = sum_r max(L[r, a], P[r, t])
+        scores = np.asarray(
+            pairMaxScores(
+                self._log_probs_dev[:, allele_index], jnp.asarray(prev_prob)
+            )
+        )                                       # [T, A_sel]
+
+        new_id = np.hstack(
+            [
+                np.repeat(prev_id, len(allele_index), axis=0),
+                np.tile(allele_index, T)[:, None],
+            ]
+        )                                       # [T*A_sel, n]
+        flat_scores = scores.reshape(-1)
+
+        keep = self.uniqueAllele(new_id)
+        new_id = new_id[keep]
+        flat_scores = flat_scores[keep]
+
+        top_k = max(self.top_n, len(flat_scores) // 5)
+        order = np.argsort(flat_scores)[::-1][:top_k]
+        top_id = new_id[order]                  # [K, n]
+        top_value = flat_scores[order]
+
+        top_prob = np.asarray(
+            bestPerRead(self._log_probs_dev, jnp.asarray(top_id))
+        )                                       # [R, K]
+        top_sum = self._allele_col_sum[top_id]  # [K, n]
+        top_frac = np.asarray(
+            fractionOfReads(
+                self._log_probs_dev, jnp.asarray(top_id), jnp.asarray(top_prob)
+            )
+        )
+
+        self.result.append(
+            TypingResult(
+                n=len(self.result) + 1,
+                value=top_value,
+                value_sum_indv=top_sum,
+                allele_id=top_id,
+                allele_name=self.mapAlleleIDs(top_id),
+                allele_prob=top_prob,
+                fraction=top_frac,
+                fraction_uniq=np.ones_like(top_frac),
+            ).sortByScoreAndEveness(preserve_topn=self.top_n)
+        )
+        return self.result[-1]

@@ -1,0 +1,153 @@
+"""
+Exon-first typing: stage 1 on exon variants with identical-exon alleles
+collapsed into groups; stage 2 re-types full variants restricted to each
+candidate group (reference typing_mulit_allele.py:622-797).
+"""
+from __future__ import annotations
+
+import copy
+from itertools import chain
+
+import numpy as np
+
+from ..index.variants import Variant
+from ..utils import logger
+from .allele_typing import AlleleTyping, TypingResult
+from .pairread import PairRead
+
+
+class AlleleTypingExonFirst(AlleleTyping):
+    def __init__(
+        self,
+        reads: list[PairRead],
+        variants: list[Variant],
+        top_n: int = 300,
+        exon_only: bool = False,
+        candidate_set_threshold: float = 1.0,
+        variant_correction: bool = True,
+        force_homo: bool | None = None,
+    ):
+        exon_variants = [v for v in variants if v.in_exon]
+
+        exon_reads = self.removeIntronVariant(reads, exon_variants)
+        if variant_correction:
+            exon_reads = self.errorCorrection(exon_reads)
+        exon_reads = self.removeEmptyReads(exon_reads)
+
+        # collapse alleles sharing the same exon-variant set into one group
+        variantset_to_allele = self.aggrVariantsByAllele(exon_variants)
+        other_allele = {a for v in variants for a in v.allele} - {
+            a for v in exon_variants for a in v.allele
+        }
+        if other_allele:
+            variantset_to_allele[tuple()] = sorted(other_allele)
+        self.allele_group = {
+            "|".join(alleles): alleles for alleles in variantset_to_allele.values()
+        }
+        exon_variants = self.removeDuplicateAllele(
+            exon_variants, self.createInverseMapping(self.allele_group)
+        )
+
+        super().__init__(
+            exon_reads, exon_variants, force_homo=force_homo, top_n=top_n
+        )
+        self.candidate_set_threshold = candidate_set_threshold
+
+        if not exon_only:
+            self.full_model: AlleleTyping | None = AlleleTyping(
+                reads,
+                variants,
+                force_homo=force_homo,
+                top_n=top_n // 5,
+                variant_correction=variant_correction,
+            )
+        else:
+            self.full_model = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def aggrVariantsByAllele(
+        variants: list[Variant],
+    ) -> dict[tuple[str, ...], list[str]]:
+        allele_variants: dict[str, list[str]] = {}
+        for v in variants:
+            for a in v.allele:
+                allele_variants.setdefault(a, []).append(str(v.id))
+        out: dict[tuple[str, ...], list[str]] = {}
+        for a, vs in allele_variants.items():
+            out.setdefault(tuple(sorted(set(vs))), []).append(a)
+        return out
+
+    @staticmethod
+    def removeIntronVariant(
+        reads: list[PairRead], exon_variants: list[Variant]
+    ) -> list[PairRead]:
+        keep = {v.id for v in exon_variants}
+        new_reads = copy.deepcopy(reads)
+        for r in new_reads:
+            r.lpv = [v for v in r.lpv if v in keep]
+            r.lnv = [v for v in r.lnv if v in keep]
+            r.rpv = [v for v in r.rpv if v in keep]
+            r.rnv = [v for v in r.rnv if v in keep]
+        return new_reads
+
+    @staticmethod
+    def createInverseMapping(allele_group: dict[str, list[str]]) -> dict[str, str]:
+        return {a: g for g, alleles in allele_group.items() for a in alleles}
+
+    @staticmethod
+    def removeDuplicateAllele(
+        variants: list[Variant], allele_map: dict[str, str]
+    ) -> list[Variant]:
+        variants = copy.deepcopy(variants)
+        for v in variants:
+            v.allele = list(set(filter(None, (allele_map.get(a, "") for a in v.allele))))
+        return variants
+
+    def typingIntron(self, exon_candidates: list[list[str]]) -> AlleleTyping:
+        assert self.full_model
+        model = copy.deepcopy(self.full_model)
+        for cand in exon_candidates:
+            model.addCandidate(cand)
+        return model
+
+    # ------------------------------------------------------------------
+    def typing(self, cn: int) -> TypingResult:
+        result = super().typing(cn)
+        result.setNameGroup(self.allele_group)
+        logger.debug("[Allele] Typing exon done")
+
+        if self.full_model is None:
+            return result
+        assert cn == result.n
+
+        if not result.value.shape[0]:
+            logger.warning(
+                "[Allele] Cannot type with exon-only reads; using full variants"
+            )
+            return self.full_model.typing(cn)
+
+        candidate_result = []
+        for i in result.topRank(threshold=self.candidate_set_threshold):
+            logger.debug(f"[Allele] Exon-first: intron typing of candidate {i}")
+            full = self.typingIntron(result.allele_name_group[i])
+            self.result.extend(full.result)
+            candidate_result.append(full.result[-1])
+
+        merged = TypingResult(
+            n=candidate_result[0].n,
+            value=np.concatenate([r.value for r in candidate_result]),
+            value_sum_indv=np.concatenate([r.value_sum_indv for r in candidate_result]),
+            allele_id=np.concatenate([r.allele_id for r in candidate_result]),
+            allele_name=list(
+                chain.from_iterable(r.allele_name for r in candidate_result)
+            ),
+            allele_prob=np.concatenate(
+                [r.allele_prob for r in candidate_result], axis=1
+            ),
+            fraction=np.concatenate([r.fraction for r in candidate_result]),
+            fraction_uniq=np.concatenate([r.fraction for r in candidate_result]),
+        ).sortByScoreAndEveness()
+        self.result.append(merged)
+        merged.print()
+        return merged

@@ -1,0 +1,187 @@
+"""
+Typing façade: dispatch full / exonfirst / em strategies over the per-gene
+reads with given CN (reference kir_typing.py).
+"""
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from ..utils import NumpyEncoder, logger
+from .allele_typing import AlleleTyping
+from .em import hisat2TypingPerGene, preprocessHisatReads, printHisatTyping
+from .exonfirst import AlleleTypingExonFirst
+from .homo import isHetrozygous
+from .pairread import (
+    ReadsAndVariantsData,
+    groupReads,
+    groupVariants,
+    loadReadsAndVariantsData,
+    removeMultipleMapped,
+)
+
+
+class Typing:
+    """Abstract typing driver (reference kir_typing.py:31-74)."""
+
+    def __init__(self) -> None:
+        self._result: dict[str, Any] = {}
+
+    def typingPerGene(self, gene: str, cn: int) -> tuple[list[str], int]:
+        raise NotImplementedError
+
+    def typing(
+        self, gene_cn: dict[str, int], min_reads_num: int = 100
+    ) -> tuple[list[str], list[str]]:
+        predict_alleles = []
+        warning_genes = []
+        for gene, cn in gene_cn.items():
+            if not cn:
+                continue
+            alleles, reads_num = self.typingPerGene(gene, cn)
+            predict_alleles.extend(alleles)
+            if reads_num < min_reads_num:
+                warning_genes.append(gene)
+        return predict_alleles, warning_genes
+
+    def save(self, filename: str) -> None:
+        with open(filename, "w") as f:
+            json.dump(self._result, f, cls=NumpyEncoder)
+
+    def getAllPossibleTyping(self) -> list[dict[Any, Any]]:
+        raise NotImplementedError
+
+
+class TypingWithPosNegAllele(Typing):
+    """The proposed pos/neg-variant maximum-likelihood method."""
+
+    def __init__(
+        self,
+        filename_variant_json: str = "",
+        reads_data: ReadsAndVariantsData | None = None,
+        top_n: int = 300,
+        multiple: bool = False,
+        exon_first: bool = False,
+        exon_only: bool = False,
+        exon_candidate_threshold: float = 0.9,
+        variant_correction: bool = False,
+    ):
+        super().__init__()
+        if reads_data is None:
+            reads_data = loadReadsAndVariantsData(filename_variant_json)
+        if not multiple:
+            reads_data = removeMultipleMapped(reads_data)
+        self._top_n = top_n
+        self._gene_reads = groupReads(reads_data["reads"])
+        self._gene_variants = groupVariants(reads_data["variants"])
+        self._exon_first = exon_first
+        self._exon_only = exon_only
+        self._exon_candidate_threshold = exon_candidate_threshold
+        self._variant_correction = variant_correction
+
+    def typingPerGene(self, gene: str, cn: int) -> tuple[list[str], int]:
+        logger.debug(f"[Allele] {gene=} {cn=}")
+        force_homo = False if isHetrozygous(gene) else None
+
+        if not self._exon_first and not self._exon_only:
+            typ: AlleleTyping = AlleleTyping(
+                self._gene_reads[gene],
+                self._gene_variants[gene],
+                force_homo=force_homo,
+                top_n=self._top_n,
+                variant_correction=self._variant_correction,
+            )
+        else:
+            typ = AlleleTypingExonFirst(
+                self._gene_reads[gene],
+                self._gene_variants[gene],
+                force_homo=force_homo,
+                top_n=self._top_n,
+                exon_only=self._exon_only,
+                candidate_set_threshold=self._exon_candidate_threshold,
+            )
+        res = typ.typing(cn)
+        self._result[gene] = typ.result
+        alleles = res.selectBest()
+        pure_gene = gene.split("*")[0]
+        alleles = [a if a != "fail" else f"{pure_gene}*" for a in alleles]
+        return alleles, typ.getReadsNum()
+
+    def getAllPossibleTyping(self) -> list[dict[Any, Any]]:
+        possible = []
+        for gene, result in self._result.items():
+            for rank, (value, alleles) in enumerate(
+                result[-1].selectAllPossible(0.9)
+            ):
+                row: dict[Any, Any] = {"gene": gene, "rank": rank, "value": value}
+                for i, allele in enumerate(alleles):
+                    row[str(i + 1)] = allele
+                possible.append(row)
+        return possible
+
+
+class TypingWithReport(Typing):
+    """EM abundance typing (reference kir_typing.py:153-204)."""
+
+    def __init__(
+        self,
+        filename_variant_json: str = "",
+        reads_data: ReadsAndVariantsData | None = None,
+    ):
+        super().__init__()
+        if reads_data is None:
+            reads_data = loadReadsAndVariantsData(filename_variant_json)
+        reads_data = removeMultipleMapped(reads_data)
+        self._gene_reads = preprocessHisatReads(reads_data)
+
+    def typingPerGene(self, gene: str, cn: int) -> tuple[list[str], int]:
+        report = hisat2TypingPerGene(self._gene_reads[gene])
+        report = sorted(report, key=lambda i: -i.prob)
+
+        est_prob = 1 / cn
+        called = []
+        for allele in report:
+            pred_count = max(1, round(allele.prob / est_prob))
+            for _ in range(min(cn, pred_count)):
+                called.append(allele.allele)
+            allele.cn = pred_count
+            cn -= pred_count
+            if cn <= 0:
+                break
+        self._result[gene] = report
+        return called, len(self._gene_reads[gene])
+
+    def save(self, filename: str) -> None:
+        super().save(filename)
+        name = filename[:-5] if filename.endswith(".json") else filename
+        with open(name + ".txt", "w") as f:
+            printHisatTyping(self._result, file=f)
+
+    def getAllPossibleTyping(self) -> list[dict[Any, Any]]:
+        return []
+
+
+def selectKirTypingModel(
+    method: str,
+    filename_variant_json: str = "",
+    **kwargs: Any,
+) -> Typing:
+    """full | exonfirst[_t] | em (reference kir_typing.py:207-228)."""
+    if method == "full":
+        return TypingWithPosNegAllele(filename_variant_json, **kwargs)
+    if method.startswith("exonfirst"):
+        fields = method.split("_")
+        threshold = 0.0
+        if len(fields) == 2:
+            threshold = float(method[len("exonfirst_"):])
+        return TypingWithPosNegAllele(
+            filename_variant_json,
+            exon_first=True,
+            exon_candidate_threshold=threshold,
+            **kwargs,
+        )
+    if method == "em":
+        kwargs.pop("top_n", None)
+        kwargs.pop("variant_correction", None)
+        return TypingWithReport(filename_variant_json, **kwargs)
+    raise NotImplementedError(method)

@@ -1,0 +1,91 @@
+"""
+Jitted array kernels for allele typing.
+
+The reads x alleles likelihood matrix and the beam-search score reduction
+are the compute-heavy parts of typing (reference hot loop 3,
+typing_mulit_allele.py:340-381, 478-598).  Both are expressed as dense XLA
+ops: the likelihood matrix is literally one matmul (MXU), and the pair-max
+reduction is a chunked VPU reduction.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_HIT = float(np.log10(0.999))
+LOG_MISS = float(np.log10(0.001))
+
+
+@jax.jit
+def logProbsFromCounts(
+    count_diff: jax.Array,  # [R, V] float32: (#pos occurrences - #neg occurrences)
+    n_pos: jax.Array,       # [R] float32
+    n_neg: jax.Array,       # [R] float32
+    membership: jax.Array,  # [V, A] float32
+) -> jax.Array:
+    """log10 P(read | allele) for every read/allele pair.
+
+    Derivation: each positive occurrence of variant v contributes
+    log(0.999) if the allele carries v else log(0.001); negatives the
+    reverse.  Summing over occurrences collapses to a single matmul:
+
+      L = (Cpos - Cneg) @ M * (log_hit - log_miss)
+          + n_pos * log_miss + n_neg * log_hit
+    """
+    core = jnp.dot(count_diff, membership, preferred_element_type=jnp.float32)
+    return (
+        core * (LOG_HIT - LOG_MISS)
+        + n_pos[:, None] * LOG_MISS
+        + n_neg[:, None] * LOG_HIT
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def pairMaxScores(
+    log_probs: jax.Array,   # [R, A]
+    prev_probs: jax.Array,  # [R, T] per-read best within each previous set
+    chunk: int = 32,
+) -> jax.Array:
+    """score[t, a] = sum_r max(log_probs[r, a], prev_probs[r, t]).
+
+    The beam-search extension step (reference
+    typing_mulit_allele.py:540-542) chunked over T so the [R, T, A]
+    intermediate never materialises in full.
+    """
+    R, A = log_probs.shape
+    T = prev_probs.shape[1]
+    pad_t = (-T) % chunk
+    prev = jnp.pad(prev_probs, ((0, 0), (0, pad_t)), constant_values=0.0)
+    n_chunks = prev.shape[1] // chunk
+
+    def body(carry, tchunk):  # tchunk: [R, chunk]
+        s = jnp.maximum(log_probs[:, None, :], tchunk[:, :, None]).sum(axis=0)
+        return carry, s  # s: [chunk, A]
+
+    _, scores = jax.lax.scan(
+        body, None, prev.reshape(R, n_chunks, chunk).transpose(1, 0, 2)
+    )
+    return scores.reshape(n_chunks * chunk, A)[:T]
+
+
+@jax.jit
+def bestPerRead(log_probs: jax.Array, ids: jax.Array) -> jax.Array:
+    """max over the alleles of each candidate set: [R, T, n] -> [R, T]."""
+    return jnp.max(log_probs[:, ids], axis=2)
+
+
+@jax.jit
+def fractionOfReads(
+    log_probs: jax.Array,  # [R, A]
+    ids: jax.Array,        # [T, n]
+    top_prob: jax.Array,   # [R, T]
+) -> jax.Array:
+    """Share of reads whose per-set max is attained by each member allele
+    (ties split evenly) — reference typing_mulit_allele.py:575-580."""
+    sel = log_probs[:, ids]                                   # [R, T, n]
+    belong = (sel == top_prob[:, :, None]).astype(jnp.float32)
+    belong = belong / belong.sum(axis=2, keepdims=True)
+    return belong.sum(axis=0) / log_probs.shape[0]            # [T, n]

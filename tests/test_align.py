@@ -1,0 +1,132 @@
+import numpy as np
+import pytest
+
+from kir_graph_tpu.align import (
+    AlignParams,
+    GraphAligner,
+    VariantAnnotator,
+    encodeReads,
+)
+from kir_graph_tpu.sim.reads import simulatePairedReads
+from kir_graph_tpu.sim.synth_db import alleleUngappedSeq
+
+
+@pytest.fixture(scope="module")
+def aligner(synth_index):
+    return GraphAligner(synth_index)
+
+
+def simulateSample(synth_genes, synth_index, allele_specs, depth=10, seed=0, error_rate=0.0):
+    """allele_specs: list of (gene_key, allele_idx). Returns encoded mates + truth."""
+    seqs = {}
+    copies = {}
+    for gene_key, ai in allele_specs:
+        msa = synth_genes[gene_key]
+        g = synth_index.genes[f"{gene_key}*BACKBONE"]
+        allele = g.alleles[ai]
+        seqs[allele] = alleleUngappedSeq(msa, allele)
+        copies[allele] = copies.get(allele, 0) + 1
+    sim = simulatePairedReads(
+        seqs, depth=depth, seed=seed, error_rate=error_rate, allele_copies=copies
+    )
+    c1, l1 = encodeReads(sim.r1)
+    c2, l2 = encodeReads(sim.r2)
+    return sim, c1, l1, c2, l2
+
+
+def test_perfect_reads_map_to_right_gene(synth_genes, synth_index, aligner):
+    gene_key = list(synth_genes)[0]
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, 0)], depth=4, seed=1
+    )
+    res = aligner.alignPairs(c1, l1, c2, l2)
+    gi = synth_index.gene_names.index(f"{gene_key}*BACKBONE")
+    assert (res.gene >= 0).mean() > 0.95
+    mapped = res.gene >= 0
+    assert (res.gene[mapped] == gi).mean() > 0.95
+    # error-free reads from a catalogued allele align at ~zero cost
+    assert np.median(res.cost[mapped]) < 0.5
+
+
+def test_annotation_recovers_allele_variants(synth_genes, synth_index, aligner):
+    gene_key = list(synth_genes)[1]
+    g = synth_index.genes[f"{gene_key}*BACKBONE"]
+    ai = 0
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, ai)], depth=8, seed=2
+    )
+    res = aligner.alignPairs(c1, l1, c2, l2)
+    ann = VariantAnnotator(synth_index)
+    reads_data, depth, pileup, passed = ann.annotate(res)
+    assert passed.sum() > 0.9 * len(c1)
+
+    # positives observed across reads == variants of the source allele
+    expected = {
+        str(v.id)
+        for i, v in enumerate(g.variants)
+        if g.membership[i, g.alleles.index(g.alleles[ai])]
+    }
+    observed = set()
+    for r in reads_data["reads"]:
+        observed.update(r.lpv)
+        observed.update(r.rpv)
+    # every expected variant with coverage should be seen; no novel junk
+    nv = {v for v in observed if v.startswith("nv")}
+    assert not nv
+    assert expected <= observed
+
+
+def test_depth_matches_simulated_coverage(synth_genes, synth_index, aligner):
+    gene_key = list(synth_genes)[0]
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, 2)], depth=10, seed=3
+    )
+    res = aligner.alignPairs(c1, l1, c2, l2)
+    ann = VariantAnnotator(synth_index)
+    _, depth, _, _ = ann.annotate(res)
+    gi = synth_index.gene_names.index(f"{gene_key}*BACKBONE")
+    L = synth_index.genes[f"{gene_key}*BACKBONE"].length
+    mid = depth[gi, L // 4 : 3 * L // 4]
+    assert 6 <= np.median(mid) <= 14  # ~10x target
+    # other genes see (almost) nothing unique-mapped
+    other = depth[[i for i in range(len(synth_index.gene_names)) if i != gi]]
+    assert other.sum() < depth[gi].sum() * 0.05
+
+
+def test_reads_with_errors_still_map(synth_genes, synth_index, aligner):
+    gene_key = list(synth_genes)[2]
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, 1)], depth=5, seed=4, error_rate=0.005
+    )
+    res = aligner.alignPairs(c1, l1, c2, l2)
+    ann = VariantAnnotator(synth_index)
+    reads_data, _, _, passed = ann.annotate(res)
+    assert passed.mean() > 0.85
+    # sequencing errors become either novel SNVs or nothing, never positives
+    # of the wrong catalogued allele family en masse
+    nv_count = sum(
+        1 for r in reads_data["reads"] for v in r.lpv + r.rpv if v.startswith("nv")
+    )
+    assert nv_count > 0  # errors produced some novel SNVs
+
+
+def test_end_to_end_typing_cn2(synth_genes, synth_index, aligner):
+    from kir_graph_tpu.typing import TypingWithPosNegAllele
+
+    gene_key = list(synth_genes)[0]
+    g = synth_index.genes[f"{gene_key}*BACKBONE"]
+    a1, a2 = 0, 5
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes,
+        synth_index,
+        [(gene_key, a1), (gene_key, a2)],
+        depth=15,
+        seed=5,
+        error_rate=0.002,
+    )
+    res = aligner.alignPairs(c1, l1, c2, l2)
+    ann = VariantAnnotator(synth_index)
+    reads_data, _, _, _ = ann.annotate(res)
+    t = TypingWithPosNegAllele(reads_data=reads_data, top_n=100, variant_correction=True)
+    alleles, _ = t.typing({g.name: 2})
+    assert sorted(alleles) == sorted([g.alleles[a1], g.alleles[a2]])

@@ -1,0 +1,117 @@
+"""End-to-end cohort test: simulated FASTQs -> CLI -> cohort CN + allele
+tables matching the simulated truth (the reference's golden-example
+strategy, SURVEY §4.1, replayed on the synthetic DB)."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kir_graph_tpu.index.build import saveIndex
+from kir_graph_tpu.msa.genemsa import saveAllMsa
+from kir_graph_tpu.pipeline.main import createParser, main
+from kir_graph_tpu.sim.reads import simulatePairedReads, writeFastq
+from kir_graph_tpu.sim.synth_db import alleleUngappedSeq
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory, synth_genes, synth_index):
+    """Two samples with known allele sets incl. CN variation."""
+    d = tmp_path_factory.mktemp("e2e")
+    saveIndex(synth_index, str(d / "index"))
+
+    gnames = synth_index.gene_names
+    # sample 0: gene0 hetero (a0,a5), gene1 homo CN2, gene2 CN1, gene3 CN0
+    # sample 1: gene0 CN1, gene1 hetero, gene2 CN2 hetero, gene3 CN2 homo
+    def alleles_of(spec):
+        out = {}
+        for gname, ai_list in spec.items():
+            g = synth_index.genes[gname]
+            for ai in ai_list:
+                out.setdefault(g.alleles[ai], 0)
+                out[g.alleles[ai]] += 1
+        return out
+
+    specs = [
+        {gnames[0]: [0, 5], gnames[1]: [3, 3], gnames[2]: [7]},
+        {gnames[0]: [5], gnames[1]: [1, 6], gnames[2]: [2, 9], gnames[3]: [4, 4]},
+    ]
+    rows = []
+    truth = []
+    for s, spec in enumerate(specs):
+        copies = alleles_of(spec)
+        seqs = {}
+        for gname, ai_list in spec.items():
+            g = synth_index.genes[gname]
+            msa = synth_genes[gname.split("*")[0]]
+            for ai in set(ai_list):
+                seqs[g.alleles[ai]] = alleleUngappedSeq(msa, g.alleles[ai])
+        sim = simulatePairedReads(
+            seqs,
+            depth=22,
+            seed=100 + s,
+            error_rate=0.002,
+            allele_copies=copies,
+            sample_name=f"s{s}",
+        )
+        r1 = str(d / f"sample.{s}.read.1.fq.gz")
+        r2 = str(d / f"sample.{s}.read.2.fq.gz")
+        writeFastq(r1, sim.names, sim.r1)
+        writeFastq(r2, sim.names, sim.r2)
+        rows.append({"name": str(d / f"sample.{s}"), "r1": r1, "r2": r2})
+        truth.append({"copies": copies, "spec": spec})
+    csv = str(d / "cohort.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return d, csv, truth
+
+
+def test_cli_end_to_end(cohort, synth_index):
+    d, csv, truth = cohort
+    args = createParser().parse_args(
+        [
+            "--input-csv", csv,
+            "--index-prefix", str(d / "index"),
+            "--output-cohort-name", str(d / "cohort"),
+            "--allele-top-n", "200",
+        ]
+    )
+    main(args)
+
+    # --- CN table
+    cn = pd.read_csv(str(d / "cohort.cn.tsv"), sep="\t", index_col=0)
+    assert cn.shape[1] == 2
+    for s, t in enumerate(truth):
+        col = cn.columns[s]
+        expected = {}
+        for gname in synth_index.gene_names:
+            g = synth_index.genes[gname]
+            n = sum(
+                cnt for a, cnt in t["copies"].items() if a in g.alleles
+            )
+            expected[gname] = n
+        got = dict(cn[col])
+        assert got == expected, f"sample {s}: {got} != {expected}"
+
+    # --- allele table
+    al = pd.read_csv(str(d / "cohort.allele.tsv"), sep="\t")
+    assert len(al) == 2
+    for s, t in enumerate(truth):
+        called = sorted(al.iloc[s]["alleles"].split("_"))
+        expected = sorted(
+            a for a, cnt in t["copies"].items() for _ in range(cnt)
+        )
+        assert called == expected, f"sample {s}: {called} != {expected}"
+
+
+def test_cli_resume_skips_mapping(cohort, capsys):
+    """Stage outputs exist -> pipeline resumes without re-aligning."""
+    d, csv, truth = cohort
+    args = createParser().parse_args(
+        [
+            "--input-csv", csv,
+            "--index-prefix", str(d / "index"),
+            "--output-cohort-name", str(d / "cohort"),
+        ]
+    )
+    main(args)  # must be fast / not crash; outputs still there
+    assert os.path.exists(str(d / "cohort.allele.tsv"))

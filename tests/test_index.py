@@ -53,6 +53,8 @@ def test_alt_and_del_masks(synth_index):
 
 
 def test_kmer_table_finds_allele_kmers(synth_genes, synth_index):
+    from kir_graph_tpu.index.build import hashKmerWindows
+
     idx = synth_index
     k = idx.kmer
     gname = idx.gene_names[0]
@@ -62,14 +64,12 @@ def test_kmer_table_finds_allele_kmers(synth_genes, synth_index):
     gapped = synth_genes[g.name.split("*")[0]].get(allele)
     ungapped = gapped.replace("-", "")
     # take a k-mer from the middle of the allele and look it up
-    s = ungapped[1000 : 1000 + k]
-    key = np.uint64(0)
-    for c in s:
-        key = (key << np.uint64(2)) | np.uint64("ACGT".index(c))
+    window = encodeSeq(ungapped[1000 : 1000 + k])[None, :]
+    key = hashKmerWindows(window)[0]
     i = np.searchsorted(idx.kmer_keys, key)
     assert idx.kmer_keys[i] == key
-    postings = idx.kmer_postings[idx.kmer_start[i] : idx.kmer_start[i + 1]]
-    assert any(int(p >> np.uint64(32)) == gi for p in postings)
+    genes = idx.kmer_gene[idx.kmer_start[i] : idx.kmer_start[i + 1]]
+    assert gi in genes
 
 
 def test_index_save_load_roundtrip(tmp_path, synth_index):

@@ -1,0 +1,150 @@
+import numpy as np
+import pytest
+
+from kir_graph_tpu.typing import (
+    AlleleTyping,
+    AlleleTypingExonFirst,
+    PairRead,
+    TypingWithPosNegAllele,
+    TypingWithReport,
+    hisatEMnp,
+    isHomozygous,
+    selectKirTypingModel,
+)
+
+
+def makeReads(gene_index, source_allele, n_reads=200, span=400, seed=0, multiple=1):
+    """Ground-truth PairReads: positives = source allele's variants in span,
+    negatives = other catalogued variants in span."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    g = gene_index
+    ai = g.alleles.index(source_allele)
+    L = g.length
+    reads = []
+    for _ in range(n_reads):
+        s = int(rng.integers(0, max(L - span, 1)))
+        e = s + span
+        in_span = (g.var_pos >= s) & (g.var_pos < e)
+        pos_ids = [
+            str(g.variants[i].id)
+            for i in np.nonzero(in_span & g.membership[:, ai])[0]
+        ]
+        neg_ids = [
+            str(g.variants[i].id)
+            for i in np.nonzero(in_span & ~g.membership[:, ai])[0]
+        ]
+        half = len(pos_ids) // 2
+        reads.append(
+            PairRead(
+                backbone=g.name,
+                multiple=multiple,
+                lpv=pos_ids[:half],
+                rpv=pos_ids[half:],
+                lnv=neg_ids[: len(neg_ids) // 2],
+                rnv=neg_ids[len(neg_ids) // 2 :],
+            )
+        )
+    return reads
+
+
+@pytest.fixture(scope="module")
+def gene(synth_index):
+    return synth_index.genes[synth_index.gene_names[0]]
+
+
+def test_cn1_typing(gene):
+    a1 = gene.alleles[0]
+    reads = makeReads(gene, a1, n_reads=150)
+    t = AlleleTyping(reads, gene.variants, top_n=50)
+    res = t.typing(1)
+    assert res.selectBest() == [a1]
+
+
+def test_cn2_heterozygous(gene):
+    a1, a2 = gene.alleles[0], gene.alleles[5]
+    reads = makeReads(gene, a1, n_reads=150, seed=1) + makeReads(
+        gene, a2, n_reads=150, seed=2
+    )
+    t = AlleleTyping(reads, gene.variants, top_n=100)
+    res = t.typing(2)
+    assert sorted(res.selectBest()) == sorted([a1, a2])
+
+
+def test_cn2_homozygous_detected(gene):
+    a1 = gene.alleles[3]
+    reads = makeReads(gene, a1, n_reads=300, seed=3)
+    assert isHomozygous(reads, {str(v.id): v for v in gene.variants}, 2)
+    t = AlleleTyping(reads, gene.variants, top_n=50)
+    res = t.typing(2)
+    assert res.selectBest() == [a1, a1]
+
+
+def test_heterozygous_not_flagged_homo(gene):
+    a1, a2 = gene.alleles[0], gene.alleles[5]
+    reads = makeReads(gene, a1, n_reads=200, seed=4) + makeReads(
+        gene, a2, n_reads=200, seed=5
+    )
+    assert not isHomozygous(reads, {str(v.id): v for v in gene.variants}, 2)
+
+
+def test_error_correction_drops_rare_variants(gene):
+    a1 = gene.alleles[0]
+    reads = makeReads(gene, a1, n_reads=100, seed=6)
+    # inject a junk variant seen once positively
+    junk = str(gene.variants[0].id)
+    reads[0].lpv = reads[0].lpv + [junk] if junk not in reads[0].lpv else reads[0].lpv
+    corrected = AlleleTyping.errorCorrection(
+        [PairRead(backbone=gene.name, lpv=[junk])]
+    )
+    assert corrected[0].lpv == []  # support 1 < 3 -> dropped
+
+
+def test_exonfirst_matches_full(gene):
+    a1, a2 = gene.alleles[1], gene.alleles[6]
+    reads = makeReads(gene, a1, n_reads=200, seed=7) + makeReads(
+        gene, a2, n_reads=200, seed=8
+    )
+    full = AlleleTyping(reads, gene.variants, top_n=100).typing(2).selectBest()
+    ef = AlleleTypingExonFirst(reads, gene.variants, top_n=100).typing(2).selectBest()
+    assert sorted(ef) == sorted(full) == sorted([a1, a2])
+
+
+def test_em_abundance():
+    reads = [["a1"], ["a1"], ["a1", "a2"], ["a2"]] * 30
+    prob = hisatEMnp(reads)
+    assert set(prob) == {"a1", "a2"}
+    assert abs(sum(prob.values()) - 1) < 1e-6
+    assert prob["a1"] > prob["a2"]
+
+
+def test_facade_full_and_em(gene, tmp_path):
+    from kir_graph_tpu.typing import writeReadsAndVariantsData
+
+    a1 = gene.alleles[2]
+    reads = makeReads(gene, a1, n_reads=200, seed=9)
+    data = {"variants": gene.variants, "reads": reads}
+    fn = str(tmp_path / "rv.json")
+    writeReadsAndVariantsData(data, fn)
+
+    t = selectKirTypingModel("full", fn, top_n=50)
+    alleles, warn = t.typing({gene.name: 2})
+    assert alleles == [a1, a1]
+
+    t2 = selectKirTypingModel("em", fn)
+    alleles2, _ = t2.typing({gene.name: 1})
+    assert alleles2 == [a1]
+
+    possible = t.getAllPossibleTyping()
+    assert possible and possible[0]["gene"] == gene.name
+
+
+def test_multiple_mapped_removed(gene):
+    a1 = gene.alleles[0]
+    reads = makeReads(gene, a1, n_reads=50, seed=10) + makeReads(
+        gene, a1, n_reads=50, seed=11, multiple=3
+    )
+    t = TypingWithPosNegAllele(
+        reads_data={"variants": gene.variants, "reads": reads}, top_n=50
+    )
+    # only NH==1 reads enter typing
+    assert len(t._gene_reads[gene.name]) == 50
