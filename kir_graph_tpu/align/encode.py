@@ -25,6 +25,21 @@ def encodeReads(seqs: list[str], max_len: int = MAX_READ_LEN) -> tuple[np.ndarra
     return codes, lengths
 
 
+def packCodes2bit(codes: np.ndarray) -> np.ndarray:
+    """[N, L] base codes -> [N, ceil(L/4)] uint8, 2 bits/base (N/pad -> A).
+
+    Used to push reads through slow host->device links; unpack with
+    parallel.cohort.unpackCodes2bit.
+    """
+    n, L = codes.shape
+    Lp = -(-L // 4) * 4
+    c = np.zeros((n, Lp), dtype=np.uint8)
+    c[:, :L] = np.where(codes >= 4, 0, codes).astype(np.uint8)
+    c = c.reshape(n, Lp // 4, 4)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    return (c << shifts).sum(axis=2).astype(np.uint8)
+
+
 def revCompCodes(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Reverse-complement of padded code rows (pad stays at the tail)."""
     n, m = codes.shape

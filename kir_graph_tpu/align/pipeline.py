@@ -21,7 +21,12 @@ import numpy as np
 
 from ..index.build import BASE_PAD, KirIndex
 from ..utils import logger
-from .dp import AlignParams, bandedScore, bandedTraceback
+from .dp import (
+    AlignParams,
+    bandedScoreGather,
+    bandedTracebackGather,
+    decodeDeltas,
+)
 from .encode import revCompCodes
 from .seeding import DIAG_BUCKET, SeedTable, findCandidates
 
@@ -82,25 +87,14 @@ class GraphAligner:
         self._alt = jnp.asarray(alt)
         self._delcost = jnp.asarray(delcost)
 
-    # ------------------------------------------------------------------
-    def _windows(self, gene: np.ndarray, w0: np.ndarray):
-        """Gather [J, W] window slices (w0 is absolute backbone col)."""
-        W = self.p.window
-        idx = (w0[:, None] + PAD_L) + np.arange(W)[None, :]
-        g = jnp.asarray(gene)
-        idx_j = jnp.asarray(idx)
-        return (
-            self._backbone[g[:, None], idx_j],
-            self._alt[g[:, None], idx_j],
-            self._delcost[g[:, None], idx_j],
-        )
-
     @staticmethod
     def _bucket(n: int, chunk: int) -> int:
-        """Pad size bucketing: few distinct shapes -> few XLA compiles."""
+        """Pad size bucketing: few distinct shapes -> few XLA compiles.
+        4x growth keeps the shape count tiny (compiles are expensive on a
+        tunneled TPU); at most 1/4 of a chunk is padding waste."""
         b = 256
         while b < n and b < chunk:
-            b *= 2
+            b *= 4
         return min(b, chunk)
 
     def _scoreJobs(self, gene, w0, codes, lens, chunk: int = 16384):
@@ -114,13 +108,14 @@ class GraphAligner:
             pad = self._bucket(n, chunk) - n
             wg = np.concatenate([gene[s:e], np.zeros(pad, dtype=gene.dtype)])
             ww = np.concatenate([w0[s:e], np.zeros(pad, dtype=w0.dtype)])
-            wb, wa, wd = self._windows(wg, ww)
             rc = np.concatenate(
                 [codes[s:e], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
             )
             rl = np.concatenate([lens[s:e], np.full(pad, 1, np.int32)])
-            c, o = bandedScore(
-                wb, wa, wd, jnp.asarray(rc), jnp.asarray(rl), self.p
+            c, o = bandedScoreGather(
+                self._backbone, self._alt, self._delcost,
+                jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
+                jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,
             )
             costs[s:e] = np.asarray(c)[:n]
             end_off[s:e] = np.asarray(o)[:n]
@@ -137,17 +132,17 @@ class GraphAligner:
             pad = self._bucket(n, chunk) - n
             wg = np.concatenate([gene[s:e], np.zeros(pad, dtype=gene.dtype)])
             ww = np.concatenate([w0[s:e], np.zeros(pad, dtype=w0.dtype)])
-            wb, wa, wd = self._windows(wg, ww)
             rc = np.concatenate(
                 [codes[s:e], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
             )
             rl = np.concatenate([lens[s:e], np.full(pad, 1, np.int32)])
-            c, col = bandedTraceback(
-                wb, wa, wd, jnp.asarray(rc), jnp.asarray(rl), self.p
+            c, start_col, delta = bandedTracebackGather(
+                self._backbone, self._alt, self._delcost,
+                jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
+                jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,
             )
             costs[s:e] = np.asarray(c)[:n]
-            # absolute columns (consumed only; keep -1/-2 markers)
-            col = np.asarray(col)[:n]
+            col = decodeDeltas(np.asarray(start_col)[:n], np.asarray(delta)[:n])
             abs_col = np.where(col >= 0, col + ww[:n, None], col)
             cols[s:e] = abs_col
         return costs, cols

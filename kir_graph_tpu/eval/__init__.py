@@ -1,0 +1,12 @@
+from .compare import (
+    MatchResult,
+    MatchType,
+    compareCohort,
+    compareGene,
+    compareSample,
+    readAnswerAllele,
+    readPredictResult,
+    saveCohortAllele,
+    calcSummaryByResolution,
+)
+from .compare_cn import allele2CN, compareCN, compareCNCohort, readCNFile

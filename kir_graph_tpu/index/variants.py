@@ -171,7 +171,7 @@ def msaToVariants(
     variants = sorted(uniq.values())
 
     # allele frequency per variant from MSA column counts
-    counts = np.array(msa.calculate_frequency())  # [col, ACGT-]
+    counts = np.array(msa.calculate_frequency()).reshape(-1, 5)  # [col, ACGT-]
     base_index = {c: i for i, c in enumerate("ACGT-")}
     totals = counts.sum(axis=1)
     for v in variants:

@@ -1,0 +1,306 @@
+"""
+Pure-device cohort step: the whole per-batch compute path as one jitted,
+shardable program (no host round-trips).
+
+This is the scale-out fast path: seeding -> candidate DP scoring ->
+concordant pairing -> approximate depth (interval scatter) -> pooled CN
+histogram -> SNP-evidence typing likelihoods, with
+
+* reads sharded over the ``data`` mesh axis,
+* the variant x allele membership matmul sharded over ``model``,
+* depth / histogram / likelihood reductions psum'd across ``data``.
+
+The exact host path (align/pipeline.py + align/annotate.py) remains the
+source of final calls — this device path powers throughput benchmarking,
+cohort CN, and the multi-chip dry-run.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..align.dp import AlignParams, bandedScore
+from ..align.seeding import DIAG_BUCKET, SeedTable, _findCandidates
+from ..index.build import BASE_PAD, KirIndex
+from ..typing.kernels import LOG_HIT, LOG_MISS
+
+PAD_L = 64
+
+
+@dataclass
+class DeviceIndexArrays:
+    """Replicated (per-chip) index arrays for the pure-device path."""
+
+    backbone: jax.Array     # [G, Lpad] int8
+    alt: jax.Array          # [G, Lpad] uint8
+    delcost: jax.Array      # [G, Lpad] f32
+    lengths: jax.Array      # [G] int32
+    table: SeedTable
+    # dense variant tables (padded to Vmax): SNP-only typing evidence
+    var_gene: jax.Array     # [Vmax] int32
+    var_pos: jax.Array      # [Vmax] int32
+    var_alt: jax.Array      # [Vmax] int32 (snp alt code; -1 for deletion/pad)
+    membership: jax.Array   # [Vmax, Amax] f32
+    n_genes: int
+    Lmax: int
+    params: AlignParams
+
+
+def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> DeviceIndexArrays:
+    p = params or AlignParams()
+    G, Lmax = index.backbone.shape
+    pad_total = Lmax + PAD_L + p.window + 8
+    backbone = np.full((G, pad_total), BASE_PAD, dtype=np.int8)
+    backbone[:, PAD_L : PAD_L + Lmax] = index.backbone
+    alt = np.zeros((G, pad_total), dtype=np.uint8)
+    alt[:, PAD_L : PAD_L + Lmax] = index.alt_mask
+    delcost = np.full((G, pad_total), p.del_cost, dtype=np.float32)
+    delcost[:, PAD_L : PAD_L + Lmax] = np.where(
+        index.del_ok, p.del_eps, p.del_cost
+    )
+
+    # flatten variants across genes, pad allele axis to the global max
+    Amax = max(len(g.alleles) for g in index.genes.values())
+    var_gene, var_pos, var_alt, membership = [], [], [], []
+    for gi, name in enumerate(index.gene_names):
+        g = index.genes[name]
+        for vi in range(len(g.variants)):
+            var_gene.append(gi)
+            var_pos.append(int(g.var_pos[vi]))
+            var_alt.append(-1 if g.var_is_del[vi] else int(g.var_val[vi]))
+            row = np.zeros(Amax, dtype=np.float32)
+            row[: g.membership.shape[1]] = g.membership[vi]
+            membership.append(row)
+    Vmax = -(-len(var_gene) // 128) * 128
+    pad = Vmax - len(var_gene)
+    var_gene += [0] * pad
+    var_pos += [0] * pad
+    var_alt += [-1] * pad
+    membership += [np.zeros(Amax, dtype=np.float32)] * pad
+
+    return DeviceIndexArrays(
+        backbone=jnp.asarray(backbone),
+        alt=jnp.asarray(alt),
+        delcost=jnp.asarray(delcost),
+        lengths=jnp.asarray(index.lengths),
+        table=SeedTable.fromIndex(index),
+        var_gene=jnp.asarray(np.array(var_gene, dtype=np.int32)),
+        var_pos=jnp.asarray(np.array(var_pos, dtype=np.int32)),
+        var_alt=jnp.asarray(np.array(var_alt, dtype=np.int32)),
+        membership=jnp.asarray(np.stack(membership)),
+        n_genes=G,
+        Lmax=Lmax,
+        params=p,
+    )
+
+
+def unpackCodes2bit(packed: jax.Array, L: int) -> jax.Array:
+    """[N, ceil(L/4)] uint8 -> [N, L] int8 (inverse of encode.packCodes2bit)."""
+    j = jnp.arange(L)
+    byte = packed[:, j // 4]
+    shift = (2 * (j % 4)).astype(jnp.uint8)
+    return ((byte >> shift) & 3).astype(jnp.int8)
+
+
+def revCompDevice(codes: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Device-side reverse complement of padded code rows."""
+    N, L = codes.shape
+    comp = jnp.asarray(np.array([3, 2, 1, 0, 4], dtype=np.int8))
+    flipped = comp[codes[:, ::-1]]
+    shift = (L - lengths)[:, None]
+    col = jnp.arange(L)[None, :]
+    gathered = jnp.take_along_axis(flipped, jnp.minimum(shift + col, L - 1), axis=1)
+    return jnp.where(col < lengths[:, None], gathered, 4).astype(jnp.int8)
+
+
+def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, min_votes):
+    return _findCandidates(
+        codes,
+        arr.table.keys,
+        arr.table.start,
+        arr.table.gene,
+        arr.table.pos,
+        arr.table.k,
+        stride,
+        max_postings,
+        top_c,
+        arr.table.n_genes,
+        arr.table.max_diag,
+        min_votes,
+    )
+
+
+def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, w0):
+    """DP-score a dense [R, C] candidate grid -> cost [R, C], end [R, C]."""
+    p = arr.params
+    R, C = gene.shape
+    gflat = jnp.clip(gene.reshape(-1), 0, arr.n_genes - 1)
+    wflat = w0.reshape(-1)
+    W = p.window
+    idx = (wflat[:, None] + PAD_L) + jnp.arange(W)[None, :]
+    wb = arr.backbone[gflat[:, None], idx]
+    wa = arr.alt[gflat[:, None], idx]
+    wd = arr.delcost[gflat[:, None], idx]
+    rcodes = jnp.repeat(codes, C, axis=0)
+    rlens = jnp.repeat(lens, C)
+    cost, end_off = bandedScore(wb, wa, wd, rcodes, rlens, p)
+    cost = cost.reshape(R, C) + jnp.where(gene < 0, 1e9, 0.0)
+    end_abs = wflat.reshape(R, C) + (rlens.reshape(R, C) - 1) + end_off.reshape(R, C)
+    return cost, end_abs
+
+
+def cohortStep(
+    arr: DeviceIndexArrays,
+    codes1: jax.Array,
+    len1: jax.Array,
+    codes2: jax.Array,
+    len2: jax.Array,
+    rc1: jax.Array,
+    rc2: jax.Array,
+    top_c: int = 2,
+    stride: int = 8,
+    max_postings: int = 32,
+    min_votes: int = 2,
+    cn_bins: int = 128,
+    axis_name: str | None = "data",
+):
+    """One sharded cohort step.  Returns (depth [G, Lmax], cn_hist [bins],
+    allele_loglik [A]) — all psum'd over `axis_name` when set.
+
+    rc1/rc2 are the precomputed reverse-complements (host-side revcomp keeps
+    the device program gather-free).
+    """
+    p = arr.params
+    md = arr.table.max_diag
+    R = codes1.shape[0]
+
+    # --- seed all four (mate, orientation) streams
+    streams = [
+        (codes1, len1), (rc1, len1), (codes2, len2), (rc2, len2)
+    ]
+    cands = []
+    for c, l in streams:
+        cand, _ = _candidatesFor(arr, c, top_c, stride, max_postings, min_votes)
+        cands.append(cand)
+
+    # --- dense scoring per stream
+    costs, ends, genes, diags = [], [], [], []
+    for (c, l), cand in zip(streams, cands):
+        gene = jnp.where(cand >= 0, cand // md, -1)
+        diag = cand % md
+        w0 = diag * DIAG_BUCKET - DIAG_BUCKET
+        cost, end = _scoreDense(arr, c, l, gene, w0)
+        costs.append(cost)
+        ends.append(end)
+        genes.append(gene)
+        diags.append(diag)
+
+    # --- FR pairing: (m1 orient o) with (m2 orient 1-o)
+    m1c = jnp.stack(costs[0:2], axis=1)   # [R, 2, C]
+    m2c = jnp.stack(costs[2:4], axis=1)[:, ::-1]
+    m1g = jnp.stack(genes[0:2], axis=1)
+    m2g = jnp.stack(genes[2:4], axis=1)[:, ::-1]
+    m1d = jnp.stack(diags[0:2], axis=1)
+    m2d = jnp.stack(diags[2:4], axis=1)[:, ::-1]
+    m1e = jnp.stack(ends[0:2], axis=1)
+    m2e = jnp.stack(ends[2:4], axis=1)[:, ::-1]
+
+    pc = m1c[:, :, :, None] + m2c[:, :, None, :]
+    ok = (m1g[:, :, :, None] == m2g[:, :, None, :]) & (m1g[:, :, :, None] >= 0)
+    ok &= jnp.abs(m1d[:, :, :, None] - m2d[:, :, None, :]) <= 70
+    pair_cost = jnp.where(ok, pc, 1e9).reshape(R, -1)
+    best = pair_cost.min(axis=1)
+    combo = pair_cost.argmin(axis=1)
+    mapped = best < 8.0  # NM-style threshold on combined novel edits
+
+    C = top_c
+    bo = combo // (C * C)             # winning mate-1 orientation [R]
+    bc1 = (combo // C) % C
+    bc2 = combo % C
+    ridx = jnp.arange(R)
+    gene_best = jnp.where(mapped, m1g[ridx, bo, bc1], 0)
+    end1 = m1e[ridx, bo, bc1]
+    end2 = m2e[ridx, bo, bc2]
+
+    # --- approximate depth: +1 over [end-len+1, end] per mate
+    depth = jnp.zeros((arr.n_genes, arr.Lmax + 2), dtype=jnp.float32)
+    for end, lens in ((end1, len1), (end2, len2)):
+        start = jnp.clip(end - lens + 1, 0, arr.Lmax - 1)
+        stop = jnp.clip(end, 0, arr.Lmax - 1)
+        w = jnp.where(mapped, 1.0, 0.0)
+        depth = depth.at[gene_best, start].add(w)
+        depth = depth.at[gene_best, stop + 1].add(-w)
+    depth = jnp.cumsum(depth, axis=1)[:, : arr.Lmax]
+    if axis_name:
+        depth = jax.lax.psum(depth, axis_name)
+
+    # --- pooled CN histogram over per-gene mean depth (cohort CNgroup input)
+    gene_len = jnp.maximum(arr.lengths.astype(jnp.float32), 1.0)
+    gene_depth = depth.sum(axis=1) / gene_len
+    hist = jnp.zeros((cn_bins,), dtype=jnp.float32)
+    bin_idx = jnp.clip(
+        (gene_depth / 2.0).astype(jnp.int32), 0, cn_bins - 1
+    )
+    hist = hist.at[bin_idx].add(1.0)
+
+    # --- SNP-evidence typing likelihood (allele axis shards over 'model')
+    # read base at each variant position (approximate: winner diagonal)
+    start1 = end1 - len1 + 1
+    vpos = arr.var_pos[None, :]                       # [1, V]
+    off = vpos - start1[:, None]                      # [R, V]
+    in_read = (off >= 0) & (off < codes1.shape[1]) & (
+        arr.var_gene[None, :] == gene_best[:, None]
+    ) & mapped[:, None] & (arr.var_alt[None, :] >= 0)
+    base_at = jnp.take_along_axis(
+        codes1, jnp.clip(off, 0, codes1.shape[1] - 1), axis=1
+    )
+    pos_hit = in_read & (base_at == arr.var_alt[None, :])
+    neg_hit = in_read & (base_at != arr.var_alt[None, :])
+    count_diff = pos_hit.astype(jnp.float32) - neg_hit.astype(jnp.float32)
+    core = jnp.dot(count_diff, arr.membership, preferred_element_type=jnp.float32)
+    loglik = core * (LOG_HIT - LOG_MISS) + (
+        pos_hit.sum() * LOG_MISS + neg_hit.sum() * LOG_HIT
+    ) / max(arr.membership.shape[1], 1)
+    allele_loglik = loglik.sum(axis=0)                # [A]
+    if axis_name:
+        allele_loglik = jax.lax.psum(allele_loglik, axis_name)
+        hist = jax.lax.psum(hist, axis_name)
+
+    return depth, hist, allele_loglik
+
+
+def makeShardedCohortStep(mesh: Mesh, arr: DeviceIndexArrays, top_c: int = 2):
+    """jit the cohort step over the mesh with real shardings:
+    reads -> P('data'), membership -> P(None, 'model'), outputs replicated."""
+    from jax.experimental.shard_map import shard_map
+
+    def step(codes1, len1, codes2, len2, rc1, rc2, membership):
+        local_arr = DeviceIndexArrays(
+            **{
+                **{k: getattr(arr, k) for k in arr.__dataclass_fields__},
+                "membership": membership,
+            }
+        )
+        depth, hist, loglik = cohortStep(
+            local_arr, codes1, len1, codes2, len2, rc1, rc2, top_c=top_c
+        )
+        # allele axis sharded over 'model': gather for a replicated result
+        loglik = jax.lax.all_gather(loglik, "model", tiled=True)
+        return depth, hist, loglik
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"), P("data"), P("data"), P("data"), P("data"),
+            P(None, "model"),
+        ),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

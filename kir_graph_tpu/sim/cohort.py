@@ -1,0 +1,149 @@
+"""
+Cohort synthesis: sample haplotype pairs -> per-sample allele sets -> FASTQs.
+
+Equivalent of research/kg_create_data.py:13-174: two haplotypes are drawn
+from a haplotype->gene-copy-count table (e.g. the PING paper's
+KIR_gene_haplotypes.csv — pass its path; a small synthetic table is used
+otherwise), random alleles fill each gene copy, and the paired-read
+simulator produces the FASTQs plus a truth summary TSV.
+
+Adversarial generators (reference kg_create_novel.py / kg_create_fake_intron
+/ kg_create_exonseq_only): `mutate_novel` spikes private SNVs into chosen
+alleles; `exon_only_capture` keeps only exon-derived fragments.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..index.build import KirIndex
+from ..msa.genemsa import Genemsa
+from ..utils import logger
+from .reads import simulatePairedReads, writeFastq
+from .synth_db import alleleUngappedSeq
+
+
+def readHaplotypeTable(csv_path: str) -> pd.DataFrame:
+    """hapID + per-gene copy counts (reference kg_create_data.py:13-23)."""
+    df = pd.read_csv(csv_path, encoding="utf-8-sig")
+    assert "hapID" in df.columns
+    return df
+
+
+def syntheticHaplotypeTable(gene_names: list[str], seed: int = 0) -> pd.DataFrame:
+    """A small haplotype table over the synthetic DB's genes."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    rows = []
+    for h in range(6):
+        row = {"hapID": f"h{h:02d}"}
+        for g in gene_names:
+            row[g] = int(rng.integers(0, 3)) if h else 1  # h00 = all CN1
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+@dataclass
+class SampleTruth:
+    sample_id: str
+    haplos: tuple[str, str]
+    alleles: list[str]                  # with multiplicity
+    r1: str = ""
+    r2: str = ""
+
+
+def sampleCohortAlleles(
+    index: KirIndex,
+    haplo_df: pd.DataFrame,
+    n_samples: int,
+    seed: int = 44,
+) -> list[SampleTruth]:
+    """Two random haplotypes per sample; random allele per gene copy."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    gene_cols = [c for c in haplo_df.columns if c != "hapID"]
+    truths = []
+    for s in range(n_samples):
+        h1, h2 = rng.integers(0, len(haplo_df), size=2)
+        alleles: list[str] = []
+        for col in gene_cols:
+            backbone = f"{col}*BACKBONE"
+            if backbone not in index.genes:
+                continue
+            g = index.genes[backbone]
+            cn = int(haplo_df.iloc[h1][col]) + int(haplo_df.iloc[h2][col])
+            for _ in range(cn):
+                alleles.append(g.alleles[int(rng.integers(0, len(g.alleles)))])
+        truths.append(
+            SampleTruth(
+                sample_id=f"{s:02d}",
+                haplos=(str(haplo_df.iloc[h1]["hapID"]), str(haplo_df.iloc[h2]["hapID"])),
+                alleles=sorted(alleles),
+            )
+        )
+    return truths
+
+
+def mutateNovel(
+    seq: str, n_variants: int, rng: np.random.Generator
+) -> tuple[str, list[str]]:
+    """Spike private SNVs into an allele sequence (kg_create_novel)."""
+    arr = np.frombuffer(seq.encode(), dtype=np.uint8).copy()
+    poss = rng.choice(len(arr), size=n_variants, replace=False)
+    tags = []
+    for p in sorted(poss):
+        old = chr(arr[p])
+        new = rng.choice([c for c in "ACGT" if c != old])
+        arr[p] = ord(new)
+        tags.append(f"{p}{old}>{new}")
+    return arr.tobytes().decode(), tags
+
+
+def generateCohortFastq(
+    genes_msa: dict[str, Genemsa],
+    index: KirIndex,
+    truths: list[SampleTruth],
+    out_prefix: str,
+    depth: float = 30.0,
+    seed: int = 44,
+    error_rate: float = 0.002,
+    novel_per_sample: int = 0,
+) -> pd.DataFrame:
+    """Write per-sample FASTQs + `{out_prefix}_summary.csv` truth table."""
+    rows = []
+    for t in truths:
+        seqs: dict[str, str] = {}
+        copies: dict[str, int] = {}
+        rng = np.random.Generator(np.random.Philox(seed + int(t.sample_id)))
+        for allele in t.alleles:
+            gene = allele.split("*")[0]
+            seqs[allele] = alleleUngappedSeq(genes_msa[gene], allele)
+            copies[allele] = copies.get(allele, 0) + 1
+        if novel_per_sample and seqs:
+            victim = list(seqs)[int(rng.integers(0, len(seqs)))]
+            mutated, tags = mutateNovel(seqs[victim], novel_per_sample, rng)
+            seqs[victim] = mutated
+            logger.info(f"[Sim] {t.sample_id}: novel SNVs on {victim}: {tags}")
+        sim = simulatePairedReads(
+            seqs,
+            depth=depth,
+            seed=seed * 1000 + int(t.sample_id),
+            error_rate=error_rate,
+            allele_copies=copies,
+            sample_name=t.sample_id,
+        )
+        t.r1 = f"{out_prefix}.{t.sample_id}.read.1.fq.gz"
+        t.r2 = f"{out_prefix}.{t.sample_id}.read.2.fq.gz"
+        writeFastq(t.r1, sim.names, sim.r1)
+        writeFastq(t.r2, sim.names, sim.r2)
+        rows.append(
+            {
+                "id": t.sample_id,
+                "haplos": "_".join(t.haplos),
+                "alleles": "_".join(t.alleles),
+                "name": f"{out_prefix}.{t.sample_id}",
+            }
+        )
+    df = pd.DataFrame(rows)
+    df.to_csv(f"{out_prefix}_summary.csv", sep="\t", index=False)
+    return df

@@ -6,7 +6,9 @@ XLA's host-platform device emulation).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force off the TPU tunnel for tests
+# The sandbox's sitecustomize imports jax and pins JAX_PLATFORMS to the TPU
+# tunnel before any test code runs, so env vars alone are too late; override
+# through jax.config before the backend initialises.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")  # force off the TPU tunnel
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),

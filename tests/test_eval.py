@@ -1,0 +1,71 @@
+import pandas as pd
+
+from kir_graph_tpu.eval import (
+    MatchType,
+    allele2CN,
+    calcSummaryByResolution,
+    compareCN,
+    compareCNCohort,
+    compareCohort,
+    compareSample,
+)
+
+
+def test_compare_sample_lattice():
+    answer = ["KIR2DL1*0010101", "KIR2DL1*0020101", "KIR3DL3*0030101"]
+    predict = ["KIR2DL1*0010101", "KIR2DL1*0020203", "KIR3DL3*0040101"]
+    res = compareSample(answer, predict)
+    types = sorted(r.match_type.name for r in res)
+    assert types == ["MATCH3", "MATCH7", "MATCHGENE"]
+
+
+def test_compare_sample_fn_fp():
+    res = compareSample(["KIR2DL1*0010101"], [])
+    assert [r.match_type for r in res] == [MatchType.FN]
+    res = compareSample([], ["KIR2DL1*0010101"])
+    assert [r.match_type for r in res] == [MatchType.FP]
+
+
+def test_exon_suffix_stripped():
+    res = compareSample(["KIR2DS2*00104"], ["KIR2DS2*00104e"])
+    assert res[0].match_type == MatchType.MATCH7
+
+
+def test_match5_via_truncated():
+    res = compareSample(["KIR2DL1*0010101"], ["KIR2DL1*00101"])
+    assert res[0].match_type == MatchType.MATCH5
+
+
+def test_summary_by_resolution():
+    answer = {"00": ["KIR2DL1*0010101", "KIR2DL1*0020101"]}
+    predict = {"00": ["KIR2DL1*0010101", "KIR2DL1*0020102"]}
+    res = compareCohort(answer, predict)
+    summary = calcSummaryByResolution(r for rs in res.values() for r in rs)
+    assert summary["total"] == 2
+    assert summary["match7"] == 1
+    assert summary["match5"] == 2
+
+
+def test_cn_compare_with_merged_genes():
+    ans = {"KIR2DL1": 2, "KIR2DS1": 1, "KIR3DL3": 2}
+    pred = {"KIR2DL1S1": 3, "KIR3DL3": 2}
+    comps = compareCN(ans, pred)
+    assert all(c["diff"] == 0 for c in comps)
+
+    pred_bad = {"KIR2DL1S1": 2, "KIR3DL3": 2}
+    comps = compareCN(ans, pred_bad)
+    assert any(c["diff_abs"] == 1 for c in comps)
+
+
+def test_cn_cohort_accuracy():
+    ans = {"00": {"KIR3DL3": 2}, "01": {"KIR3DL3": 2}}
+    pred = {"00": {"KIR3DL3": 2}, "01": {"KIR3DL3": 1}}
+    df = compareCNCohort(ans, pred)
+    assert df["diff_abs"].sum() == 1
+
+
+def test_allele2cn():
+    assert allele2CN(["KIR2DL1*001", "KIR2DL1*002", "KIR3DL3*001"]) == {
+        "KIR2DL1": 2,
+        "KIR3DL3": 1,
+    }
