@@ -115,24 +115,43 @@ def main() -> None:
         )
         return (depth > 0).sum(), depth.sum(), hist, loglik[:8]
 
+    # fixed-size chunks: ONE compiled shape, reused for every chunk
+    CHUNK = 2048 if small else 8192
+    N = len(c1)
+    n_pad = (-N) % CHUNK
+    if n_pad:
+        c1 = np.concatenate([c1, np.full((n_pad, RL), 4, np.int8)])
+        c2 = np.concatenate([c2, np.full((n_pad, RL), 4, np.int8)])
+        l1 = np.concatenate([l1, np.full(n_pad, 1, np.int32)])
+        l2 = np.concatenate([l2, np.full(n_pad, 1, np.int32)])
     p1 = packCodes2bit(c1)
     p2 = packCodes2bit(c2)
     l1j, l2j = l1.astype(np.int32), l2.astype(np.int32)
+    n_chunks = len(c1) // CHUNK
+
+    def runAll():
+        covered = 0.0
+        for i in range(n_chunks):
+            s = i * CHUNK
+            out = step(
+                jnp.asarray(p1[s : s + CHUNK]),
+                jnp.asarray(l1j[s : s + CHUNK]),
+                jnp.asarray(p2[s : s + CHUNK]),
+                jnp.asarray(l2j[s : s + CHUNK]),
+            )
+            covered += float(out[0])  # transfers scalars only
+        return covered
 
     t0 = time.time()
-    out = step(jnp.asarray(p1), jnp.asarray(l1j), jnp.asarray(p2), jnp.asarray(l2j))
-    out[0].block_until_ready()
+    runAll()
     log(f"[bench] warmup (compile) {time.time() - t0:.1f}s")
 
     iters = 3
     t0 = time.time()
     for _ in range(iters):
-        out = step(
-            jnp.asarray(p1), jnp.asarray(l1j), jnp.asarray(p2), jnp.asarray(l2j)
-        )
-        covered = float(out[0])  # forces transfer of scalars only
+        covered = runAll()
     dt = (time.time() - t0) / iters
-    n_reads = 2 * len(c1)
+    n_reads = 2 * N
     reads_per_s = n_reads / dt
     log(
         f"[bench] device path: {n_reads} reads in {dt:.2f}s/iter "

@@ -107,10 +107,12 @@ def _findCandidates(
     SENTINEL = n_genes * max_diag + 1
     vote = jnp.where(p_ok, vote, SENTINEL).reshape(R, S * max_postings)
 
+    # run-length count per distinct key without searchsorted: sort, mark
+    # run starts, and take (next run-start index - own index) via a
+    # right-to-left min scan — two cheap scans instead of vmapped binary
+    # searches (which compile pathologically on some TPU backends)
+    M = vote.shape[1]
     vote_sorted = jnp.sort(vote, axis=1)
-    lo = jax.vmap(jnp.searchsorted)(vote_sorted, vote_sorted)
-    hi = jax.vmap(partial(jnp.searchsorted, side="right"))(vote_sorted, vote_sorted)
-    counts = hi - lo
     is_run_start = jnp.concatenate(
         [
             jnp.ones((R, 1), dtype=bool),
@@ -118,8 +120,18 @@ def _findCandidates(
         ],
         axis=1,
     )
+    idx = jnp.broadcast_to(jnp.arange(M), (R, M))
+    start_or_inf = jnp.where(is_run_start, idx, M)
+    # next run start at-or-after each position, exclusive of self:
+    shifted = jnp.concatenate(
+        [start_or_inf[:, 1:], jnp.full((R, 1), M)], axis=1
+    )
+    next_start = jax.lax.associative_scan(
+        jnp.minimum, shifted[:, ::-1], axis=1
+    )[:, ::-1]
+    counts = jnp.where(is_run_start, next_start - idx, 0)
     counts = jnp.where(
-        is_run_start & (vote_sorted != SENTINEL) & (counts >= min_votes), counts, 0
+        (vote_sorted != SENTINEL) & (counts >= min_votes), counts, 0
     )
     top_votes, top_idx = jax.lax.top_k(counts, top_c)
     cand = jnp.take_along_axis(vote_sorted, top_idx, axis=1)

@@ -1,0 +1,107 @@
+"""
+ctypes binding for the native FASTQ loader (native/fastq_reader.cpp) with a
+pure-Python fallback.  `loadFastqEncoded(path)` returns the aligner's
+(codes [N, max_len] int8, lengths [N] int32) layout directly.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from .align.encode import MAX_READ_LEN, encodeReads
+from .utils import logger
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "native", "libkgt.so"),
+    os.path.join(os.path.dirname(__file__), "libkgt.so"),
+]
+
+_lib = None
+
+
+def _loadLib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(os.path.abspath(p))
+                lib.kgt_open.restype = ctypes.c_long
+                lib.kgt_open.argtypes = [ctypes.c_char_p]
+                lib.kgt_num_reads.restype = ctypes.c_long
+                lib.kgt_num_reads.argtypes = [ctypes.c_long]
+                lib.kgt_fill.restype = ctypes.c_long
+                lib.kgt_fill.argtypes = [
+                    ctypes.c_long,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_long,
+                ]
+                lib.kgt_pack2bit.restype = None
+                lib.kgt_pack2bit.argtypes = [
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.c_long,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                ]
+                _lib = lib
+                return lib
+            except OSError as e:  # pragma: no cover
+                logger.warning(f"[IO] failed to load {p}: {e}")
+    _lib = False
+    return _lib
+
+
+def nativeAvailable() -> bool:
+    return bool(_loadLib())
+
+
+def loadFastqEncoded(
+    path: str, max_len: int = MAX_READ_LEN
+) -> tuple[np.ndarray, np.ndarray]:
+    """FASTQ(.gz) -> (codes [N, max_len] int8, lens [N] int32)."""
+    lib = _loadLib()
+    if not lib:
+        from .sim.reads import readFastq
+
+        _, seqs = readFastq(path)
+        return encodeReads(seqs, max_len=max_len)
+
+    handle = lib.kgt_open(path.encode())
+    if handle < 0:
+        raise FileNotFoundError(path)
+    n = lib.kgt_num_reads(handle)
+    codes = np.full((n, max_len), 4, dtype=np.int8)
+    lens = np.zeros(n, dtype=np.int32)
+    got = lib.kgt_fill(
+        handle,
+        max_len,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+    )
+    assert got == n, f"short read: {got} != {n}"
+    return codes, lens
+
+
+def packReadsNative(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack via the native library (fallback: encode.packCodes2bit)."""
+    lib = _loadLib()
+    if not lib:
+        from .align.encode import packCodes2bit
+
+        return packCodes2bit(codes)
+    n, L = codes.shape
+    words = (L + 3) // 4
+    out = np.zeros((n, words), dtype=np.uint8)
+    lib.kgt_pack2bit(
+        np.ascontiguousarray(codes).ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        n,
+        L,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out

@@ -188,6 +188,11 @@ def main(args: argparse.Namespace) -> None:
             if os.path.exists(model_json):
                 figs.extend(plotCN(model_json))
         savePlot(cohort_name + ".plot.html", figs)
+
+    from ..trace import TIMER
+
+    logger.info(f"[Trace] stage timings:\n{TIMER.report()}")
+    TIMER.save(cohort_name + ".timing.json")
     logger.info("[Main] Success")
 
 

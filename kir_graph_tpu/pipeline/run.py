@@ -19,6 +19,7 @@ from ..align.pipeline import GraphAligner
 from ..cn.predict import filterDepth, loadCN, predictSamplesCN
 from ..index.build import KirIndex
 from ..sim.reads import readFastq
+from ..trace import TIMER
 from ..typing.facade import selectKirTypingModel
 from ..typing.pairread import writeReadsAndVariantsData
 from ..utils import logger
@@ -47,17 +48,21 @@ class SamplePipeline:
             return out_prefix
 
         logger.info(f"[Graph] Aligning {fq1} / {fq2}")
-        n1, s1 = readFastq(fq1)
-        n2, s2 = readFastq(fq2)
-        assert len(n1) == len(n2), "mate FASTQs must pair up"
-        c1, l1 = encodeReads(s1)
-        c2, l2 = encodeReads(s2)
-        result = self.aligner.alignPairs(c1, l1, c2, l2)
-        reads_data, depth, pileup, passed = self.annotator.annotate(result)
+        with TIMER.stage("io.load_fastq"):
+            from ..native_io import loadFastqEncoded
 
-        writeReadsAndVariantsData(reads_data, out_prefix + ".json")
-        self.writeDepthTsv(depth, depth_tsv)
-        np.save(out_prefix + ".pileup.npy", pileup)
+            c1, l1 = loadFastqEncoded(fq1)
+            c2, l2 = loadFastqEncoded(fq2)
+            assert len(c1) == len(c2), "mate FASTQs must pair up"
+        with TIMER.stage("align.pairs"):
+            result = self.aligner.alignPairs(c1, l1, c2, l2)
+        with TIMER.stage("align.annotate"):
+            reads_data, depth, pileup, passed = self.annotator.annotate(result)
+
+        with TIMER.stage("io.write_outputs"):
+            writeReadsAndVariantsData(reads_data, out_prefix + ".json")
+            self.writeDepthTsv(depth, depth_tsv)
+            np.save(out_prefix + ".pileup.npy", pileup)
         return out_prefix
 
     def writeDepthTsv(self, depth: np.ndarray, filename: str) -> None:

@@ -39,7 +39,10 @@ def syntheticHaplotypeTable(gene_names: list[str], seed: int = 0) -> pd.DataFram
     for h in range(6):
         row = {"hapID": f"h{h:02d}"}
         for g in gene_names:
-            row[g] = int(rng.integers(0, 3)) if h else 1  # h00 = all CN1
+            if "3DL3" in g or "3DL2" in g:
+                row[g] = 1  # framework genes: one copy per haplotype
+            else:
+                row[g] = int(rng.integers(0, 3)) if h else 1
         rows.append(row)
     return pd.DataFrame(rows)
 

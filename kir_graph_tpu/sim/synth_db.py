@@ -31,7 +31,7 @@ class SynthConfig:
     max_del_len: int = 12
     n_families: int = 4              # 3-digit allele families per gene
     seed: int = 0
-    gene_prefix: str = "KIRS"
+    gene_prefix: str = "KIRS"        # used only past the named-gene list
 
 
 def _randomSeq(rng: np.random.Generator, n: int) -> np.ndarray:
@@ -71,9 +71,19 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
     ancestor = _randomSeq(rng, cfg.gene_length)
     blocks = _blocks(cfg)
 
+    # KIR3DL3 first: the framework gene anchors the CN model's diploid
+    # assumption exactly like the real pipeline (kir_cn.py:87-108)
+    named = [
+        "KIR3DL3", "KIR2DL1", "KIR2DL4", "KIR3DL2", "KIR2DS4", "KIR2DL3",
+        "KIR3DL1", "KIR2DS1", "KIR2DL2", "KIR2DS2", "KIR2DP1", "KIR3DP1",
+        "KIR2DS3", "KIR2DS5", "KIR3DS1",
+    ]
     genes: dict[str, Genemsa] = {}
     for g in range(cfg.n_genes):
-        gene_name = f"{cfg.gene_prefix}{g + 1}DL{g + 1}"
+        if g < len(named):
+            gene_name = named[g]
+        else:
+            gene_name = f"{cfg.gene_prefix}{g + 1}DL{g + 1}"
         base = _mutate(rng, ancestor, cfg.gene_divergence)
 
         # catalogued variant sites for this gene
@@ -90,13 +100,20 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
         fam_del = rng.random((cfg.n_families, cfg.n_del_sites)) < 0.3
 
         msa = Genemsa(gene_name=gene_name, blocks=[Block(b.name, b.type, b.length) for b in blocks])
+        seen_signatures: set[bytes] = set()
         for a in range(cfg.n_alleles_per_gene):
             fam = a % cfg.n_families
             sub = a // cfg.n_families
-            snp_mask = fam_patterns[fam].copy()
-            # per-allele private SNPs
-            priv = rng.choice(cfg.n_snp_sites, size=2, replace=False)
-            snp_mask[priv] = ~snp_mask[priv]
+            # per-allele private SNPs; re-draw until the variant signature
+            # is unique (IPD alleles are distinct sequences by definition)
+            while True:
+                snp_mask = fam_patterns[fam].copy()
+                priv = rng.choice(cfg.n_snp_sites, size=2, replace=False)
+                snp_mask[priv] = ~snp_mask[priv]
+                sig = snp_mask.tobytes() + fam_del[fam].tobytes()
+                if sig not in seen_signatures:
+                    seen_signatures.add(sig)
+                    break
             seq = base.copy()
             seq[snp_pos[snp_mask]] = snp_alt[snp_mask]
             chars = np.frombuffer(

@@ -21,8 +21,11 @@ def cohort(tmp_path_factory, synth_genes, synth_index):
     saveIndex(synth_index, str(d / "index"))
 
     gnames = synth_index.gene_names
-    # sample 0: gene0 hetero (a0,a5), gene1 homo CN2, gene2 CN1, gene3 CN0
-    # sample 1: gene0 CN1, gene1 hetero, gene2 CN2 hetero, gene3 CN2 homo
+    # KIR3DL3 must be diploid in every sample (the CN model anchors on it,
+    # like real KIR haplotypes); other genes vary CN 0..2
+    g3dl3 = next(n for n in gnames if "3DL3" in n)
+    others = [n for n in gnames if n != g3dl3]
+
     def alleles_of(spec):
         out = {}
         for gname, ai_list in spec.items():
@@ -33,8 +36,8 @@ def cohort(tmp_path_factory, synth_genes, synth_index):
         return out
 
     specs = [
-        {gnames[0]: [0, 5], gnames[1]: [3, 3], gnames[2]: [7]},
-        {gnames[0]: [5], gnames[1]: [1, 6], gnames[2]: [2, 9], gnames[3]: [4, 4]},
+        {g3dl3: [3, 3], others[0]: [0, 5], others[1]: [7]},
+        {g3dl3: [1, 6], others[0]: [5], others[1]: [2, 9], others[2]: [4, 4]},
     ]
     rows = []
     truth = []
