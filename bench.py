@@ -104,6 +104,11 @@ def main() -> None:
     # device-resident alignment step: unpack + revcomp + seed + DP + pair
     # (downloads only scalars; device->host bandwidth is the bottleneck on
     # tunneled TPUs)
+    use_pallas = jax.default_backend() not in ("cpu",) and not os.environ.get(
+        "BENCH_NO_PALLAS"
+    )
+    log(f"[bench] use_pallas={use_pallas}")
+
     @jax.jit
     def step(p1, l1j, p2, l2j):
         u1 = unpackCodes2bit(p1, RL)
@@ -111,7 +116,8 @@ def main() -> None:
         r1 = revCompDevice(u1, l1j)
         r2 = revCompDevice(u2, l2j)
         depth, hist, loglik = cohortStep(
-            arr, u1, l1j, u2, l2j, r1, r2, axis_name=None
+            arr, u1, l1j, u2, l2j, r1, r2, axis_name=None,
+            use_pallas=use_pallas,
         )
         return (depth > 0).sum(), depth.sum(), hist, loglik[:8]
 

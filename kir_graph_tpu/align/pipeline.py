@@ -61,9 +61,17 @@ class GraphAligner:
         top_c: int = 4,
         min_votes: int = 2,
         max_pair_buckets: int = 70,   # max mate diagonal distance in buckets
+        use_pallas: bool | None = None,
     ):
         self.index = index
         self.p = params or AlignParams()
+        if use_pallas is None:
+            import jax
+
+            from ..ops.dp_pallas import pallasAvailable
+
+            use_pallas = pallasAvailable() and jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
         self.stride = stride
         self.max_postings = max_postings
         self.top_c = top_c
@@ -112,7 +120,13 @@ class GraphAligner:
                 [codes[s:e], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
             )
             rl = np.concatenate([lens[s:e], np.full(pad, 1, np.int32)])
-            c, o = bandedScoreGather(
+            if self.use_pallas:
+                from ..ops.dp_pallas import bandedScorePallasGather
+
+                score_fn = bandedScorePallasGather
+            else:
+                score_fn = bandedScoreGather
+            c, o = score_fn(
                 self._backbone, self._alt, self._delcost,
                 jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
                 jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,

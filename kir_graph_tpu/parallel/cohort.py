@@ -135,7 +135,7 @@ def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, m
     )
 
 
-def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, w0):
+def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, w0, use_pallas: bool = False):
     """DP-score a dense [R, C] candidate grid -> cost [R, C], end [R, C]."""
     p = arr.params
     R, C = gene.shape
@@ -148,7 +148,12 @@ def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, w0):
     wd = arr.delcost[gflat[:, None], idx]
     rcodes = jnp.repeat(codes, C, axis=0)
     rlens = jnp.repeat(lens, C)
-    cost, end_off = bandedScore(wb, wa, wd, rcodes, rlens, p)
+    if use_pallas:
+        from ..ops.dp_pallas import bandedScorePallas
+
+        cost, end_off = bandedScorePallas(wb, wa, wd, rcodes, rlens, p)
+    else:
+        cost, end_off = bandedScore(wb, wa, wd, rcodes, rlens, p)
     cost = cost.reshape(R, C) + jnp.where(gene < 0, 1e9, 0.0)
     end_abs = wflat.reshape(R, C) + (rlens.reshape(R, C) - 1) + end_off.reshape(R, C)
     return cost, end_abs
@@ -168,6 +173,7 @@ def cohortStep(
     min_votes: int = 2,
     cn_bins: int = 128,
     axis_name: str | None = "data",
+    use_pallas: bool = False,
 ):
     """One sharded cohort step.  Returns (depth [G, Lmax], cn_hist [bins],
     allele_loglik [A]) — all psum'd over `axis_name` when set.
@@ -194,7 +200,7 @@ def cohortStep(
         gene = jnp.where(cand >= 0, cand // md, -1)
         diag = cand % md
         w0 = diag * DIAG_BUCKET - DIAG_BUCKET
-        cost, end = _scoreDense(arr, c, l, gene, w0)
+        cost, end = _scoreDense(arr, c, l, gene, w0, use_pallas=use_pallas)
         costs.append(cost)
         ends.append(end)
         genes.append(gene)

@@ -47,6 +47,42 @@ def createParser() -> argparse.ArgumentParser:
         "--msa-prefix",
         help="MSA file prefix ({prefix}.{gene}.fa/.json) to build the index from",
     )
+    parser.add_argument(
+        "--ipd-db",
+        help="Local IPD-KIR checkout to build the MSA + index from scratch",
+    )
+    parser.add_argument(
+        "--msa-type", default="ab_2dl1s1",
+        choices=["merge", "split", "ab", "ab_2dl1s1"],
+        help="Gene-merge mode when building from --ipd-db",
+    )
+    parser.add_argument(
+        "--ipd-version", default="2100", help="IPD-KIR version label"
+    )
+    parser.add_argument(
+        "--msa-no-exon-only-allele", action="store_true",
+        help="Exclude exon-only alleles when building from --ipd-db",
+    )
+
+    # WGS extraction stage (optional pre-filter; reference main.py:93-121)
+    parser.add_argument(
+        "--step-skip-extraction",
+        action="store_true",
+        help="Skip the WGS KIR-region read extraction stage (default on "
+        "unless --wgs-genome is given)",
+    )
+    parser.add_argument(
+        "--wgs-genome",
+        help="Local reference genome FASTA for the WGS extraction stage",
+    )
+    parser.add_argument(
+        "--ref-genome", default="hg19", choices=["hg19", "hg38"],
+        help="Region coordinate set for WGS extraction",
+    )
+    parser.add_argument(
+        "--cn-diploid-gene", default="", choices=["", "VDR", "RYR1", "EGFR"],
+        help="Diploid gene for CN normalisation during WGS extraction",
+    )
 
     parser.add_argument("--cn-exon", action="store_true", help="Exon-only CN depth")
     parser.add_argument("--cn-cohort", action="store_true", help="Cohort-mode CN")
@@ -81,8 +117,30 @@ def resolveIndex(args) -> "SamplePipeline":
         index = buildIndexFromMsaPrefix(args.msa_prefix)
         if args.index_prefix:
             saveIndex(index, args.index_prefix)
+    elif args.ipd_db:
+        # full cold build: IPD-KIR -> merged MSAs -> left-align -> index
+        # (reference buildMSA, main.py:28-69)
+        from ..msa.builder import buildKirMsa
+        from ..msa.leftalign import genemsaLeftAlign
+
+        base = (args.index_prefix or "index/kir") + f"_{args.ipd_version}_{args.msa_type}"
+        Path(base).parent.mkdir(parents=True, exist_ok=True)
+        msa_prefix = base + ".msa"
+        if not os.path.exists(msa_prefix + ".leftalign.KIR3DL3.json"):
+            logger.info(f"[Index] Build MSA from {args.ipd_db} ({args.msa_type})")
+            buildKirMsa(
+                args.msa_type,
+                msa_prefix,
+                db_path=args.ipd_db,
+                version=args.ipd_version,
+                full_length_only=args.msa_no_exon_only_allele,
+            )
+            genemsaLeftAlign(msa_prefix, msa_prefix + ".leftalign")
+        index = buildIndexFromMsaPrefix(msa_prefix + ".leftalign")
+        if args.index_prefix:
+            saveIndex(index, args.index_prefix)
     else:
-        raise ValueError("Provide --index-prefix or --msa-prefix")
+        raise ValueError("Provide --index-prefix, --msa-prefix or --ipd-db")
     return SamplePipeline(index)
 
 
@@ -123,6 +181,27 @@ def main(args: argparse.Namespace) -> None:
     pipe = resolveIndex(args)
     algo = "CNgroup" if args.cn_algorithm == "LCND" else args.cn_algorithm
 
+    # ---- optional WGS extraction stage
+    diploid_depths = ["" for _ in names]
+    if args.wgs_genome and not args.step_skip_extraction:
+        from ..wgs.extract import buildWgsIndex, extractKirReads
+
+        diploid_gene = args.cn_diploid_gene if not args.cn_cohort else ""
+        wgs = buildWgsIndex(
+            args.wgs_genome, args.ref_genome, diploid_gene=diploid_gene
+        )
+        new_names, new_reads = [], []
+        for i, (name, (fq1, fq2)) in enumerate(zip(names, reads)):
+            out = name + ".extract"
+            r1, r2, stat = extractKirReads(
+                wgs, fq1, fq2, out,
+                diploid_out=out + ".diploid" if diploid_gene else "",
+            )
+            new_names.append(out)
+            new_reads.append((r1, r2))
+            diploid_depths[i] = stat
+        names, reads = new_names, new_reads
+
     # ---- map + depth
     processed, depth_files = [], []
     for name, (fq1, fq2) in zip(names, reads):
@@ -143,6 +222,7 @@ def main(args: argparse.Namespace) -> None:
                 cn_select=args.cn_select,
                 cn_algorithm=algo,
                 assume_3DL3_diploid=not args.cn_3dl3_not_diploid,
+                diploid_depth=diploid_depths[i],
                 cluster_method_kwargs=cluster_kwargs,
             )
     else:

@@ -87,6 +87,17 @@ def sampleCohortAlleles(
     return truths
 
 
+def exonCaptureSeq(msa, allele: str) -> str:
+    """Concatenated exon sequence of an allele (exon-capture simulation,
+    reference kg_create_exonseq_only.py)."""
+    parts = []
+    for b in msa.list_blocks():
+        if b.type == "exon":
+            s, e = msa.get_block_interval(b.name)
+            parts.append(msa.get(allele)[s:e])
+    return "".join(parts).replace("-", "").replace("E", "")
+
+
 def mutateNovel(
     seq: str, n_variants: int, rng: np.random.Generator
 ) -> tuple[str, list[str]]:
@@ -111,6 +122,7 @@ def generateCohortFastq(
     seed: int = 44,
     error_rate: float = 0.002,
     novel_per_sample: int = 0,
+    exon_capture: bool = False,
 ) -> pd.DataFrame:
     """Write per-sample FASTQs + `{out_prefix}_summary.csv` truth table."""
     rows = []
@@ -120,7 +132,10 @@ def generateCohortFastq(
         rng = np.random.Generator(np.random.Philox(seed + int(t.sample_id)))
         for allele in t.alleles:
             gene = allele.split("*")[0]
-            seqs[allele] = alleleUngappedSeq(genes_msa[gene], allele)
+            if exon_capture:
+                seqs[allele] = exonCaptureSeq(genes_msa[gene], allele)
+            else:
+                seqs[allele] = alleleUngappedSeq(genes_msa[gene], allele)
             copies[allele] = copies.get(allele, 0) + 1
         if novel_per_sample and seqs:
             victim = list(seqs)[int(rng.integers(0, len(seqs)))]

@@ -1,0 +1,44 @@
+"""Pallas DP kernel must reproduce the XLA reference scores exactly."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kir_graph_tpu.align.dp import AlignParams, bandedScore
+from kir_graph_tpu.ops.dp_pallas import bandedScorePallas, pallasAvailable
+
+
+@pytest.mark.skipif(not pallasAvailable(), reason="pallas unavailable")
+def test_pallas_matches_xla_scores():
+    p = AlignParams()
+    rng = np.random.default_rng(3)
+    J = 200  # forces padding to 256
+    W, RL = p.window, p.read_len
+
+    wbase = rng.integers(0, 4, (J, W)).astype(np.int8)
+    walt = rng.integers(0, 16, (J, W)).astype(np.uint8)
+    wdel = np.where(rng.random((J, W)) < 0.1, p.del_eps, p.del_cost).astype(
+        np.float32
+    )
+    # reads partially copied from the window (so costs vary meaningfully)
+    reads = rng.integers(0, 4, (J, RL)).astype(np.int8)
+    for j in range(J):
+        off = rng.integers(0, 40)
+        L = 150
+        reads[j, :L] = wbase[j, off : off + L]
+        errs = rng.integers(0, L, size=3)
+        reads[j, errs] = (reads[j, errs] + 1) % 4
+    read_len = np.full(J, 150, np.int32)
+
+    c_ref, o_ref = bandedScore(
+        jnp.asarray(wbase), jnp.asarray(walt), jnp.asarray(wdel),
+        jnp.asarray(reads), jnp.asarray(read_len), p,
+    )
+    c_pal, o_pal = bandedScorePallas(
+        jnp.asarray(wbase), jnp.asarray(walt), jnp.asarray(wdel),
+        jnp.asarray(reads), jnp.asarray(read_len), p,
+        interpret=True,  # CPU tests run the interpreter; TPU compiles
+    )
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref), atol=1e-4)
+    # end offsets agree wherever the best cost is unique
+    agree = (np.asarray(o_pal) == np.asarray(o_ref)).mean()
+    assert agree > 0.95
