@@ -104,24 +104,22 @@ def main() -> None:
     # device-resident alignment step: unpack + revcomp + seed + DP + pair
     # (downloads only scalars; device->host bandwidth is the bottleneck on
     # tunneled TPUs)
+    from kir_graph_tpu.parallel.cohort import SplitCohortStep
+
     use_pallas = jax.default_backend() not in ("cpu",) and not os.environ.get(
         "BENCH_NO_PALLAS"
     )
     log(f"[bench] use_pallas={use_pallas}")
 
     @jax.jit
-    def step(p1, l1j, p2, l2j):
-        u1 = unpackCodes2bit(p1, RL)
-        u2 = unpackCodes2bit(p2, RL)
-        r1 = revCompDevice(u1, l1j)
-        r2 = revCompDevice(u2, l2j)
-        depth, hist, loglik = cohortStep(
-            arr, u1, l1j, u2, l2j, r1, r2, axis_name=None,
-            use_pallas=use_pallas,
-        )
-        return (depth > 0).sum(), depth.sum(), hist, loglik[:8]
+    def prep(packed, lens):
+        u = unpackCodes2bit(packed, RL)
+        return u, revCompDevice(u, lens)
 
-    # fixed-size chunks: ONE compiled shape, reused for every chunk
+    split = SplitCohortStep(arr, use_pallas=use_pallas)
+    timings: dict = {}
+
+    # fixed-size chunks: few compiled shapes, reused for every chunk
     CHUNK = 2048 if small else 8192
     N = len(c1)
     n_pad = (-N) % CHUNK
@@ -139,18 +137,25 @@ def main() -> None:
         covered = 0.0
         for i in range(n_chunks):
             s = i * CHUNK
-            out = step(
-                jnp.asarray(p1[s : s + CHUNK]),
-                jnp.asarray(l1j[s : s + CHUNK]),
-                jnp.asarray(p2[s : s + CHUNK]),
-                jnp.asarray(l2j[s : s + CHUNK]),
-            )
-            covered += float(out[0])  # transfers scalars only
+            l1c = jnp.asarray(l1j[s : s + CHUNK])
+            l2c = jnp.asarray(l2j[s : s + CHUNK])
+            u1, r1 = prep(jnp.asarray(p1[s : s + CHUNK]), l1c)
+            u2, r2 = prep(jnp.asarray(p2[s : s + CHUNK]), l2c)
+            depth, hist, loglik = split(u1, l1c, u2, l2c, r1, r2, timings)
+            covered += float((depth > 0).sum())  # scalars only
         return covered
 
     t0 = time.time()
-    runAll()
+    try:
+        runAll()
+    except Exception as e:
+        if not use_pallas:
+            raise
+        log(f"[bench] pallas path failed ({type(e).__name__}); falling back to XLA")
+        split = SplitCohortStep(arr, use_pallas=False)
+        runAll()
     log(f"[bench] warmup (compile) {time.time() - t0:.1f}s")
+    timings.clear()
 
     iters = 3
     t0 = time.time()
@@ -163,6 +168,8 @@ def main() -> None:
         f"[bench] device path: {n_reads} reads in {dt:.2f}s/iter "
         f"({reads_per_s:,.0f} reads/s, covered positions {covered:,.0f})"
     )
+    log(f"[bench] stage seconds over {iters} iters: "
+        + ", ".join(f"{k}={v:.2f}" for k, v in sorted(timings.items())))
 
     if os.environ.get("BENCH_HOST"):
         # exact host-orchestrated path (annotation-grade output)

@@ -44,17 +44,23 @@ class AlignParams:
 
 
 def _cumminWithArg(values: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Leftmost running argmin along the last axis."""
+    """Leftmost running argmin along the last axis (log-step doubling;
+    associative_scan compiles pathologically on some TPU backends)."""
     n = values.shape[-1]
     idx = jnp.broadcast_to(jnp.arange(n), values.shape)
-
-    def combine(a, b):
-        av, ai = a
-        bv, bi = b
-        take_b = bv < av
-        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
-
-    return jax.lax.associative_scan(combine, (values, idx), axis=-1)
+    val = values
+    s = 1
+    big = jnp.asarray(1e30, values.dtype)
+    while s < n:
+        pad_v = jnp.full(values.shape[:-1] + (s,), big, values.dtype)
+        pad_i = jnp.zeros(values.shape[:-1] + (s,), idx.dtype)
+        sv = jnp.concatenate([pad_v, val[..., :-s]], axis=-1)
+        si = jnp.concatenate([pad_i, idx[..., :-s]], axis=-1)
+        take_earlier = sv <= val  # ties -> leftmost
+        val = jnp.where(take_earlier, sv, val)
+        idx = jnp.where(take_earlier, si, idx)
+        s *= 2
+    return val, idx
 
 
 def _subCost(read_base: jax.Array, wbase: jax.Array, walt: jax.Array, p: AlignParams) -> jax.Array:
@@ -239,10 +245,16 @@ def bandedTracebackGather(
 
     J, RL = cols.shape
     consumed = cols >= 0
-    # previous consumed column at each position (running max; gaps/-2 skip)
-    prev_max = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(consumed, cols, -1), axis=1
-    )
+    # previous consumed column at each position: running max via log-step
+    # doubling (associative_scan compiles pathologically on some backends)
+    prev_max = jnp.where(consumed, cols, -1)
+    s = 1
+    while s < RL:
+        shifted = jnp.concatenate(
+            [jnp.full((J, s), -1, prev_max.dtype), prev_max[:, :-s]], axis=1
+        )
+        prev_max = jnp.maximum(prev_max, shifted)
+        s *= 2
     prev_shift = jnp.concatenate([jnp.full((J, 1), -1), prev_max[:, :-1]], axis=1)
     first_consumed = consumed & (prev_shift < 0)
     past_end = jnp.arange(RL)[None, :] >= read_len[:, None]

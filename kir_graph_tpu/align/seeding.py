@@ -122,13 +122,19 @@ def _findCandidates(
     )
     idx = jnp.broadcast_to(jnp.arange(M), (R, M))
     start_or_inf = jnp.where(is_run_start, idx, M)
-    # next run start at-or-after each position, exclusive of self:
-    shifted = jnp.concatenate(
+    # suffix-min (next run start after each position) via log-step
+    # doubling shifts — associative_scan compiles pathologically on some
+    # TPU backends at this width
+    next_start = jnp.concatenate(
         [start_or_inf[:, 1:], jnp.full((R, 1), M)], axis=1
     )
-    next_start = jax.lax.associative_scan(
-        jnp.minimum, shifted[:, ::-1], axis=1
-    )[:, ::-1]
+    s = 1
+    while s < M:
+        shifted = jnp.concatenate(
+            [next_start[:, s:], jnp.full((R, s), M)], axis=1
+        )
+        next_start = jnp.minimum(next_start, shifted)
+        s *= 2
     counts = jnp.where(is_run_start, next_start - idx, 0)
     counts = jnp.where(
         (vote_sorted != SENTINEL) & (counts >= min_votes), counts, 0

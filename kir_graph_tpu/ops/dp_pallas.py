@@ -45,17 +45,16 @@ def _kernel(p: AlignParams):
     RL = p.read_len
     shifts = [1 << s for s in range(int(np.ceil(np.log2(max(B, 2)))))]
 
-    def kernel(wb_ref, wa_ref, wd_ref, reads_ref, len_ref, cost_ref, end_ref):
-        def body(i, carry):
-            prev, best_cost, best_off = carry
-            wb = wb_ref[pl.ds(i, B), :]                   # [B, L] int8
-            wa = wa_ref[pl.ds(i, B), :].astype(jnp.int32)
-            wd = wd_ref[pl.ds(i, B), :]                   # [B, L] f32
-            rb = reads_ref[i, :][None, :].astype(jnp.int32)  # [1, L]
+    GROUP = 8  # Mosaic requires sublane slice starts provably 8-aligned:
+    #            slice B+GROUP rows at 8*group, then shift in registers
+    assert RL % GROUP == 0
 
+    def kernel(wb_ref, wa_ref, wd_ref, reads_ref, len_ref, cost_ref, end_ref):
+        def oneRow(i, wb, wa, wd, rb, carry):
+            """One DP row given in-register window slices [B, L]."""
+            prev, best_cost, best_off = carry
             is_match = (rb == wb.astype(jnp.int32)) & (rb < 4)
-            is_alt = ((wa >> rb) & 1) > 0
-            is_alt = is_alt & (rb < 4)
+            is_alt = (((wa >> rb) & 1) > 0) & (rb < 4)
             sub = jnp.where(is_match | is_alt, 0.0, p.mismatch)
 
             m = prev + sub
@@ -89,12 +88,29 @@ def _kernel(p: AlignParams):
             best_off = jnp.where(at_end, row_arg, best_off)
             return row, best_cost, best_off
 
+        def group(g, carry):
+            base = pl.multiple_of(g * GROUP, GROUP)
+            wb_blk = wb_ref[pl.ds(base, B + GROUP), :]
+            wa_blk = wa_ref[pl.ds(base, B + GROUP), :].astype(jnp.int32)
+            wd_blk = wd_ref[pl.ds(base, B + GROUP), :]
+            rb_blk = reads_ref[pl.ds(base, GROUP), :].astype(jnp.int32)
+            for k in range(GROUP):
+                carry = oneRow(
+                    g * GROUP + k,
+                    wb_blk[k : k + B, :],
+                    wa_blk[k : k + B, :],
+                    wd_blk[k : k + B, :],
+                    rb_blk[k, :][None, :],
+                    carry,
+                )
+            return carry
+
         init = (
             jnp.zeros((B, LANES), jnp.float32),
             jnp.full((1, LANES), BIG, jnp.float32),
             jnp.zeros((1, LANES), jnp.int32),
         )
-        _, best_cost, best_off = jax.lax.fori_loop(0, RL, body, init)
+        _, best_cost, best_off = jax.lax.fori_loop(0, RL // GROUP, group, init)
         cost_ref[:] = best_cost
         end_ref[:] = best_off
 

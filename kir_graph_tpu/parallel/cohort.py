@@ -280,6 +280,151 @@ def cohortStep(
     return depth, hist, allele_loglik
 
 
+# ---------------------------------------------------------------------------
+# split-stage single-chip driver: three small jitted programs instead of one
+# monolith (fast compiles on remote-compile backends, per-stage timing).
+# ---------------------------------------------------------------------------
+
+class SplitCohortStep:
+    """Eagerly-composed cohort step: seed / score / finalize stages."""
+
+    def __init__(self, arr: DeviceIndexArrays, top_c: int = 2, use_pallas: bool = False):
+        self.arr = arr
+        self.top_c = top_c
+        md = arr.table.max_diag
+
+        @jax.jit
+        def seed(codes):
+            cand, _ = _candidatesFor(arr, codes, top_c, 8, 32, 2)
+            gene = jnp.where(cand >= 0, cand // md, -1)
+            diag = cand % md
+            return gene, diag
+
+        @jax.jit
+        def score(codes, lens, gene, diag):
+            w0 = diag * DIAG_BUCKET - DIAG_BUCKET
+            cost, end = _scoreDense(arr, codes, lens, gene, w0, use_pallas=use_pallas)
+            return cost, end
+
+        @jax.jit
+        def finalize(m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1):
+            return _pairAndReduce(
+                arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1,
+                axis_name=None,
+            )
+
+        self._seed = seed
+        self._score = score
+        self._finalize = finalize
+
+    def __call__(self, codes1, len1, codes2, len2, rc1, rc2, timings=None):
+        import time as _t
+
+        streams = [(codes1, len1), (rc1, len1), (codes2, len2), (rc2, len2)]
+        genes, diags, costs, ends = [], [], [], []
+        t0 = _t.time()
+        for c, l in streams:
+            g, d = self._seed(c)
+            genes.append(g)
+            diags.append(d)
+        jax.block_until_ready(genes)
+        t1 = _t.time()
+        for (c, l), g, d in zip(streams, genes, diags):
+            cost, end = self._score(c, l, g, d)
+            costs.append(cost)
+            ends.append(end)
+        jax.block_until_ready(costs)
+        t2 = _t.time()
+        m1c = jnp.stack(costs[0:2], axis=1)
+        m2c = jnp.stack(costs[2:4], axis=1)
+        m1g = jnp.stack(genes[0:2], axis=1)
+        m2g = jnp.stack(genes[2:4], axis=1)
+        m1d = jnp.stack(diags[0:2], axis=1)
+        m2d = jnp.stack(diags[2:4], axis=1)
+        m1e = jnp.stack(ends[0:2], axis=1)
+        m2e = jnp.stack(ends[2:4], axis=1)
+        out = self._finalize(
+            m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1
+        )
+        jax.block_until_ready(out)
+        t3 = _t.time()
+        if timings is not None:
+            timings["seed"] = timings.get("seed", 0.0) + (t1 - t0)
+            timings["score"] = timings.get("score", 0.0) + (t2 - t1)
+            timings["finalize"] = timings.get("finalize", 0.0) + (t3 - t2)
+        return out
+
+
+def _pairAndReduce(
+    arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1,
+    axis_name=None, cn_bins: int = 128,
+):
+    """FR pairing + depth + CN histogram + SNP-evidence likelihood.
+    Inputs are [R, 2, C] per-mate stream stacks (orientation axis)."""
+    R = m1c.shape[0]
+    m2c, m2g, m2d, m2e = (x[:, ::-1] for x in (m2c, m2g, m2d, m2e))
+
+    pc = m1c[:, :, :, None] + m2c[:, :, None, :]
+    ok = (m1g[:, :, :, None] == m2g[:, :, None, :]) & (m1g[:, :, :, None] >= 0)
+    ok &= jnp.abs(m1d[:, :, :, None] - m2d[:, :, None, :]) <= 70
+    pair_cost = jnp.where(ok, pc, 1e9).reshape(R, -1)
+    best = pair_cost.min(axis=1)
+    combo = pair_cost.argmin(axis=1)
+    mapped = best < 8.0
+
+    C = m1c.shape[2]
+    bo = combo // (C * C)
+    bc1 = (combo // C) % C
+    bc2 = combo % C
+    ridx = jnp.arange(R)
+    gene_best = jnp.where(mapped, m1g[ridx, bo, bc1], 0)
+    end1 = m1e[ridx, bo, bc1]
+    end2 = m2e[ridx, bo, bc2]
+
+    depth = jnp.zeros((arr.n_genes, arr.Lmax + 2), dtype=jnp.float32)
+    for end, lens in ((end1, len1), (end2, len2)):
+        start = jnp.clip(end - lens + 1, 0, arr.Lmax - 1)
+        stop = jnp.clip(end, 0, arr.Lmax - 1)
+        w = jnp.where(mapped, 1.0, 0.0)
+        depth = depth.at[gene_best, start].add(w)
+        depth = depth.at[gene_best, stop + 1].add(-w)
+    depth = jnp.cumsum(depth, axis=1)[:, : arr.Lmax]
+    if axis_name:
+        depth = jax.lax.psum(depth, axis_name)
+
+    gene_len = jnp.maximum(arr.lengths.astype(jnp.float32), 1.0)
+    gene_depth = depth.sum(axis=1) / gene_len
+    hist = jnp.zeros((cn_bins,), dtype=jnp.float32)
+    bin_idx = jnp.clip((gene_depth / 2.0).astype(jnp.int32), 0, cn_bins - 1)
+    hist = hist.at[bin_idx].add(1.0)
+
+    start1 = end1 - len1 + 1
+    vpos = arr.var_pos[None, :]
+    off = vpos - start1[:, None]
+    in_read = (
+        (off >= 0)
+        & (off < codes1.shape[1])
+        & (arr.var_gene[None, :] == gene_best[:, None])
+        & mapped[:, None]
+        & (arr.var_alt[None, :] >= 0)
+    )
+    base_at = jnp.take_along_axis(
+        codes1, jnp.clip(off, 0, codes1.shape[1] - 1), axis=1
+    )
+    pos_hit = in_read & (base_at == arr.var_alt[None, :])
+    neg_hit = in_read & (base_at != arr.var_alt[None, :])
+    count_diff = pos_hit.astype(jnp.float32) - neg_hit.astype(jnp.float32)
+    core = jnp.dot(count_diff, arr.membership, preferred_element_type=jnp.float32)
+    loglik = core * (LOG_HIT - LOG_MISS) + (
+        pos_hit.sum() * LOG_MISS + neg_hit.sum() * LOG_HIT
+    ) / max(arr.membership.shape[1], 1)
+    allele_loglik = loglik.sum(axis=0)
+    if axis_name:
+        allele_loglik = jax.lax.psum(allele_loglik, axis_name)
+        hist = jax.lax.psum(hist, axis_name)
+    return depth, hist, allele_loglik
+
+
 def makeShardedCohortStep(mesh: Mesh, arr: DeviceIndexArrays, top_c: int = 2):
     """jit the cohort step over the mesh with real shardings:
     reads -> P('data'), membership -> P(None, 'model'), outputs replicated."""
