@@ -80,7 +80,10 @@ class VariantAnnotator:
 
     # ------------------------------------------------------------------
     def annotate(
-        self, result: AlignResult, exon_only: bool = False
+        self,
+        result: AlignResult,
+        exon_only: bool = False,
+        error_correction: bool = False,
     ) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
         """-> (ReadsAndVariantsData, depth [G, Lmax], pileup [G, Lmax, 5],
                pass_mask [N])
@@ -89,6 +92,12 @@ class VariantAnnotator:
         and NM <= num_editdist on both mates (hisat2.py:541-578).  Pairs
         with novel indels stay in depth but contribute empty variant lists
         (hisat2.py:746-754).
+
+        error_correction=True applies the pileup-based minority-base
+        correction of reference hisat2.py:609-654 before variant
+        classification: at columns with depth >= 20 where the read's base
+        is <20% of the pileup, the base is replaced by the >=80% majority
+        (or N when there is none).
         """
         idx = self.index
         G, Lmax = idx.backbone.shape
@@ -125,6 +134,23 @@ class VariantAnnotator:
         pass_mask = np.zeros(N, dtype=bool)
         nm = np.zeros((2, N), dtype=np.int32)
 
+        # pileup over all mapped pairs (the reference pileups the raw BAM
+        # before filtering, hisat2.py:927); used for error correction
+        ec_pileup = None
+        if error_correction:
+            ec_pileup = np.zeros((G, Lmax, 5), dtype=np.int32)
+            for md in mate_data:
+                rows, cposs = np.nonzero(md["consumed"])
+                np.add.at(
+                    ec_pileup,
+                    (
+                        result.gene[rows],
+                        md["cols"][rows, cposs],
+                        md["bases"][rows, cposs],
+                    ),
+                    1,
+                )
+
         # host loop over mapped pairs; per-mate work is tiny slices
         for n in np.nonzero(mapped)[0]:
             gi = result.gene[n]
@@ -133,7 +159,9 @@ class VariantAnnotator:
             per_mate = []
             for m, md in enumerate(mate_data):
                 info = self._annotateMate(
-                    t, md["cols"][n], md["bases"][n], int(md["lens"][n]), novel_ids, novel_map
+                    t, md["cols"][n], md["bases"][n], int(md["lens"][n]),
+                    novel_ids, novel_map,
+                    ec_pileup[gi] if ec_pileup is not None else None,
                 )
                 nm[m, n] = info["nm"]
                 if info["nm"] > self.num_editdist:
@@ -192,6 +220,7 @@ class VariantAnnotator:
         read_len: int,
         novel_ids: IdAllocator,
         novel_map: dict,
+        gene_pileup: np.ndarray | None = None,
     ) -> dict:
         """One mate -> NM + positive/negative variant id lists."""
         cols = cols[:read_len]
@@ -201,6 +230,26 @@ class VariantAnnotator:
             return {"nm": 99, "pos_ids": [], "neg_ids": []}
         ccols = cols[consumed]
         cbases = bases[consumed]
+
+        if gene_pileup is not None:
+            # minority-base correction (reference hisat2.py:609-654):
+            # only mismatching bases are candidates
+            bb0 = t.seq[ccols]
+            cand = np.nonzero((cbases != bb0) & (cbases < 4))[0]
+            if len(cand):
+                counts = gene_pileup[ccols[cand]]         # [k, 5]
+                totals = counts[:, :4].sum(axis=1)
+                frac = counts[:, :4] / np.maximum(totals[:, None], 1)
+                own = frac[np.arange(len(cand)), cbases[cand]]
+                minority = (totals >= 20) & (own <= 0.2)
+                if minority.any():
+                    cbases = cbases.copy()
+                    maj = frac.argmax(axis=1)
+                    has_major = frac.max(axis=1) >= 0.8
+                    fix = cand[minority & has_major]
+                    cbases[fix] = maj[minority & has_major]
+                    # no clear majority: mark as N (excluded downstream)
+                    cbases[cand[minority & ~has_major]] = 4
 
         # novel insertion in read?
         has_ins = bool((cols == -2).any())

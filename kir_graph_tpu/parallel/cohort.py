@@ -294,20 +294,35 @@ class SplitCohortStep:
         md = arr.table.max_diag
 
         @jax.jit
-        def seed(codes):
+        def seed(codes1, rc1, codes2, rc2):
+            codes = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
             cand, _ = _candidatesFor(arr, codes, top_c, 8, 32, 2)
             gene = jnp.where(cand >= 0, cand // md, -1)
             diag = cand % md
-            return gene, diag
+            return codes, gene, diag
 
         @jax.jit
-        def score(codes, lens, gene, diag):
+        def score(codes, len1, len2, gene, diag):
+            lens = jnp.concatenate([len1, len1, len2, len2], axis=0)
             w0 = diag * DIAG_BUCKET - DIAG_BUCKET
             cost, end = _scoreDense(arr, codes, lens, gene, w0, use_pallas=use_pallas)
             return cost, end
 
         @jax.jit
-        def finalize(m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1):
+        def finalize(cost, gene, diag, end, len1, len2, codes1):
+            R = codes1.shape[0]
+
+            def perStream(x):
+                s = x.reshape(4, R, -1)
+                return (
+                    jnp.stack([s[0], s[1]], axis=1),
+                    jnp.stack([s[2], s[3]], axis=1),
+                )
+
+            m1c, m2c = perStream(cost)
+            m1g, m2g = perStream(gene)
+            m1d, m2d = perStream(diag)
+            m1e, m2e = perStream(end)
             return _pairAndReduce(
                 arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1,
                 axis_name=None,
@@ -318,35 +333,26 @@ class SplitCohortStep:
         self._finalize = finalize
 
     def __call__(self, codes1, len1, codes2, len2, rc1, rc2, timings=None):
+        """All four (mate, orientation) streams are stacked into single
+        seed/score dispatches — on tunneled TPUs each dispatch costs ~50ms
+        RTT, so the whole chunk is 3 device calls.  timings=None runs
+        fully async; pass a dict to sync per stage and collect wall times.
+        """
         import time as _t
 
-        streams = [(codes1, len1), (rc1, len1), (codes2, len2), (rc2, len2)]
-        genes, diags, costs, ends = [], [], [], []
         t0 = _t.time()
-        for c, l in streams:
-            g, d = self._seed(c)
-            genes.append(g)
-            diags.append(d)
-        jax.block_until_ready(genes)
+        codes_all, gene, diag = self._seed(codes1, rc1, codes2, rc2)  # [4R, C]
+        if timings is not None:
+            jax.block_until_ready(gene)
         t1 = _t.time()
-        for (c, l), g, d in zip(streams, genes, diags):
-            cost, end = self._score(c, l, g, d)
-            costs.append(cost)
-            ends.append(end)
-        jax.block_until_ready(costs)
+        cost, end = self._score(codes_all, len1, len2, gene, diag)
+        if timings is not None:
+            jax.block_until_ready(cost)
         t2 = _t.time()
-        m1c = jnp.stack(costs[0:2], axis=1)
-        m2c = jnp.stack(costs[2:4], axis=1)
-        m1g = jnp.stack(genes[0:2], axis=1)
-        m2g = jnp.stack(genes[2:4], axis=1)
-        m1d = jnp.stack(diags[0:2], axis=1)
-        m2d = jnp.stack(diags[2:4], axis=1)
-        m1e = jnp.stack(ends[0:2], axis=1)
-        m2e = jnp.stack(ends[2:4], axis=1)
-        out = self._finalize(
-            m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1
-        )
-        jax.block_until_ready(out)
+
+        out = self._finalize(cost, gene, diag, end, len1, len2, codes1)
+        if timings is not None:
+            jax.block_until_ready(out)
         t3 = _t.time()
         if timings is not None:
             timings["seed"] = timings.get("seed", 0.0) + (t1 - t0)
