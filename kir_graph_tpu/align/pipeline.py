@@ -250,22 +250,38 @@ class GraphAligner:
         logger.info(f"[Align] {N} pairs -> {len(flat_idx)} score jobs")
         cost, end_off = self._scoreJobs(g, w0, jcodes, jlens)
 
+        # pseudo-reference remap: rows >= G_true are spliced deletion
+        # haplotypes; pairing/NH/dedup happen in TRUE gene coordinates
+        G_true = len(self.index.gene_names)
+        G_all = self.index.backbone.shape[0]
+        row_true = np.arange(G_all, dtype=np.int32)
+        row_pos = np.full(G_all, np.iinfo(np.int32).max, dtype=np.int64)
+        row_len = np.zeros(G_all, dtype=np.int64)
+        for p, (tgi, pos, dlen) in enumerate(self.index.pseudo_refs):
+            row_true[G_true + p] = tgi
+            row_pos[G_true + p] = pos
+            row_len[G_true + p] = dlen
+
+        end_abs = w0 + jlens - 1 + end_off
+        end_true = end_abs + (end_abs >= row_pos[g]) * row_len[g]
+        g_true = row_true[g]
+
         # scatter job results back into [N, S] slot grids
         BIG = np.float32(1e9)
         slot_cost = np.full((N, S), BIG, dtype=np.float32)
         slot_end = np.zeros((N, S), dtype=np.int64)
+        job_gene_true = np.full((N, S), -1, dtype=np.int32)
         slot_cost[read_of_job, slot_of_job] = cost
-        slot_end[read_of_job, slot_of_job] = (
-            w0 + jlens - 1 + end_off
-        )  # absolute end col
+        slot_end[read_of_job, slot_of_job] = end_true
+        job_gene_true[read_of_job, slot_of_job] = g_true
 
         # --- concordant pairing: m1 slots x m2 slots, opposite orientation
+        # (pairing in TRUE gene/column space so placements on a pseudo-ref
+        # pair with mates on the base reference)
         m1_cost = slot_cost[:, : 2 * C].reshape(N, 2, C)
         m2_cost = slot_cost[:, 2 * C :].reshape(N, 2, C)
-        m1_gene = job_gene[:, : 2 * C].reshape(N, 2, C)
-        m2_gene = job_gene[:, 2 * C :].reshape(N, 2, C)
-        m1_diag = job_diag[:, : 2 * C].reshape(N, 2, C)
-        m2_diag = job_diag[:, 2 * C :].reshape(N, 2, C)
+        m1_gene = job_gene_true[:, : 2 * C].reshape(N, 2, C)
+        m2_gene = job_gene_true[:, 2 * C :].reshape(N, 2, C)
         m1_end = slot_end[:, : 2 * C].reshape(N, 2, C)
         m2_end = slot_end[:, 2 * C :].reshape(N, 2, C)
 
@@ -273,15 +289,14 @@ class GraphAligner:
         # i.e. index the m2 orientation axis flipped
         m2_cost_op = m2_cost[:, ::-1, :]
         m2_gene_op = m2_gene[:, ::-1, :]
-        m2_diag_op = m2_diag[:, ::-1, :]
         m2_end_op = m2_end[:, ::-1, :]
 
         pc = m1_cost[:, :, :, None] + m2_cost_op[:, :, None, :]
         same_gene = (m1_gene[:, :, :, None] == m2_gene_op[:, :, None, :]) & (
             m1_gene[:, :, :, None] >= 0
         )
-        diag_dist = np.abs(m1_diag[:, :, :, None] - m2_diag_op[:, :, None, :])
-        valid = same_gene & (diag_dist <= self.max_pair_buckets)
+        end_dist = np.abs(m1_end[:, :, :, None] - m2_end_op[:, :, None, :])
+        valid = same_gene & (end_dist <= self.max_pair_buckets * DIAG_BUCKET)
         pair_cost = np.where(valid, pc, BIG)  # [N, 2, C, C]
 
         flat_pair = pair_cost.reshape(N, -1)
@@ -340,11 +355,16 @@ class GraphAligner:
             _, cr = self._tracebackJobs(
                 g2[midx], w02[midx], oc2[midx], l2[midx]
             )
+            # pseudo-ref cols -> true backbone coords (the junction then
+            # shows as a catalogued-deletion gap to the annotator)
+            for cols, gw in ((cl, g1[midx]), (cr, g2[midx])):
+                shift = ((cols >= row_pos[gw][:, None]) & (cols >= 0)) * row_len[gw][:, None]
+                cols += shift.astype(np.int32)
             cols_l[midx] = cl
             cols_r[midx] = cr
 
         return AlignResult(
-            gene=np.where(mapped, g1, -1).astype(np.int32),
+            gene=np.where(mapped, row_true[g1], -1).astype(np.int32),
             nh=np.where(mapped, nh, 0).astype(np.int32),
             cost=np.where(mapped, best, np.inf).astype(np.float32),
             rc_l=isrc1,

@@ -42,7 +42,7 @@ class SeedTable:
             gene=jnp.asarray(index.kmer_gene),
             pos=jnp.asarray(index.kmer_pos),
             k=index.kmer,
-            n_genes=len(index.gene_names),
+            n_genes=int(index.backbone.shape[0]),  # incl. pseudo-refs
             max_diag=Lmax // DIAG_BUCKET + 4,
         )
 

@@ -102,20 +102,34 @@ class GeneIndex:
         return m
 
 
+LONG_DEL_THRESHOLD = 24  # catalogued deletions longer than this get a
+#                          spliced pseudo-reference so junction-spanning
+#                          reads align end-to-end (the DP band is 48)
+
+
 @dataclass
 class KirIndex:
-    """Whole-index container: per-gene tables + padded aligner arrays."""
+    """Whole-index container: per-gene tables + padded aligner arrays.
+
+    Rows [0, G) of the padded arrays are the true backbones; rows [G, G+P)
+    are spliced pseudo-references — the backbone with one long catalogued
+    deletion excised.  `pseudo_refs[p] = (true_gene_row, del_pos, del_len)`
+    maps pseudo row G+p back to true coordinates (cols >= del_pos shift by
+    +del_len), turning a pseudo placement into the true placement plus a
+    known-deletion gap that the annotator recognises from the catalog.
+    """
 
     genes: dict[str, GeneIndex]
     kmer: int = DEFAULT_KMER
 
     # padded arrays (built by finalize)
     gene_names: list[str] = field(default_factory=list)
-    backbone: np.ndarray | None = None   # [G, Lmax] int8
-    lengths: np.ndarray | None = None    # [G] int32
-    alt_mask: np.ndarray | None = None   # [G, Lmax] uint8
-    del_ok: np.ndarray | None = None     # [G, Lmax] bool
+    backbone: np.ndarray | None = None   # [G+P, Lmax] int8
+    lengths: np.ndarray | None = None    # [G+P] int32
+    alt_mask: np.ndarray | None = None   # [G+P, Lmax] uint8
+    del_ok: np.ndarray | None = None     # [G+P, Lmax] bool
     exon_mask: np.ndarray | None = None  # [G, Lmax] bool
+    pseudo_refs: list[tuple[int, int, int]] = field(default_factory=list)
 
     # k-mer table (32-bit hashed keys: TPU has no 64-bit integer path, so
     # the k-mer is split into two 12-base halves and mixed; rare hash
@@ -129,11 +143,22 @@ class KirIndex:
         self.gene_names = sorted(self.genes)
         G = len(self.gene_names)
         Lmax = max(g.length for g in self.genes.values())
-        self.backbone = np.full((G, Lmax), BASE_PAD, dtype=np.int8)
-        self.alt_mask = np.zeros((G, Lmax), dtype=np.uint8)
-        self.del_ok = np.zeros((G, Lmax), dtype=bool)
+
+        # collect long catalogued deletions -> one pseudo-reference each
+        self.pseudo_refs = []
+        for gi, name in enumerate(self.gene_names):
+            g = self.genes[name]
+            for vi in np.nonzero(g.var_is_del)[0]:
+                dlen = int(g.var_val[vi])
+                if dlen > LONG_DEL_THRESHOLD:
+                    self.pseudo_refs.append((gi, int(g.var_pos[vi]), dlen))
+        P = len(self.pseudo_refs)
+
+        self.backbone = np.full((G + P, Lmax), BASE_PAD, dtype=np.int8)
+        self.alt_mask = np.zeros((G + P, Lmax), dtype=np.uint8)
+        self.del_ok = np.zeros((G + P, Lmax), dtype=bool)
         self.exon_mask = np.zeros((G, Lmax), dtype=bool)
-        self.lengths = np.zeros(G, dtype=np.int32)
+        self.lengths = np.zeros(G + P, dtype=np.int32)
         for i, name in enumerate(self.gene_names):
             g = self.genes[name]
             L = g.length
@@ -142,9 +167,28 @@ class KirIndex:
             self.del_ok[i, :L] = g.delOkMask()
             self.exon_mask[i, :L] = g.exonMask()
             self.lengths[i] = L
+        for p, (gi, pos, dlen) in enumerate(self.pseudo_refs):
+            L = int(self.lengths[gi])
+            row = G + p
+            Lp = L - dlen
+            spliced = np.concatenate(
+                [self.backbone[gi, :pos], self.backbone[gi, pos + dlen : L]]
+            )
+            self.backbone[row, :Lp] = spliced
+            self.alt_mask[row, :Lp] = np.concatenate(
+                [self.alt_mask[gi, :pos], self.alt_mask[gi, pos + dlen : L]]
+            )
+            self.del_ok[row, :Lp] = np.concatenate(
+                [self.del_ok[gi, :pos], self.del_ok[gi, pos + dlen : L]]
+            )
+            self.lengths[row] = Lp
         if build_kmers:
             self.buildKmerTable()
         return self
+
+    @property
+    def n_true_genes(self) -> int:
+        return len(self.gene_names)
 
     # ------------------------------------------------------------------
     # k-mer seed table
@@ -159,21 +203,42 @@ class KirIndex:
         """
         k = self.kmer
         assert k <= 31
+        G = len(self.gene_names)
+        pseudo_by_gene: dict[int, list[tuple[int, int, int]]] = {}
+        for p, (tgi, pos, dlen) in enumerate(self.pseudo_refs):
+            pseudo_by_gene.setdefault(tgi, []).append((G + p, pos, dlen))
+
         all_entries = []
         for gi, name in enumerate(self.gene_names):
             g = self.genes[name]
-            seqs: list[tuple[np.ndarray, np.ndarray]] = []
-            # backbone itself
+            # (codes, columns, gene_row) triples to index
+            seqs: list[tuple[np.ndarray, np.ndarray, int]] = []
             cols = np.arange(g.length)
-            seqs.append((g.seq.astype(np.int64), cols))
-            for aname in g.alleles:
+            seqs.append((g.seq.astype(np.int64), cols, gi))
+            for ai, aname in enumerate(g.alleles):
                 gapped = g.allele_seq_gapped.get(aname)
                 if gapped is None:
                     continue
                 codes = encodeSeq(gapped)
                 keep = np.frombuffer(gapped.encode(), np.uint8) != ord("-")
-                seqs.append((codes[keep].astype(np.int64), np.nonzero(keep)[0]))
-            for codes, columns in seqs:
+                acodes = codes[keep].astype(np.int64)
+                acols = np.nonzero(keep)[0]
+                # carriers of a long deletion index their k-mers against
+                # the spliced pseudo-reference so junction-crossing seeds
+                # vote one consistent diagonal
+                routed = False
+                for prow, pos, dlen in pseudo_by_gene.get(gi, []):
+                    vi = np.nonzero(
+                        g.var_is_del & (g.var_pos == pos) & (g.var_val == dlen)
+                    )[0]
+                    if len(vi) and g.membership[vi[0], ai]:
+                        pcols = np.where(acols >= pos + dlen, acols - dlen, acols)
+                        seqs.append((acodes, pcols, prow))
+                        routed = True
+                        break
+                if not routed:
+                    seqs.append((acodes, acols, gi))
+            for codes, columns, grow in seqs:
                 n = len(codes) - k + 1
                 if n <= 0:
                     continue
@@ -182,7 +247,7 @@ class KirIndex:
                 keys = hashKmerWindows(window)[valid]
                 pos = columns[:n][valid].astype(np.int64)
                 entry = np.stack(
-                    [keys.astype(np.int64), np.full(len(pos), gi), pos], axis=1
+                    [keys.astype(np.int64), np.full(len(pos), grow), pos], axis=1
                 )
                 all_entries.append(entry)
         if not all_entries:
@@ -302,7 +367,11 @@ def saveIndex(index: KirIndex, prefix: str) -> None:
         "kmer_gene": index.kmer_gene,
         "kmer_pos": index.kmer_pos,
     }
-    meta: dict = {"kmer": index.kmer, "genes": []}
+    meta: dict = {
+        "kmer": index.kmer,
+        "genes": [],
+        "pseudo_refs": [list(p) for p in index.pseudo_refs],
+    }
     for name in index.gene_names:
         g = index.genes[name]
         arrays[f"seq_{name}"] = g.seq
@@ -379,6 +448,7 @@ def loadIndex(prefix: str) -> KirIndex:
         )
     index = KirIndex(genes=genes, kmer=meta["kmer"])
     index.gene_names = sorted(genes)
+    index.pseudo_refs = [tuple(p) for p in meta.get("pseudo_refs", [])]
     index.backbone = data["backbone"]
     index.lengths = data["lengths"]
     index.alt_mask = data["alt_mask"]

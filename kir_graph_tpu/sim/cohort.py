@@ -98,6 +98,18 @@ def exonCaptureSeq(msa, allele: str) -> str:
     return "".join(parts).replace("-", "").replace("E", "")
 
 
+def intronSwapSeq(msa, allele: str, donor: str) -> str:
+    """Allele's exons + donor's introns/UTRs: an 'intron-recombined' allele
+    (reference kg_create_fake_intron.py).  Stresses exon-first typing —
+    exon evidence points at `allele`, intron evidence at `donor`."""
+    parts = []
+    for b in msa.list_blocks():
+        s, e = msa.get_block_interval(b.name)
+        src = allele if b.type == "exon" else donor
+        parts.append(msa.get(src)[s:e])
+    return "".join(parts).replace("-", "").replace("E", "")
+
+
 def mutateNovel(
     seq: str, n_variants: int, rng: np.random.Generator
 ) -> tuple[str, list[str]]:
