@@ -10,3 +10,5 @@ from .compare import (
     calcSummaryByResolution,
 )
 from .compare_cn import allele2CN, compareCN, compareCNCohort, readCNFile
+from .compare_mapping import mappingAccuracy
+from .hprc import evaluateHprc, readHprcTruth

@@ -258,9 +258,18 @@ def main(args: argparse.Namespace) -> None:
         logger.info(f"[Allele] cohort table: {cohort_name}.allele.tsv")
 
     if args.plot:
-        from ..plot import plotCN, plotGeneDepths, savePlot
+        import json
+
+        from ..plot import plotCN, plotGeneDepths, plotReadMappingStat, savePlot
 
         figs = []
+        stats = []
+        for prefix in processed:
+            stat_file = prefix + ".stat.json"
+            if os.path.exists(stat_file):
+                with open(stat_file) as f:
+                    stats.append(json.load(f))
+        figs.extend(plotReadMappingStat(stats, processed))
         for depth_file in depth_files:
             figs.extend(plotGeneDepths(depth_file))
         for cnf in cn_files:

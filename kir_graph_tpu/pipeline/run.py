@@ -63,6 +63,20 @@ class SamplePipeline:
             writeReadsAndVariantsData(reads_data, out_prefix + ".json")
             self.writeDepthTsv(depth, depth_tsv)
             np.save(out_prefix + ".pileup.npy", pileup)
+            # mapping stats (samtools-flagstat stand-in, reference
+            # plot.py:44-68)
+            import json
+
+            with open(out_prefix + ".stat.json", "w") as f:
+                json.dump(
+                    {
+                        "total": int(len(result.gene)) * 2,
+                        "mapped": int((result.gene >= 0).sum()) * 2,
+                        "passed": int(passed.sum()) * 2,
+                        "unique": int((passed & (result.nh == 1)).sum()) * 2,
+                    },
+                    f,
+                )
         return out_prefix
 
     def writeDepthTsv(self, depth: np.ndarray, filename: str) -> None:

@@ -1,0 +1,68 @@
+import pandas as pd
+import pytest
+
+from kir_graph_tpu.eval.hprc import (
+    digitLength,
+    evaluateHprc,
+    isFusionAllele,
+    readHprcTruth,
+    truncateAllele,
+)
+
+
+def test_symbol_and_fusion_parsing():
+    assert digitLength("KIR2DL1*0030218") == 7
+    assert digitLength("KIR2DL3*00101$") == 5
+    assert digitLength("KIR2DS2*005+") == 3
+    assert digitLength("KIR3DP1*004#") == 3
+    assert isFusionAllele("00101e2DP1*00201")
+    assert not isFusionAllele("KIR2DS2*00104e")  # trailing exon marker only
+    assert truncateAllele("KIR2DL1*0030218", 5) == "00302"
+    assert digitLength("00101e2DP1*00201") == 5  # digits before fusion
+
+
+def test_perfect_prediction_scores_one():
+    truth = {"S1": ["KIR2DL1*0030218", "KIR2DL3*00101$"]}
+    pred = {"S1": ["KIR2DL1*0030218", "KIR2DL3*0010101"]}
+    df = evaluateHprc(truth, pred)
+    all7 = df[(df["digits"] == 7) & (df["gene"] == "ALL")].iloc[0]
+    # 2DL3 truth has only 5 digits -> excluded at 7; 2DL1 matches
+    assert all7["tp"] == 1 and all7["fp"] == 0 and all7["fn"] == 0
+    all5 = df[(df["digits"] == 5) & (df["gene"] == "ALL")].iloc[0]
+    assert all5["tp"] == 2 and all5["recall"] == 1.0
+
+
+def test_wrong_prediction_counts_fp_fn():
+    truth = {"S1": ["KIR2DL1*0030218"]}
+    pred = {"S1": ["KIR2DL1*0040105"]}
+    df = evaluateHprc(truth, pred)
+    all7 = df[(df["digits"] == 7) & (df["gene"] == "ALL")].iloc[0]
+    assert all7["fp"] == 1 and all7["fn"] == 1 and all7["tp"] == 0
+
+
+def test_low_resolution_pred_excluded():
+    truth = {"S1": ["KIR2DL1*0030218"]}
+    pred = {"S1": ["KIR2DL1*003"]}
+    df = evaluateHprc(truth, pred)
+    all7 = df[(df["digits"] == 7) & (df["gene"] == "ALL")].iloc[0]
+    assert all7["fp"] == 0  # low-res pred excluded from precision
+    assert all7["fn"] == 1  # but truth at 7 digits is missed
+    all3 = df[(df["digits"] == 3) & (df["gene"] == "ALL")].iloc[0]
+    assert all3["tp"] == 1
+
+
+def test_fusion_truth_excluded():
+    truth = {"S1": ["00101e2DP1*00201"]}
+    pred = {"S1": []}
+    df = evaluateHprc(truth, pred)
+    all5 = df[(df["digits"] == 5) & (df["gene"] == "ALL")].iloc[0]
+    assert all5["fn"] == 0 and all5["excluded"] == 1
+
+
+def test_read_truth_format(tmp_path):
+    fn = str(tmp_path / "truth.tsv")
+    with open(fn, "w") as f:
+        f.write("id\thaplos\talleles\tname\n")
+        f.write("HG002\t1+2\tKIR2DL1*0030218_KIR2DL3*00101$\tHG002\n")
+    truth = readHprcTruth(fn)
+    assert truth == {"HG002": ["KIR2DL1*0030218", "KIR2DL3*00101$"]}
