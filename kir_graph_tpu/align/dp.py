@@ -199,17 +199,22 @@ def bandedTraceback(
 # on tunneled TPUs.
 # ---------------------------------------------------------------------------
 
-def _gatherWindows(backbone, alt, delcost, gene, w0, pad_l: int, W: int):
+def _gatherWindowsPacked(backbone, altdel, gene, w0, pad_l: int, W: int, p: AlignParams):
+    """Gather 2 byte-planes instead of 3 (delcost f32 was 2/3 of gather
+    bytes): altdel bits 0-3 = SNP alt mask, bit 4 = catalogued-deletion
+    column; the f32 skip cost is synthesized in-register."""
     idx = (w0[:, None] + pad_l) + jnp.arange(W)[None, :]
     g = gene[:, None]
-    return backbone[g, idx], alt[g, idx], delcost[g, idx]
+    wb = backbone[g, idx]
+    wad = altdel[g, idx]
+    wd = jnp.where((wad >> 4) & 1 > 0, p.del_eps, p.del_cost).astype(jnp.float32)
+    return wb, wad & 0xF, wd
 
 
 @partial(jax.jit, static_argnames=("p", "pad_l"))
 def bandedScoreGather(
     backbone: jax.Array,   # [G, Lpad] int8
-    alt: jax.Array,        # [G, Lpad] uint8
-    delcost: jax.Array,    # [G, Lpad] f32
+    altdel: jax.Array,     # [G, Lpad] uint8 (bits 0-3 alts, bit 4 del_ok)
     gene: jax.Array,       # [J] int32 (clipped valid)
     w0: jax.Array,         # [J] int32 window start (absolute - pad_l handled)
     reads: jax.Array,      # [J, RL] int8
@@ -217,15 +222,14 @@ def bandedScoreGather(
     p: AlignParams,
     pad_l: int,
 ) -> tuple[jax.Array, jax.Array]:
-    wb, wa, wd = _gatherWindows(backbone, alt, delcost, gene, w0, pad_l, p.window)
+    wb, wa, wd = _gatherWindowsPacked(backbone, altdel, gene, w0, pad_l, p.window, p)
     return bandedScore(wb, wa, wd, reads, read_len, p)
 
 
 @partial(jax.jit, static_argnames=("p", "pad_l"))
 def bandedTracebackGather(
     backbone: jax.Array,
-    alt: jax.Array,
-    delcost: jax.Array,
+    altdel: jax.Array,
     gene: jax.Array,
     w0: jax.Array,
     reads: jax.Array,
@@ -240,7 +244,7 @@ def bandedTracebackGather(
     deleted columns in between).  delta[first consumed base] == 1 and
     start_col is that base's column.
     """
-    wb, wa, wd = _gatherWindows(backbone, alt, delcost, gene, w0, pad_l, p.window)
+    wb, wa, wd = _gatherWindowsPacked(backbone, altdel, gene, w0, pad_l, p.window, p)
     cost, cols = bandedTraceback(wb, wa, wd, reads, read_len, p)
 
     J, RL = cols.shape

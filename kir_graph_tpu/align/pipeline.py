@@ -85,15 +85,13 @@ class GraphAligner:
         pad_total = Lmax + PAD_L + W + 8
         backbone = np.full((G, pad_total), BASE_PAD, dtype=np.int8)
         backbone[:, PAD_L : PAD_L + Lmax] = index.backbone
-        alt = np.zeros((G, pad_total), dtype=np.uint8)
-        alt[:, PAD_L : PAD_L + Lmax] = index.alt_mask
-        delcost = np.full((G, pad_total), self.p.del_cost, dtype=np.float32)
-        delcost[:, PAD_L : PAD_L + Lmax] = np.where(
-            index.del_ok, self.p.del_eps, self.p.del_cost
+        # bits 0-3: catalogued SNP alts; bit 4: catalogued-deletion column
+        altdel = np.zeros((G, pad_total), dtype=np.uint8)
+        altdel[:, PAD_L : PAD_L + Lmax] = index.alt_mask | (
+            index.del_ok.astype(np.uint8) << 4
         )
         self._backbone = jnp.asarray(backbone)
-        self._alt = jnp.asarray(alt)
-        self._delcost = jnp.asarray(delcost)
+        self._altdel = jnp.asarray(altdel)
 
     @staticmethod
     def _bucket(n: int, chunk: int) -> int:
@@ -127,7 +125,7 @@ class GraphAligner:
             else:
                 score_fn = bandedScoreGather
             c, o = score_fn(
-                self._backbone, self._alt, self._delcost,
+                self._backbone, self._altdel,
                 jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
                 jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,
             )
@@ -151,7 +149,7 @@ class GraphAligner:
             )
             rl = np.concatenate([lens[s:e], np.full(pad, 1, np.int32)])
             c, start_col, delta = bandedTracebackGather(
-                self._backbone, self._alt, self._delcost,
+                self._backbone, self._altdel,
                 jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
                 jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,
             )

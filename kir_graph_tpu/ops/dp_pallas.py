@@ -174,8 +174,7 @@ def _pallasCall(wbase, walt, wdel, reads, read_len, p, interpret, Jp):
 @partial(jax.jit, static_argnames=("p", "pad_l", "interpret"))
 def bandedScorePallasGather(
     backbone: jax.Array,
-    alt: jax.Array,
-    delcost: jax.Array,
+    altdel: jax.Array,
     gene: jax.Array,
     w0: jax.Array,
     reads: jax.Array,
@@ -185,7 +184,7 @@ def bandedScorePallasGather(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Gather-inside-jit variant (drop-in for dp.bandedScoreGather)."""
-    from ..align.dp import _gatherWindows
+    from ..align.dp import _gatherWindowsPacked
 
-    wb, wa, wd = _gatherWindows(backbone, alt, delcost, gene, w0, pad_l, p.window)
+    wb, wa, wd = _gatherWindowsPacked(backbone, altdel, gene, w0, pad_l, p.window, p)
     return bandedScorePallas(wb, wa, wd, reads, read_len, p, interpret=interpret)

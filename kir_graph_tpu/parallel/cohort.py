@@ -37,8 +37,7 @@ class DeviceIndexArrays:
     """Replicated (per-chip) index arrays for the pure-device path."""
 
     backbone: jax.Array     # [G, Lpad] int8
-    alt: jax.Array          # [G, Lpad] uint8
-    delcost: jax.Array      # [G, Lpad] f32
+    altdel: jax.Array       # [G, Lpad] uint8 (bits 0-3 alts, bit 4 del_ok)
     lengths: jax.Array      # [G] int32
     table: SeedTable
     # dense variant tables (padded to Vmax): SNP-only typing evidence
@@ -57,11 +56,9 @@ def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> Dev
     pad_total = Lmax + PAD_L + p.window + 8
     backbone = np.full((G, pad_total), BASE_PAD, dtype=np.int8)
     backbone[:, PAD_L : PAD_L + Lmax] = index.backbone
-    alt = np.zeros((G, pad_total), dtype=np.uint8)
-    alt[:, PAD_L : PAD_L + Lmax] = index.alt_mask
-    delcost = np.full((G, pad_total), p.del_cost, dtype=np.float32)
-    delcost[:, PAD_L : PAD_L + Lmax] = np.where(
-        index.del_ok, p.del_eps, p.del_cost
+    altdel = np.zeros((G, pad_total), dtype=np.uint8)
+    altdel[:, PAD_L : PAD_L + Lmax] = index.alt_mask | (
+        index.del_ok.astype(np.uint8) << 4
     )
 
     # flatten variants across genes, pad allele axis to the global max
@@ -85,8 +82,7 @@ def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> Dev
 
     return DeviceIndexArrays(
         backbone=jnp.asarray(backbone),
-        alt=jnp.asarray(alt),
-        delcost=jnp.asarray(delcost),
+        altdel=jnp.asarray(altdel),
         lengths=jnp.asarray(index.lengths),
         table=SeedTable.fromIndex(index),
         var_gene=jnp.asarray(np.array(var_gene, dtype=np.int32)),
@@ -144,8 +140,9 @@ def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, w0, use_pallas: bool 
     W = p.window
     idx = (wflat[:, None] + PAD_L) + jnp.arange(W)[None, :]
     wb = arr.backbone[gflat[:, None], idx]
-    wa = arr.alt[gflat[:, None], idx]
-    wd = arr.delcost[gflat[:, None], idx]
+    wad = arr.altdel[gflat[:, None], idx]
+    wa = wad & 0xF
+    wd = jnp.where(((wad >> 4) & 1) > 0, p.del_eps, p.del_cost).astype(jnp.float32)
     rcodes = jnp.repeat(codes, C, axis=0)
     rlens = jnp.repeat(lens, C)
     if use_pallas:
@@ -296,7 +293,7 @@ class SplitCohortStep:
         @jax.jit
         def seed(codes1, rc1, codes2, rc2):
             codes = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
-            cand, _ = _candidatesFor(arr, codes, top_c, 8, 32, 2)
+            cand, _ = _candidatesFor(arr, codes, top_c, 8, 16, 2)
             gene = jnp.where(cand >= 0, cand // md, -1)
             diag = cand % md
             return codes, gene, diag
