@@ -39,6 +39,7 @@ class GeneTables:
     var_is_del: np.ndarray
     var_val: np.ndarray
     var_in_exon: np.ndarray
+    var_ignore: np.ndarray
     del_lookup: dict          # (canon_pos, len) -> local idx
     snp_lookup: np.ndarray    # [L, 4] -> local idx (-1)
     seq: np.ndarray
@@ -72,6 +73,7 @@ class VariantAnnotator:
                     var_is_del=g.var_is_del,
                     var_val=g.var_val,
                     var_in_exon=g.var_in_exon,
+                    var_ignore=g.var_ignore,
                     del_lookup=del_lookup,
                     snp_lookup=snp_lookup,
                     seq=g.seq,
@@ -162,6 +164,7 @@ class VariantAnnotator:
                     t, md["cols"][n], md["bases"][n], int(md["lens"][n]),
                     novel_ids, novel_map,
                     ec_pileup[gi] if ec_pileup is not None else None,
+                    exon_only=exon_only,
                 )
                 nm[m, n] = info["nm"]
                 if info["nm"] > self.num_editdist:
@@ -221,6 +224,7 @@ class VariantAnnotator:
         novel_ids: IdAllocator,
         novel_map: dict,
         gene_pileup: np.ndarray | None = None,
+        exon_only: bool = False,
     ) -> dict:
         """One mate -> NM + positive/negative variant id lists."""
         cols = cols[:read_len]
@@ -228,6 +232,10 @@ class VariantAnnotator:
         consumed = cols >= 0
         if not consumed.any():
             return {"nm": 99, "pos_ids": [], "neg_ids": []}
+        # -3 = consumed outside the reference (read overhangs a gene
+        # boundary): the reference discards soft-clipped reads' evidence
+        # (hisat2.py:681-684); same here — NM from in-range edits only
+        overhang = bool((cols == -3).any())
         ccols = cols[consumed]
         cbases = bases[consumed]
 
@@ -271,6 +279,10 @@ class VariantAnnotator:
         novel_snp_pos = mm_pos[snp_idx < 0]
         novel_snp_base = mm_base[snp_idx < 0]
         n_pos_cols = ccols[mm & n_mask]
+        # rare (ignored) SNPs are outside the alignment graph, so hisat2
+        # counts them in NM even though they are catalogued (typing still
+        # records them as positives)
+        n_ignored_snp = int(t.var_ignore[known_snp].sum())
 
         # deletions: match catalog via canonical position
         known_del = []
@@ -285,10 +297,14 @@ class VariantAnnotator:
             else:
                 novel_del_len += int(l)
 
-        nm = int(len(novel_snp_pos) + len(n_pos_cols) + n_ins + novel_del_len)
+        nm = int(
+            len(novel_snp_pos) + len(n_pos_cols) + n_ins + novel_del_len
+            + n_ignored_snp
+        )
 
-        # novel indel => discard evidence (reference hisat2.py:746-754)
-        if has_ins or novel_del_len:
+        # novel indel / boundary overhang => discard evidence
+        # (reference hisat2.py:746-754 and soft-clip rule 681-684)
+        if has_ins or novel_del_len or overhang:
             return {"nm": nm, "pos_ids": [], "neg_ids": []}
 
         # register novel SNVs (shared nv ids across reads)
@@ -307,6 +323,11 @@ class VariantAnnotator:
                 novel_map[key] = v
             novel_local_ids.append(str(v.id))
 
+        # exon-only mode keeps only exon-region catalogued variants
+        # (reference getPNFromVariantList exon_only, hisat2.py:775-790)
+        if exon_only:
+            known_snp = known_snp[t.var_in_exon[known_snp]]
+            known_del = [i for i in known_del if t.var_in_exon[i]]
         pos_ids = [t.var_ids[i] for i in known_snp] + [
             t.var_ids[i] for i in known_del
         ] + novel_local_ids
@@ -322,6 +343,8 @@ class VariantAnnotator:
         neg_ids = []
         for i in range(lo, hi):
             if i in pos_set:
+                continue
+            if exon_only and not t.var_in_exon[i]:
                 continue
             p = int(t.var_pos[i])
             if t.var_is_del[i]:

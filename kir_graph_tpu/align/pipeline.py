@@ -62,9 +62,11 @@ class GraphAligner:
         min_votes: int = 2,
         max_pair_buckets: int = 70,   # max mate diagonal distance in buckets
         use_pallas: bool | None = None,
+        annot_editdist: int = 4,      # matches VariantAnnotator's NM filter
     ):
         self.index = index
         self.p = params or AlignParams()
+        self.annot_editdist = annot_editdist
         if use_pallas is None:
             import jax
 
@@ -156,6 +158,12 @@ class GraphAligner:
             costs[s:e] = np.asarray(c)[:n]
             col = decodeDeltas(np.asarray(start_col)[:n], np.asarray(delta)[:n])
             abs_col = np.where(col >= 0, col + ww[:n, None], col)
+            # consumed bases outside the reference (read overhangs a gene
+            # boundary; window pad) -> -3 "out of reference" sentinel, so
+            # they can't collide with the -1/-2 markers or index OOB
+            glen = np.asarray(self.index.lengths)[np.clip(wg[:n], 0, None)]
+            oor = (col >= 0) & ((abs_col < 0) | (abs_col >= glen[:, None]))
+            abs_col = np.where(oor, -3, abs_col)
             cols[s:e] = abs_col
         return costs, cols
 
@@ -299,7 +307,10 @@ class GraphAligner:
 
         flat_pair = pair_cost.reshape(N, -1)
         best = flat_pair.min(axis=1)
-        mapped = best < BIG / 2
+        # coarse combined-cost cap: the exact NM filter runs in the
+        # annotator; this only keeps absurd placements (e.g. boundary
+        # overhangs paying 1/pad-column) away from traceback
+        mapped = best < 4.0 * (self.annot_editdist + 1)
 
         # NH: count distinct placements among equal-best combos
         place_hash = (
@@ -338,8 +349,8 @@ class GraphAligner:
             oc = np.where(is_rc[:, None], codes_r, codes_f)
             return gsel, w0w, oc, lens, is_rc
 
-        rc1_codes = revCompCodes(codes1, len1)
-        rc2_codes = revCompCodes(codes2, len2)
+        rc1_codes = mates[1][1]  # already computed for seeding
+        rc2_codes = mates[3][1]
         g1, w01, oc1, l1, isrc1 = winnerJobs(slot1, 0, codes1, rc1_codes, len1)
         g2, w02, oc2, l2, isrc2 = winnerJobs(slot2, 2 * C, codes2, rc2_codes, len2)
 

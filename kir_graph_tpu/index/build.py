@@ -223,9 +223,11 @@ class KirIndex:
                 keep = np.frombuffer(gapped.encode(), np.uint8) != ord("-")
                 acodes = codes[keep].astype(np.int64)
                 acols = np.nonzero(keep)[0]
-                # carriers of a long deletion index their k-mers against
-                # the spliced pseudo-reference so junction-crossing seeds
-                # vote one consistent diagonal
+                # carriers of a long deletion also index their k-mers
+                # against each matching spliced pseudo-reference so
+                # junction-crossing seeds vote one consistent diagonal
+                # (an allele with several long deletions gets one entry
+                # per junction)
                 routed = False
                 for prow, pos, dlen in pseudo_by_gene.get(gi, []):
                     vi = np.nonzero(
@@ -235,7 +237,6 @@ class KirIndex:
                         pcols = np.where(acols >= pos + dlen, acols - dlen, acols)
                         seqs.append((acodes, pcols, prow))
                         routed = True
-                        break
                 if not routed:
                     seqs.append((acodes, acols, gi))
             for codes, columns, grow in seqs:

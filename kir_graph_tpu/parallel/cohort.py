@@ -272,7 +272,7 @@ def cohortStep(
     allele_loglik = loglik.sum(axis=0)                # [A]
     if axis_name:
         allele_loglik = jax.lax.psum(allele_loglik, axis_name)
-        hist = jax.lax.psum(hist, axis_name)
+        # hist derives from the already-psum'd depth: identical per chip
 
     return depth, hist, allele_loglik
 
@@ -424,7 +424,8 @@ def _pairAndReduce(
     allele_loglik = loglik.sum(axis=0)
     if axis_name:
         allele_loglik = jax.lax.psum(allele_loglik, axis_name)
-        hist = jax.lax.psum(hist, axis_name)
+        # hist is computed from the already-psum'd global depth and is
+        # identical on every chip — no second reduction
     return depth, hist, allele_loglik
 
 

@@ -44,8 +44,12 @@ class AlleleTypingExonFirst(AlleleTyping):
         self.allele_group = {
             "|".join(alleles): alleles for alleles in variantset_to_allele.values()
         }
+        # collapse alleles into groups over the FULL catalog (reference
+        # typing_mulit_allele.py:656-659): alleles whose exons equal the
+        # backbone carry no exon variants and stay reachable only through
+        # their intron variants' allele links
         exon_variants = self.removeDuplicateAllele(
-            exon_variants, self.createInverseMapping(self.allele_group)
+            variants, self.createInverseMapping(self.allele_group)
         )
 
         super().__init__(
