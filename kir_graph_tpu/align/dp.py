@@ -118,6 +118,21 @@ def bandedScore(
 
 
 @partial(jax.jit, static_argnames=("p",))
+def bandedScoreBytes(
+    wbytes: jax.Array,    # [J, W] uint8: bits 0-3 alts, bit 4 del, bits 5-7 base
+    reads: jax.Array,     # [J, RL] int8
+    read_len: jax.Array,  # [J] int32
+    p: AlignParams,
+) -> tuple[jax.Array, jax.Array]:
+    """XLA fallback for the packed byte-plane window format
+    (ops/dp_pallas.py:packWindowBytes)."""
+    wb = (wbytes >> 5).astype(jnp.int8)
+    wa = wbytes & 0xF
+    wd = jnp.where((wbytes >> 4) & 1 > 0, p.del_eps, p.del_cost).astype(jnp.float32)
+    return bandedScore(wb, wa, wd, reads, read_len, p)
+
+
+@partial(jax.jit, static_argnames=("p",))
 def bandedTraceback(
     wbase: jax.Array,
     walt: jax.Array,

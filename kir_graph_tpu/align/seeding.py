@@ -21,14 +21,16 @@ from ..index.build import KMER_MIX1, KMER_MIX2
 DIAG_BUCKET = 16
 
 
+POS_BITS = 17  # posting = gene << POS_BITS | position (one gather, not two)
+
+
 @dataclass
 class SeedTable:
     """Device-resident k-mer table + geometry constants."""
 
     keys: jax.Array       # [U] uint32 sorted hashes
     start: jax.Array      # [U+1] int32
-    gene: jax.Array       # [P] int32
-    pos: jax.Array        # [P] int32
+    packed: jax.Array     # [P] uint32 (gene << POS_BITS | pos)
     k: int
     n_genes: int
     max_diag: int
@@ -36,11 +38,14 @@ class SeedTable:
     @classmethod
     def fromIndex(cls, index) -> "SeedTable":
         Lmax = int(index.backbone.shape[1])
+        assert Lmax < (1 << POS_BITS)
+        packed = (
+            index.kmer_gene.astype(np.uint32) << POS_BITS
+        ) | index.kmer_pos.astype(np.uint32)
         return cls(
             keys=jnp.asarray(index.kmer_keys),
             start=jnp.asarray(index.kmer_start),
-            gene=jnp.asarray(index.kmer_gene),
-            pos=jnp.asarray(index.kmer_pos),
+            packed=jnp.asarray(packed),
             k=index.kmer,
             n_genes=int(index.backbone.shape[0]),  # incl. pseudo-refs
             max_diag=Lmax // DIAG_BUCKET + 4,
@@ -48,18 +53,26 @@ class SeedTable:
 
 
 def _packKmers(codes: jax.Array, k: int, stride: int):
-    """codes [R, L] -> hashes [R, S] uint32, offsets [S], valid [R, S]."""
+    """codes [R, L] -> hashes [R, S] uint32, offsets [S], valid [R, S].
+
+    Built from k strided slices (no gather: constant-index gathers still
+    lower to per-element gathers on TPU, ~100M elem/s)."""
     R, L = codes.shape
     h = k // 2
     n_pos = (L - k) // stride + 1
     offsets = jnp.arange(n_pos) * stride                       # [S]
-    gather_idx = offsets[:, None] + jnp.arange(k)[None, :]     # [S, k]
-    window = codes[:, gather_idx]                              # [R, S, k]
-    valid = ~(window >= 4).any(axis=2)
-    w = window.astype(jnp.uint32)
-    shifts = (2 * jnp.arange(h - 1, -1, -1)).astype(jnp.uint32)
-    hi = (w[:, :, :h] << shifts).sum(axis=2, dtype=jnp.uint32)
-    lo = (w[:, :, h:] << shifts).sum(axis=2, dtype=jnp.uint32)
+    span = (n_pos - 1) * stride + 1
+    hi = jnp.zeros((R, n_pos), jnp.uint32)
+    lo = jnp.zeros((R, n_pos), jnp.uint32)
+    valid = jnp.ones((R, n_pos), bool)
+    for i in range(k):
+        col = jax.lax.slice(codes, (0, i), (R, i + span), (1, stride))
+        valid &= col < 4
+        c = col.astype(jnp.uint32)
+        if i < h:
+            hi = hi + (c << jnp.uint32(2 * (h - 1 - i)))
+        else:
+            lo = lo + (c << jnp.uint32(2 * (k - 1 - i)))
     keys = (hi * jnp.uint32(KMER_MIX1)) ^ (lo * jnp.uint32(KMER_MIX2))
     return keys, offsets, valid
 
@@ -74,8 +87,7 @@ def _findCandidates(
     codes: jax.Array,
     table_keys: jax.Array,
     table_start: jax.Array,
-    table_gene: jax.Array,
-    table_pos: jax.Array,
+    table_packed: jax.Array,
     k: int,
     stride: int,
     max_postings: int,
@@ -98,9 +110,10 @@ def _findCandidates(
     slot = jnp.arange(max_postings)
     p_idx = p_start[:, :, None] + slot[None, None, :]          # [R, S, P]
     p_ok = hit[:, :, None] & (p_idx < p_end[:, :, None])
-    p_idx = jnp.clip(p_idx, 0, table_gene.shape[0] - 1)
-    gene = table_gene[p_idx]
-    pos = table_pos[p_idx]
+    p_idx = jnp.clip(p_idx, 0, table_packed.shape[0] - 1)
+    packed = table_packed[p_idx]
+    gene = (packed >> POS_BITS).astype(jnp.int32)
+    pos = (packed & ((1 << POS_BITS) - 1)).astype(jnp.int32)
 
     diag = jnp.maximum(pos - offsets[None, :, None], 0)
     vote = gene * max_diag + diag // DIAG_BUCKET
@@ -159,8 +172,7 @@ def findCandidates(
         jnp.asarray(codes),
         table.keys,
         table.start,
-        table.gene,
-        table.pos,
+        table.packed,
         table.k,
         stride,
         max_postings,

@@ -8,8 +8,17 @@ Same recurrence as align/dp.py:bandedScore, laid out for the VPU:
   VMEM.
 * window/read arrays arrive transposed ([W, J], [RL, J]) so each grid step
   works on a (W|RL, 128) VMEM block.
-* the in-row deletion relaxation (prefix-min of tmp - cumsum(skip)) uses
-  log2(B) shifted-min steps — no scan carries, no tuple reductions.
+* the whole reference window arrives as ONE byte plane (bits 0-3 SNP-alt
+  mask, bit 4 catalogued-deletion, bits 5-7 base code) — a third of the
+  HBM traffic of three separate planes, and the per-column skip cost is
+  synthesized in registers.
+* the in-row deletion relaxation (prefix-min of tmp - prefix(skip)) uses
+  log2(B) shifted-min steps — no scan carries, no tuple reductions.  The
+  skip prefix is hoisted: computed once per 8-row group (the per-row band
+  slice only differs by a constant, which cancels between the subtract
+  and the add).
+* the end-of-read min/argmin reduction runs under lax.cond — with 150 bp
+  reads only ~2 of 160 rows contain any read end.
 
 The XLA fallback (align/dp.py) remains the reference implementation; this
 kernel must produce identical costs (tests/test_pallas.py).
@@ -43,17 +52,26 @@ def pallasAvailable() -> bool:
 def _kernel(p: AlignParams):
     B = p.band
     RL = p.read_len
-    shifts = [1 << s for s in range(int(np.ceil(np.log2(max(B, 2)))))]
+    scan_shifts = [1 << s for s in range(int(np.ceil(np.log2(max(B, 2)))))]
 
     GROUP = 8  # Mosaic requires sublane slice starts provably 8-aligned:
     #            slice B+GROUP rows at 8*group, then shift in registers
+    SLICE = B + GROUP
+    pre_shifts = [1 << s for s in range(int(np.ceil(np.log2(SLICE))))]
     assert RL % GROUP == 0
 
-    def kernel(wb_ref, wa_ref, wd_ref, reads_ref, len_ref, cost_ref, end_ref):
-        def oneRow(i, wb, wa, wd, rb, carry):
-            """One DP row given in-register window slices [B, L]."""
+    def kernel(wbytes_ref, reads_ref, len_ref, cost_ref, end_ref):
+        lens = len_ref[0, :]
+
+        def oneRow(i, wb, wa, dpre, rb, carry):
+            """One DP row given in-register window slices [B, L].
+
+            dpre is the skip-cost prefix over the *group* slice; per row it
+            differs from the band-local prefix by a constant, which cancels
+            between the subtract and the add around the min-scan.
+            """
             prev, best_cost, best_off = carry
-            is_match = (rb == wb.astype(jnp.int32)) & (rb < 4)
+            is_match = (rb == wb) & (rb < 4)
             is_alt = (((wa >> rb) & 1) > 0) & (rb < 4)
             sub = jnp.where(is_match | is_alt, 0.0, p.mismatch)
 
@@ -64,42 +82,48 @@ def _kernel(p: AlignParams):
                 )
                 + p.ins_cost
             )
-            tmp = jnp.minimum(m, ins)
-
-            # inclusive prefix sum along the band (no cumsum lowering on
-            # TPU pallas): Hillis-Steele doubling
-            dpre = wd
-            for s in shifts:
-                dpre = dpre + jnp.concatenate(
-                    [jnp.zeros((s, LANES), jnp.float32), dpre[:-s, :]], axis=0
-                )
-            a = tmp - dpre
-            for s in shifts:
+            a = jnp.minimum(m, ins) - dpre
+            for s in scan_shifts:
                 shifted = jnp.concatenate(
                     [jnp.full((s, LANES), BIG, jnp.float32), a[:-s, :]], axis=0
                 )
                 a = jnp.minimum(a, shifted)
             row = a + dpre
 
-            at_end = (i == (len_ref[0, :] - 1))[None, :]
-            row_min = jnp.min(row, axis=0, keepdims=True)
-            row_arg = jnp.argmin(row, axis=0).astype(jnp.int32)[None, :]
-            best_cost = jnp.where(at_end, row_min, best_cost)
-            best_off = jnp.where(at_end, row_arg, best_off)
+            at_end = (i == (lens - 1))[None, :]
+
+            def reduceEnd(c):
+                bc, bo = c
+                row_min = jnp.min(row, axis=0, keepdims=True)
+                row_arg = jnp.argmin(row, axis=0).astype(jnp.int32)[None, :]
+                return jnp.where(at_end, row_min, bc), jnp.where(at_end, row_arg, bo)
+
+            best_cost, best_off = jax.lax.cond(
+                jnp.any(at_end), reduceEnd, lambda c: c, (best_cost, best_off)
+            )
             return row, best_cost, best_off
 
         def group(g, carry):
             base = pl.multiple_of(g * GROUP, GROUP)
-            wb_blk = wb_ref[pl.ds(base, B + GROUP), :]
-            wa_blk = wa_ref[pl.ds(base, B + GROUP), :].astype(jnp.int32)
-            wd_blk = wd_ref[pl.ds(base, B + GROUP), :]
+            blk = wbytes_ref[pl.ds(base, SLICE), :].astype(jnp.int32)
+            wb_blk = blk >> 5
+            wa_blk = blk & 0xF
+            wd_blk = jnp.where(
+                ((blk >> 4) & 1) > 0, p.del_eps, p.del_cost
+            ).astype(jnp.float32)
+            # inclusive skip-cost prefix over the slice, once per 8 rows
+            dP = wd_blk
+            for s in pre_shifts:
+                dP = dP + jnp.concatenate(
+                    [jnp.zeros((s, LANES), jnp.float32), dP[:-s, :]], axis=0
+                )
             rb_blk = reads_ref[pl.ds(base, GROUP), :].astype(jnp.int32)
             for k in range(GROUP):
                 carry = oneRow(
                     g * GROUP + k,
                     wb_blk[k : k + B, :],
                     wa_blk[k : k + B, :],
-                    wd_blk[k : k + B, :],
+                    dP[k : k + B, :],
                     rb_blk[k, :][None, :],
                     carry,
                 )
@@ -117,6 +141,39 @@ def _kernel(p: AlignParams):
     return kernel
 
 
+def packWindowBytes(wbase: jax.Array, walt: jax.Array, is_del: jax.Array) -> jax.Array:
+    """(base [.., W] int, alt-mask [.., W] uint8, del-flag [.., W] bool)
+    -> one byte plane: bits 0-3 alts, bit 4 del, bits 5-7 base code."""
+    return (
+        (wbase.astype(jnp.uint8) << 5)
+        | (is_del.astype(jnp.uint8) << 4)
+        | (walt.astype(jnp.uint8) & 0xF)
+    )
+
+
+@partial(jax.jit, static_argnames=("p", "interpret"))
+def bandedScorePallasBytes(
+    wbytes: jax.Array,    # [J, W] uint8 packed window plane
+    reads: jax.Array,     # [J, RL] int8
+    read_len: jax.Array,  # [J] int32
+    p: AlignParams,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Score pass over packed byte-plane windows (see packWindowBytes)."""
+    assert _PALLAS, "pallas unavailable"
+    J = wbytes.shape[0]
+    Jp = -(-J // LANES) * LANES
+    pad = Jp - J
+    PAD_BYTE = 4 << 5  # pad base code, no alts, novel-deletion cost
+    if pad:
+        wbytes = jnp.pad(wbytes, ((0, pad), (0, 0)), constant_values=PAD_BYTE)
+        reads = jnp.pad(reads, ((0, pad), (0, 0)), constant_values=4)
+        read_len = jnp.pad(read_len, (0, pad), constant_values=1)
+
+    cost, end = _pallasCall(wbytes, reads, read_len, p, interpret, Jp)
+    return cost[0, :J], end[0, :J]
+
+
 @partial(jax.jit, static_argnames=("p", "interpret"))
 def bandedScorePallas(
     wbase: jax.Array,     # [J, W] int8
@@ -127,23 +184,16 @@ def bandedScorePallas(
     p: AlignParams,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Drop-in replacement for align.dp.bandedScore (score-only pass)."""
-    assert _PALLAS, "pallas unavailable"
-    J = wbase.shape[0]
-    Jp = -(-J // LANES) * LANES
-    pad = Jp - J
-    if pad:
-        wbase = jnp.pad(wbase, ((0, pad), (0, 0)), constant_values=4)
-        walt = jnp.pad(walt, ((0, pad), (0, 0)))
-        wdel = jnp.pad(wdel, ((0, pad), (0, 0)), constant_values=p.del_cost)
-        reads = jnp.pad(reads, ((0, pad), (0, 0)), constant_values=4)
-        read_len = jnp.pad(read_len, (0, pad), constant_values=1)
+    """Drop-in replacement for align.dp.bandedScore (score-only pass).
 
-    cost, end = _pallasCall(wbase, walt, wdel, reads, read_len, p, interpret, Jp)
-    return cost[0, :J], end[0, :J]
+    Packs the three window planes into one byte plane in XLA (elementwise,
+    fuses) and runs the byte-plane kernel.
+    """
+    wbytes = packWindowBytes(wbase, walt, wdel == p.del_eps)
+    return bandedScorePallasBytes(wbytes, reads, read_len, p, interpret=interpret)
 
 
-def _pallasCall(wbase, walt, wdel, reads, read_len, p, interpret, Jp):
+def _pallasCall(wbytes, reads, read_len, p, interpret, Jp):
     W = p.window
     RL = p.read_len
     grid = (Jp // LANES,)
@@ -151,8 +201,6 @@ def _pallasCall(wbase, walt, wdel, reads, read_len, p, interpret, Jp):
         _kernel(p),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((W, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((RL, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -167,7 +215,7 @@ def _pallasCall(wbase, walt, wdel, reads, read_len, p, interpret, Jp):
         ),
         interpret=interpret,
     )(
-        wbase.T, walt.T, wdel.T, reads.T, read_len[None, :]
+        wbytes.T, reads.T, read_len[None, :]
     )
 
 

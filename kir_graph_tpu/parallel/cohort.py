@@ -38,6 +38,10 @@ class DeviceIndexArrays:
 
     backbone: jax.Array     # [G, Lpad] int8
     altdel: jax.Array       # [G, Lpad] uint8 (bits 0-3 alts, bit 4 del_ok)
+    win: jax.Array          # [G*max_diag, W] uint8 precomputed bucket windows
+    #                         (packWindowBytes layout; row = gene*max_diag+diag,
+    #                         i.e. exactly the seed candidate key — per-element
+    #                         window gathers become contiguous row gathers)
     lengths: jax.Array      # [G] int32
     table: SeedTable
     # dense variant tables (padded to Vmax): SNP-only typing evidence
@@ -53,13 +57,22 @@ class DeviceIndexArrays:
 def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> DeviceIndexArrays:
     p = params or AlignParams()
     G, Lmax = index.backbone.shape
-    pad_total = Lmax + PAD_L + p.window + 8
+    max_diag = Lmax // DIAG_BUCKET + 4  # == SeedTable.max_diag
+    pad_total = PAD_L + (max_diag - 1) * DIAG_BUCKET - DIAG_BUCKET + p.window + 8
     backbone = np.full((G, pad_total), BASE_PAD, dtype=np.int8)
     backbone[:, PAD_L : PAD_L + Lmax] = index.backbone
     altdel = np.zeros((G, pad_total), dtype=np.uint8)
     altdel[:, PAD_L : PAD_L + Lmax] = index.alt_mask | (
         index.del_ok.astype(np.uint8) << 4
     )
+
+    # one packed byte plane (bits 0-3 alts, bit 4 del, bits 5-7 base),
+    # pre-sliced into the seed diagonal buckets: row gene*max_diag + diag
+    # holds the window starting at column diag*DIAG_BUCKET - DIAG_BUCKET
+    plane = (backbone.astype(np.uint8) << 5) | altdel
+    sw = np.lib.stride_tricks.sliding_window_view(plane, p.window, axis=1)
+    starts = PAD_L - DIAG_BUCKET + np.arange(max_diag) * DIAG_BUCKET
+    win = np.ascontiguousarray(sw[:, starts, :]).reshape(G * max_diag, p.window)
 
     # flatten variants across genes, pad allele axis to the global max
     Amax = max(len(g.alleles) for g in index.genes.values())
@@ -83,6 +96,7 @@ def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> Dev
     return DeviceIndexArrays(
         backbone=jnp.asarray(backbone),
         altdel=jnp.asarray(altdel),
+        win=jnp.asarray(win),
         lengths=jnp.asarray(index.lengths),
         table=SeedTable.fromIndex(index),
         var_gene=jnp.asarray(np.array(var_gene, dtype=np.int32)),
@@ -119,8 +133,7 @@ def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, m
         codes,
         arr.table.keys,
         arr.table.start,
-        arr.table.gene,
-        arr.table.pos,
+        arr.table.packed,
         arr.table.k,
         stride,
         max_postings,
@@ -131,28 +144,32 @@ def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, m
     )
 
 
-def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, w0, use_pallas: bool = False):
-    """DP-score a dense [R, C] candidate grid -> cost [R, C], end [R, C]."""
+def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, diag, use_pallas: bool = False):
+    """DP-score a dense [R, C] candidate grid -> cost [R, C], end [R, C].
+
+    Windows come from the precomputed per-(gene, diag-bucket) byte-plane
+    table: one contiguous row gather instead of [J, W] per-element gathers
+    (the latter run at ~100M elem/s on TPU — 10x slower than the DP kernel
+    itself at bench shapes).
+    """
     p = arr.params
     R, C = gene.shape
-    gflat = jnp.clip(gene.reshape(-1), 0, arr.n_genes - 1)
-    wflat = w0.reshape(-1)
-    W = p.window
-    idx = (wflat[:, None] + PAD_L) + jnp.arange(W)[None, :]
-    wb = arr.backbone[gflat[:, None], idx]
-    wad = arr.altdel[gflat[:, None], idx]
-    wa = wad & 0xF
-    wd = jnp.where(((wad >> 4) & 1) > 0, p.del_eps, p.del_cost).astype(jnp.float32)
+    md = arr.table.max_diag
+    rows = jnp.where(gene >= 0, gene * md + diag, 0).reshape(-1)
+    wbytes = jnp.take(arr.win, rows, axis=0)
     rcodes = jnp.repeat(codes, C, axis=0)
     rlens = jnp.repeat(lens, C)
     if use_pallas:
-        from ..ops.dp_pallas import bandedScorePallas
+        from ..ops.dp_pallas import bandedScorePallasBytes
 
-        cost, end_off = bandedScorePallas(wb, wa, wd, rcodes, rlens, p)
+        cost, end_off = bandedScorePallasBytes(wbytes, rcodes, rlens, p)
     else:
-        cost, end_off = bandedScore(wb, wa, wd, rcodes, rlens, p)
+        from ..align.dp import bandedScoreBytes
+
+        cost, end_off = bandedScoreBytes(wbytes, rcodes, rlens, p)
     cost = cost.reshape(R, C) + jnp.where(gene < 0, 1e9, 0.0)
-    end_abs = wflat.reshape(R, C) + (rlens.reshape(R, C) - 1) + end_off.reshape(R, C)
+    w0 = diag * DIAG_BUCKET - DIAG_BUCKET
+    end_abs = w0 + (rlens.reshape(R, C) - 1) + end_off.reshape(R, C)
     return cost, end_abs
 
 
@@ -196,85 +213,26 @@ def cohortStep(
     for (c, l), cand in zip(streams, cands):
         gene = jnp.where(cand >= 0, cand // md, -1)
         diag = cand % md
-        w0 = diag * DIAG_BUCKET - DIAG_BUCKET
-        cost, end = _scoreDense(arr, c, l, gene, w0, use_pallas=use_pallas)
+        cost, end = _scoreDense(arr, c, l, gene, diag, use_pallas=use_pallas)
         costs.append(cost)
         ends.append(end)
         genes.append(gene)
         diags.append(diag)
 
-    # --- FR pairing: (m1 orient o) with (m2 orient 1-o)
+    # --- FR pairing + pileup + reductions (shared with the split driver)
     m1c = jnp.stack(costs[0:2], axis=1)   # [R, 2, C]
-    m2c = jnp.stack(costs[2:4], axis=1)[:, ::-1]
+    m2c = jnp.stack(costs[2:4], axis=1)
     m1g = jnp.stack(genes[0:2], axis=1)
-    m2g = jnp.stack(genes[2:4], axis=1)[:, ::-1]
+    m2g = jnp.stack(genes[2:4], axis=1)
     m1d = jnp.stack(diags[0:2], axis=1)
-    m2d = jnp.stack(diags[2:4], axis=1)[:, ::-1]
+    m2d = jnp.stack(diags[2:4], axis=1)
     m1e = jnp.stack(ends[0:2], axis=1)
-    m2e = jnp.stack(ends[2:4], axis=1)[:, ::-1]
-
-    pc = m1c[:, :, :, None] + m2c[:, :, None, :]
-    ok = (m1g[:, :, :, None] == m2g[:, :, None, :]) & (m1g[:, :, :, None] >= 0)
-    ok &= jnp.abs(m1d[:, :, :, None] - m2d[:, :, None, :]) <= 70
-    pair_cost = jnp.where(ok, pc, 1e9).reshape(R, -1)
-    best = pair_cost.min(axis=1)
-    combo = pair_cost.argmin(axis=1)
-    mapped = best < 8.0  # NM-style threshold on combined novel edits
-
-    C = top_c
-    bo = combo // (C * C)             # winning mate-1 orientation [R]
-    bc1 = (combo // C) % C
-    bc2 = combo % C
-    ridx = jnp.arange(R)
-    gene_best = jnp.where(mapped, m1g[ridx, bo, bc1], 0)
-    end1 = m1e[ridx, bo, bc1]
-    end2 = m2e[ridx, bo, bc2]
-
-    # --- approximate depth: +1 over [end-len+1, end] per mate
-    depth = jnp.zeros((arr.n_genes, arr.Lmax + 2), dtype=jnp.float32)
-    for end, lens in ((end1, len1), (end2, len2)):
-        start = jnp.clip(end - lens + 1, 0, arr.Lmax - 1)
-        stop = jnp.clip(end, 0, arr.Lmax - 1)
-        w = jnp.where(mapped, 1.0, 0.0)
-        depth = depth.at[gene_best, start].add(w)
-        depth = depth.at[gene_best, stop + 1].add(-w)
-    depth = jnp.cumsum(depth, axis=1)[:, : arr.Lmax]
-    if axis_name:
-        depth = jax.lax.psum(depth, axis_name)
-
-    # --- pooled CN histogram over per-gene mean depth (cohort CNgroup input)
-    gene_len = jnp.maximum(arr.lengths.astype(jnp.float32), 1.0)
-    gene_depth = depth.sum(axis=1) / gene_len
-    hist = jnp.zeros((cn_bins,), dtype=jnp.float32)
-    bin_idx = jnp.clip(
-        (gene_depth / 2.0).astype(jnp.int32), 0, cn_bins - 1
+    m2e = jnp.stack(ends[2:4], axis=1)
+    codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
+    return _pairAndReduce(
+        arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes_all,
+        axis_name=axis_name, cn_bins=cn_bins,
     )
-    hist = hist.at[bin_idx].add(1.0)
-
-    # --- SNP-evidence typing likelihood (allele axis shards over 'model')
-    # read base at each variant position (approximate: winner diagonal)
-    start1 = end1 - len1 + 1
-    vpos = arr.var_pos[None, :]                       # [1, V]
-    off = vpos - start1[:, None]                      # [R, V]
-    in_read = (off >= 0) & (off < codes1.shape[1]) & (
-        arr.var_gene[None, :] == gene_best[:, None]
-    ) & mapped[:, None] & (arr.var_alt[None, :] >= 0)
-    base_at = jnp.take_along_axis(
-        codes1, jnp.clip(off, 0, codes1.shape[1] - 1), axis=1
-    )
-    pos_hit = in_read & (base_at == arr.var_alt[None, :])
-    neg_hit = in_read & (base_at != arr.var_alt[None, :])
-    count_diff = pos_hit.astype(jnp.float32) - neg_hit.astype(jnp.float32)
-    core = jnp.dot(count_diff, arr.membership, preferred_element_type=jnp.float32)
-    loglik = core * (LOG_HIT - LOG_MISS) + (
-        pos_hit.sum() * LOG_MISS + neg_hit.sum() * LOG_HIT
-    ) / max(arr.membership.shape[1], 1)
-    allele_loglik = loglik.sum(axis=0)                # [A]
-    if axis_name:
-        allele_loglik = jax.lax.psum(allele_loglik, axis_name)
-        # hist derives from the already-psum'd depth: identical per chip
-
-    return depth, hist, allele_loglik
 
 
 # ---------------------------------------------------------------------------
@@ -301,13 +259,12 @@ class SplitCohortStep:
         @jax.jit
         def score(codes, len1, len2, gene, diag):
             lens = jnp.concatenate([len1, len1, len2, len2], axis=0)
-            w0 = diag * DIAG_BUCKET - DIAG_BUCKET
-            cost, end = _scoreDense(arr, codes, lens, gene, w0, use_pallas=use_pallas)
+            cost, end = _scoreDense(arr, codes, lens, gene, diag, use_pallas=use_pallas)
             return cost, end
 
         @jax.jit
-        def finalize(cost, gene, diag, end, len1, len2, codes1):
-            R = codes1.shape[0]
+        def finalize(cost, gene, diag, end, len1, len2, codes_all):
+            R = codes_all.shape[0] // 4
 
             def perStream(x):
                 s = x.reshape(4, R, -1)
@@ -321,8 +278,8 @@ class SplitCohortStep:
             m1d, m2d = perStream(diag)
             m1e, m2e = perStream(end)
             return _pairAndReduce(
-                arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1,
-                axis_name=None,
+                arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2,
+                codes_all, axis_name=None,
             )
 
         self._seed = seed
@@ -347,7 +304,7 @@ class SplitCohortStep:
             jax.block_until_ready(cost)
         t2 = _t.time()
 
-        out = self._finalize(cost, gene, diag, end, len1, len2, codes1)
+        out = self._finalize(cost, gene, diag, end, len1, len2, codes_all)
         if timings is not None:
             jax.block_until_ready(out)
         t3 = _t.time()
@@ -359,12 +316,23 @@ class SplitCohortStep:
 
 
 def _pairAndReduce(
-    arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes1,
+    arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes_all,
     axis_name=None, cn_bins: int = 128,
 ):
-    """FR pairing + depth + CN histogram + SNP-evidence likelihood.
-    Inputs are [R, 2, C] per-mate stream stacks (orientation axis)."""
+    """FR pairing + base pileup + depth + CN histogram + SNP-evidence
+    likelihood.  Inputs are [R, 2, C] per-mate stream stacks (orientation
+    axis, unreversed) and codes_all [4R, RL] in stream order
+    [m1 fwd, m1 rc, m2 fwd, m2 rc].
+
+    Evidence is accumulated as a (gene, position, base) pileup scatter of
+    ~R*RL elements, then read back at the V catalogued SNP positions —
+    the likelihood is linear in per-variant counts, so this is exact for
+    the summed allele log-likelihood while avoiding the [R, V] gather
+    (per-element gathers run ~100M elem/s on TPU; V*R is 30x R*RL here).
+    Both mates contribute, in their winning orientation.
+    """
     R = m1c.shape[0]
+    RL = codes_all.shape[1]
     m2c, m2g, m2d, m2e = (x[:, ::-1] for x in (m2c, m2g, m2d, m2e))
 
     pc = m1c[:, :, :, None] + m2c[:, :, None, :]
@@ -376,56 +344,66 @@ def _pairAndReduce(
     mapped = best < 8.0
 
     C = m1c.shape[2]
-    bo = combo // (C * C)
+    bo = combo // (C * C)             # winning mate-1 orientation [R]
     bc1 = (combo // C) % C
     bc2 = combo % C
     ridx = jnp.arange(R)
     gene_best = jnp.where(mapped, m1g[ridx, bo, bc1], 0)
     end1 = m1e[ridx, bo, bc1]
     end2 = m2e[ridx, bo, bc2]
+    start1 = end1 - len1 + 1
+    start2 = end2 - len2 + 1
 
-    depth = jnp.zeros((arr.n_genes, arr.Lmax + 2), dtype=jnp.float32)
-    for end, lens in ((end1, len1), (end2, len2)):
-        start = jnp.clip(end - lens + 1, 0, arr.Lmax - 1)
-        stop = jnp.clip(end, 0, arr.Lmax - 1)
-        w = jnp.where(mapped, 1.0, 0.0)
-        depth = depth.at[gene_best, start].add(w)
-        depth = depth.at[gene_best, stop + 1].add(-w)
-    depth = jnp.cumsum(depth, axis=1)[:, : arr.Lmax]
+    # mate bases in the orientation that actually aligned (m2 orientation
+    # axis was reversed above: m2 stack index bo == stream orientation 1-bo)
+    c1 = codes_all[bo * R + ridx]
+    c2 = codes_all[(3 - bo) * R + ridx]
+
+    G, Lp = arr.n_genes, arr.Lmax
+    col_j = jnp.arange(RL)[None, :]
+    pile = jnp.zeros((G * Lp * 4 + 1,), dtype=jnp.float32)
+    for codes, start, lens in ((c1, start1, len1), (c2, start2, len2)):
+        cols = start[:, None] + col_j
+        b = codes.astype(jnp.int32)
+        valid = (
+            mapped[:, None]
+            & (col_j < lens[:, None])
+            & (cols >= 0)
+            & (cols < Lp)
+            & (b < 4)
+        )
+        lin = (gene_best[:, None] * Lp + jnp.clip(cols, 0, Lp - 1)) * 4 + jnp.clip(b, 0, 3)
+        lin = jnp.where(valid, lin, G * Lp * 4)
+        pile = pile.at[lin.reshape(-1)].add(1.0)
+    pileup = pile[:-1].reshape(G, Lp, 4)
+    depth_local = pileup.sum(axis=-1)
+
+    # SNP evidence at catalogued positions (local counts; the likelihood
+    # is linear, so psum of per-chip logliks equals the global one)
+    vg = arr.var_gene
+    vp = jnp.clip(arr.var_pos, 0, Lp - 1)
+    snp = arr.var_alt >= 0
+    pos_cnt = pileup[vg, vp, jnp.clip(arr.var_alt, 0, 3)]
+    pos_cnt = jnp.where(snp, pos_cnt, 0.0)
+    neg_cnt = jnp.where(snp, depth_local[vg, vp] - pos_cnt, 0.0)
+    core = jnp.dot(
+        pos_cnt - neg_cnt, arr.membership, preferred_element_type=jnp.float32
+    )
+    allele_loglik = core * (LOG_HIT - LOG_MISS) + (
+        pos_cnt.sum() * LOG_MISS + neg_cnt.sum() * LOG_HIT
+    )
+
+    depth = depth_local
     if axis_name:
         depth = jax.lax.psum(depth, axis_name)
+        allele_loglik = jax.lax.psum(allele_loglik, axis_name)
 
     gene_len = jnp.maximum(arr.lengths.astype(jnp.float32), 1.0)
     gene_depth = depth.sum(axis=1) / gene_len
     hist = jnp.zeros((cn_bins,), dtype=jnp.float32)
     bin_idx = jnp.clip((gene_depth / 2.0).astype(jnp.int32), 0, cn_bins - 1)
     hist = hist.at[bin_idx].add(1.0)
-
-    start1 = end1 - len1 + 1
-    vpos = arr.var_pos[None, :]
-    off = vpos - start1[:, None]
-    in_read = (
-        (off >= 0)
-        & (off < codes1.shape[1])
-        & (arr.var_gene[None, :] == gene_best[:, None])
-        & mapped[:, None]
-        & (arr.var_alt[None, :] >= 0)
-    )
-    base_at = jnp.take_along_axis(
-        codes1, jnp.clip(off, 0, codes1.shape[1] - 1), axis=1
-    )
-    pos_hit = in_read & (base_at == arr.var_alt[None, :])
-    neg_hit = in_read & (base_at != arr.var_alt[None, :])
-    count_diff = pos_hit.astype(jnp.float32) - neg_hit.astype(jnp.float32)
-    core = jnp.dot(count_diff, arr.membership, preferred_element_type=jnp.float32)
-    loglik = core * (LOG_HIT - LOG_MISS) + (
-        pos_hit.sum() * LOG_MISS + neg_hit.sum() * LOG_HIT
-    ) / max(arr.membership.shape[1], 1)
-    allele_loglik = loglik.sum(axis=0)
-    if axis_name:
-        allele_loglik = jax.lax.psum(allele_loglik, axis_name)
-        # hist is computed from the already-psum'd global depth and is
-        # identical on every chip — no second reduction
+    # hist derives from the already-psum'd depth: identical per chip
     return depth, hist, allele_loglik
 
 
