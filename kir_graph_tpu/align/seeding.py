@@ -21,7 +21,8 @@ from ..index.build import KMER_MIX1, KMER_MIX2
 DIAG_BUCKET = 16
 
 
-POS_BITS = 17  # posting = gene << POS_BITS | position (one gather, not two)
+POS_BITS = 17   # posting = gene << POS_BITS | position (one gather, not two)
+LUT_BITS = 18   # key-prefix LUT: top bits -> bucket range in the sorted keys
 
 
 @dataclass
@@ -31,6 +32,9 @@ class SeedTable:
     keys: jax.Array       # [U] uint32 sorted hashes
     start: jax.Array      # [U+1] int32
     packed: jax.Array     # [P] uint32 (gene << POS_BITS | pos)
+    lut: jax.Array        # [2^LUT_BITS + 1] int32 prefix bucket starts
+    lut_steps: int        # binary-search steps within the widest bucket
+    max_post: int         # longest posting list (gather-cap ceiling)
     k: int
     n_genes: int
     max_diag: int
@@ -42,10 +46,46 @@ class SeedTable:
         packed = (
             index.kmer_gene.astype(np.uint32) << POS_BITS
         ) | index.kmer_pos.astype(np.uint32)
+
+        # reorder each key's posting list round-robin over genes, so a
+        # query-time posting cap drops same-gene repeats before it ever
+        # drops a gene's only placement (gathers cost per slot whether
+        # masked or not, so the cap is a real lever)
+        lens = np.diff(index.kmer_start)
+        if len(lens) and int(lens.max()) > 1:
+            seg = np.repeat(
+                np.arange(len(lens), dtype=np.int64), lens
+            )
+            gene = index.kmer_gene.astype(np.int64)
+            by_sg = np.argsort((seg << 20) | gene, kind="stable")
+            ks = (seg << 20 | gene)[by_sg]
+            new_grp = np.r_[True, ks[1:] != ks[:-1]]
+            pos_in = np.arange(len(ks))
+            occ_sorted = pos_in - np.maximum.accumulate(
+                np.where(new_grp, pos_in, 0)
+            )
+            occ = np.empty_like(occ_sorted)
+            occ[by_sg] = occ_sorted
+            occ = np.minimum(occ, (1 << 14) - 1)
+            perm = np.argsort(
+                (seg << 28) | (occ << 14) | gene, kind="stable"
+            )
+            packed = packed[perm]
+        # key hashes are uniform, so top-LUT_BITS prefixes split the sorted
+        # table into tiny buckets: a full 18-step binary search (18 gathers
+        # per query) becomes 2 LUT gathers + lut_steps (~3) in-bucket steps
+        prefixes = index.kmer_keys >> np.uint32(32 - LUT_BITS)
+        lut = np.searchsorted(
+            prefixes, np.arange((1 << LUT_BITS) + 1, dtype=np.uint32)
+        ).astype(np.int32)
+        widest = int((lut[1:] - lut[:-1]).max()) if len(index.kmer_keys) else 1
         return cls(
             keys=jnp.asarray(index.kmer_keys),
             start=jnp.asarray(index.kmer_start),
             packed=jnp.asarray(packed),
+            lut=jnp.asarray(lut),
+            lut_steps=max(1, int(np.ceil(np.log2(widest + 1)))),
+            max_post=int(lens.max()) if len(lens) else 1,
             k=index.kmer,
             n_genes=int(index.backbone.shape[0]),  # incl. pseudo-refs
             max_diag=Lmax // DIAG_BUCKET + 4,
@@ -80,7 +120,8 @@ def _packKmers(codes: jax.Array, k: int, stride: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "stride", "max_postings", "top_c", "n_genes", "max_diag", "min_votes",
+        "k", "stride", "max_postings", "top_c", "n_genes", "max_diag",
+        "min_votes", "lut_steps",
     ),
 )
 def _findCandidates(
@@ -88,6 +129,7 @@ def _findCandidates(
     table_keys: jax.Array,
     table_start: jax.Array,
     table_packed: jax.Array,
+    table_lut: jax.Array,
     k: int,
     stride: int,
     max_postings: int,
@@ -95,15 +137,27 @@ def _findCandidates(
     n_genes: int,
     max_diag: int,
     min_votes: int,
+    lut_steps: int,
 ) -> tuple[jax.Array, jax.Array]:
     """-> cand_key [R, top_c] int32 (gene*max_diag + diag_bucket, -1 = none),
     cand_votes [R, top_c] int32."""
     keys, offsets, valid = _packKmers(codes, k, stride)        # [R, S]
     R, S = keys.shape
 
-    idx = jnp.searchsorted(table_keys, keys.ravel()).reshape(R, S)
-    idx = jnp.clip(idx, 0, table_keys.shape[0] - 1)
-    hit = valid & (table_keys[idx] == keys)
+    # prefix-LUT lower_bound: 2 LUT gathers + lut_steps in-bucket steps
+    # instead of an 18-step binary search over the whole table
+    U = table_keys.shape[0]
+    pre = (keys >> jnp.uint32(32 - LUT_BITS)).astype(jnp.int32)
+    lo = table_lut[pre]
+    hi = table_lut[pre + 1]
+    for _ in range(lut_steps):
+        mid = (lo + hi) >> 1
+        mv = table_keys[jnp.clip(mid, 0, U - 1)]
+        go_right = (mv < keys) & (mid < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right | (mid >= hi), hi, mid)
+    idx = jnp.clip(lo, 0, U - 1)
+    hit = valid & (table_keys[idx] == keys) & (lo < U)
 
     p_start = table_start[idx]                                 # [R, S]
     p_end = table_start[idx + 1]
@@ -173,6 +227,7 @@ def findCandidates(
         table.keys,
         table.start,
         table.packed,
+        table.lut,
         table.k,
         stride,
         max_postings,
@@ -180,5 +235,6 @@ def findCandidates(
         table.n_genes,
         table.max_diag,
         min_votes,
+        table.lut_steps,
     )
     return np.asarray(cand), np.asarray(votes)

@@ -12,6 +12,7 @@ Alphabet: ``A C G T`` bases, ``-`` gap (alignment), ``E`` unknown/incomplete
 from __future__ import annotations
 
 import json
+import os
 import re
 from dataclasses import dataclass, field
 from glob import glob
@@ -436,6 +437,9 @@ def saveAllMsa(genes: dict[str, Genemsa], prefix: str) -> None:
     Mirrors reference kir_msa.py:47-63 (BAM export replaced by GFF only —
     the TPU pipeline never round-trips through BAM).
     """
+    parent = os.path.dirname(prefix)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     for gene_name, msa in genes.items():
         logger.debug(f"[MSA] Save to {prefix}.{gene_name}")
         msa = msa.shrink()

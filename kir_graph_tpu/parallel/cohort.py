@@ -49,7 +49,14 @@ class DeviceIndexArrays:
     var_pos: jax.Array      # [Vmax] int32
     var_alt: jax.Array      # [Vmax] int32 (snp alt code; -1 for deletion/pad)
     membership: jax.Array   # [Vmax, Amax] f32
+    # pseudo-reference remap (rows >= n_true are spliced long-deletion
+    # references; a placement there is the parent placement with columns
+    # >= remap_pos shifted by +remap_shift — KirIndex docstring)
+    remap_gene: jax.Array   # [G] int32 (parent row; identity for true rows)
+    remap_pos: jax.Array    # [G] int32 (splice column; huge for true rows)
+    remap_shift: jax.Array  # [G] int32 (excised deletion length; 0 for true)
     n_genes: int
+    n_true: int
     Lmax: int
     params: AlignParams
 
@@ -93,6 +100,15 @@ def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> Dev
     var_alt += [-1] * pad
     membership += [np.zeros(Amax, dtype=np.float32)] * pad
 
+    n_true = index.n_true_genes
+    remap_gene = np.arange(G, dtype=np.int32)
+    remap_pos = np.full(G, 1 << 28, dtype=np.int32)
+    remap_shift = np.zeros(G, dtype=np.int32)
+    for pi, (tgi, dpos, dlen) in enumerate(index.pseudo_refs):
+        remap_gene[n_true + pi] = tgi
+        remap_pos[n_true + pi] = dpos
+        remap_shift[n_true + pi] = dlen
+
     return DeviceIndexArrays(
         backbone=jnp.asarray(backbone),
         altdel=jnp.asarray(altdel),
@@ -103,7 +119,11 @@ def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> Dev
         var_pos=jnp.asarray(np.array(var_pos, dtype=np.int32)),
         var_alt=jnp.asarray(np.array(var_alt, dtype=np.int32)),
         membership=jnp.asarray(np.stack(membership)),
+        remap_gene=jnp.asarray(remap_gene),
+        remap_pos=jnp.asarray(remap_pos),
+        remap_shift=jnp.asarray(remap_shift),
         n_genes=G,
+        n_true=n_true,
         Lmax=Lmax,
         params=p,
     )
@@ -134,6 +154,7 @@ def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, m
         arr.table.keys,
         arr.table.start,
         arr.table.packed,
+        arr.table.lut,
         arr.table.k,
         stride,
         max_postings,
@@ -141,6 +162,7 @@ def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, m
         arr.table.n_genes,
         arr.table.max_diag,
         min_votes,
+        arr.table.lut_steps,
     )
 
 
@@ -248,10 +270,17 @@ class SplitCohortStep:
         self.top_c = top_c
         md = arr.table.max_diag
 
+        # gathers cost per slot whether masked or not, so cap the posting
+        # gather at the longest real list (paralog-shared k-mers routinely
+        # post to ~all gene copies — truncating below that loses true
+        # placements; the round-robin-by-gene posting order makes any
+        # residual truncation drop same-gene repeats first)
+        max_post = min(16, arr.table.max_post)
+
         @jax.jit
         def seed(codes1, rc1, codes2, rc2):
             codes = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
-            cand, _ = _candidatesFor(arr, codes, top_c, 8, 16, 2)
+            cand, _ = _candidatesFor(arr, codes, top_c, 8, max_post, 2)
             gene = jnp.where(cand >= 0, cand // md, -1)
             diag = cand % md
             return codes, gene, diag
@@ -349,6 +378,12 @@ def _pairAndReduce(
     bc2 = combo % C
     ridx = jnp.arange(R)
     gene_best = jnp.where(mapped, m1g[ridx, bo, bc1], 0)
+    # pseudo-reference placements remap to the parent gene: columns past
+    # the splice point shift by the excised deletion length, so junction-
+    # spanning evidence lands on true coordinates (exact-path parity)
+    dpos = arr.remap_pos[gene_best][:, None]
+    dlen = arr.remap_shift[gene_best][:, None]
+    gene_true = jnp.where(mapped, arr.remap_gene[gene_best], 0)
     end1 = m1e[ridx, bo, bc1]
     end2 = m2e[ridx, bo, bc2]
     start1 = end1 - len1 + 1
@@ -364,6 +399,7 @@ def _pairAndReduce(
     pile = jnp.zeros((G * Lp * 4 + 1,), dtype=jnp.float32)
     for codes, start, lens in ((c1, start1, len1), (c2, start2, len2)):
         cols = start[:, None] + col_j
+        cols = cols + jnp.where(cols >= dpos, dlen, 0)
         b = codes.astype(jnp.int32)
         valid = (
             mapped[:, None]
@@ -372,7 +408,7 @@ def _pairAndReduce(
             & (cols < Lp)
             & (b < 4)
         )
-        lin = (gene_best[:, None] * Lp + jnp.clip(cols, 0, Lp - 1)) * 4 + jnp.clip(b, 0, 3)
+        lin = (gene_true[:, None] * Lp + jnp.clip(cols, 0, Lp - 1)) * 4 + jnp.clip(b, 0, 3)
         lin = jnp.where(valid, lin, G * Lp * 4)
         pile = pile.at[lin.reshape(-1)].add(1.0)
     pileup = pile[:-1].reshape(G, Lp, 4)
@@ -398,8 +434,10 @@ def _pairAndReduce(
         depth = jax.lax.psum(depth, axis_name)
         allele_loglik = jax.lax.psum(allele_loglik, axis_name)
 
-    gene_len = jnp.maximum(arr.lengths.astype(jnp.float32), 1.0)
-    gene_depth = depth.sum(axis=1) / gene_len
+    # CN histogram over true genes only (pseudo rows remap to parents, so
+    # their depth rows are structurally zero)
+    gene_len = jnp.maximum(arr.lengths[: arr.n_true].astype(jnp.float32), 1.0)
+    gene_depth = depth[: arr.n_true].sum(axis=1) / gene_len
     hist = jnp.zeros((cn_bins,), dtype=jnp.float32)
     bin_idx = jnp.clip((gene_depth / 2.0).astype(jnp.int32), 0, cn_bins - 1)
     hist = hist.at[bin_idx].add(1.0)

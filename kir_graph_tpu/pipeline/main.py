@@ -286,6 +286,17 @@ def main(args: argparse.Namespace) -> None:
 
 
 def entrypoint() -> None:
+    # honor JAX_PLATFORMS even when a site hook pre-imports jax and pins
+    # the platform (env alone is ignored once the backend is chosen).
+    # CLI-entry only: library users importing this module, or tests calling
+    # main() in-process, keep whatever platform their host configured.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass  # backend already initialised; keep whatever it picked
     main(createParser().parse_args())
 
 

@@ -125,6 +125,40 @@ def mutateNovel(
     return arr.tobytes().decode(), tags
 
 
+def versionDriftDB(
+    genes_msa: dict[str, Genemsa],
+    n_remove_per_gene: int = 1,
+    seed: int = 7,
+    min_kept: int = 2,
+) -> tuple[dict[str, Genemsa], list[str]]:
+    """'Old database' for DB-version-drift experiments (reference
+    kg_create_version_diff_allele.py): remove up to `n_remove_per_gene`
+    random non-backbone alleles per gene.  Simulate the cohort from the
+    FULL MSAs, build the index from the returned reduced MSAs, and the
+    removed alleles become unknown-to-the-DB truth — the pipeline should
+    call their nearest catalogued relative.
+
+    Returns (reduced genes_msa, removed allele names)."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    out: dict[str, Genemsa] = {}
+    removed: list[str] = []
+    for gene, msa in genes_msa.items():
+        names = [n for n in msa.get_sequence_names() if "BACKBONE" not in n]
+        n_rm = min(n_remove_per_gene, max(0, len(names) - min_kept))
+        if n_rm <= 0:
+            out[gene] = msa
+            continue
+        victims = [
+            names[i]
+            for i in rng.choice(len(names), size=n_rm, replace=False)
+        ]
+        reduced = msa.copy()
+        reduced.remove_allele(victims)
+        out[gene] = reduced
+        removed.extend(victims)
+    return out, removed
+
+
 def generateCohortFastq(
     genes_msa: dict[str, Genemsa],
     index: KirIndex,

@@ -69,3 +69,45 @@ def test_allele2cn():
         "KIR2DL1": 2,
         "KIR3DL3": 1,
     }
+
+
+def test_possible_set_stats():
+    from kir_graph_tpu.eval import evalPossibleSets, summarizePossibleSets
+
+    rows = [
+        {"gene": "KIR2DL1*BACKBONE", "rank": 0, "value": -10.0,
+         "1": "KIR2DL1*0010101", "2": "KIR2DL1*0020101"},
+        {"gene": "KIR2DL1*BACKBONE", "rank": 1, "value": -11.0,
+         "1": "KIR2DL1*0010101", "2": "KIR2DL1*0030101"},
+        {"gene": "KIR3DL3*BACKBONE", "rank": 0, "value": -5.0,
+         "1": "KIR3DL3*0020101", "2": "KIR3DL3*0020101"},
+    ]
+    truth = ["KIR2DL1*0030101", "KIR2DL1*0010101",
+             "KIR3DL3*0010101", "KIR3DL3*0010101"]
+    stats = evalPossibleSets(rows, truth, sample_id="s0")
+    by_gene = {s.gene.split("*")[0]: s for s in stats}
+    # truth set appears at rank 1 for 2DL1 (order-free), nowhere for 3DL3
+    assert by_gene["KIR2DL1"].truth_rank == 1
+    assert not by_gene["KIR2DL1"].top_correct
+    assert by_gene["KIR3DL3"].truth_rank == -1
+
+    df = summarizePossibleSets(stats)
+    row = df[df["gene"] == "KIR2DL1"].iloc[0]
+    assert row["truth_in_possible"] == 1.0 and row["truth_at_top"] == 0.0
+    row = df[df["gene"] == "KIR3DL3"].iloc[0]
+    assert row["truth_in_possible"] == 0.0
+
+
+def test_version_drift_db(synth_genes):
+    from kir_graph_tpu.sim.cohort import versionDriftDB
+
+    reduced, removed = versionDriftDB(synth_genes, n_remove_per_gene=1, seed=5)
+    assert removed
+    for gene, msa in reduced.items():
+        names = msa.get_sequence_names()
+        assert any("BACKBONE" in n for n in names)
+        assert len([n for n in names if "BACKBONE" not in n]) >= 2
+    for victim in removed:
+        gene = victim.split("*")[0]
+        assert victim not in reduced[gene].get_sequence_names()
+        assert victim in synth_genes[gene].get_sequence_names()

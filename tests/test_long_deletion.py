@@ -85,3 +85,41 @@ def test_junction_reads_map_and_type(longdel_world):
     t = TypingWithPosNegAllele(reads_data=reads_data, top_n=50)
     alleles, _ = t.typing({"KIR3DP1*BACKBONE": 2})
     assert alleles == [carrier, carrier]
+
+
+def test_device_path_remaps_pseudo_placements(longdel_world):
+    """Pure-device cohort step: junction reads placed on the spliced
+    pseudo-reference must scatter their evidence into the PARENT gene's
+    coordinates (with the deletion gap), leaving the pseudo row zero."""
+    import jax.numpy as jnp
+
+    from kir_graph_tpu.align.encode import revCompCodes
+    from kir_graph_tpu.parallel.cohort import buildDeviceArrays, cohortStep
+
+    msa, index, DEL_POS, DEL_LEN = longdel_world
+    carrier = "KIR3DP1*0040101"
+    seq = msa.get(carrier).replace("-", "")
+    sim = simulatePairedReads({carrier: seq}, depth=20, seed=11, error_rate=0.0)
+    c1, l1 = encodeReads(sim.r1)
+    c2, l2 = encodeReads(sim.r2)
+    rc1 = revCompCodes(c1, l1)
+    rc2 = revCompCodes(c2, l2)
+    arr = buildDeviceArrays(index)
+    assert arr.n_true == 1 and arr.n_genes == 2
+    depth, hist, _ = cohortStep(
+        arr,
+        jnp.asarray(c1), jnp.asarray(l1.astype(np.int32)),
+        jnp.asarray(c2), jnp.asarray(l2.astype(np.int32)),
+        jnp.asarray(rc1), jnp.asarray(rc2),
+        axis_name=None,
+    )
+    depth = np.asarray(depth)
+    # pseudo row contributes nothing; all evidence is on the parent
+    assert depth[1].sum() == 0
+    assert depth[0].sum() > 0
+    # coverage continues PAST the splice point in parent coordinates
+    after = depth[0, DEL_POS + DEL_LEN + 50 : DEL_POS + DEL_LEN + 250]
+    before = depth[0, DEL_POS - 250 : DEL_POS - 50]
+    inside = depth[0, DEL_POS + 10 : DEL_POS + DEL_LEN - 10]
+    assert after.mean() > 0.5 * max(before.mean(), 1.0)
+    assert inside.mean() < 0.2 * max(before.mean(), 1.0)
