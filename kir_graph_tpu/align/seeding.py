@@ -29,12 +29,17 @@ LUT_BITS = 18   # key-prefix LUT: top bits -> bucket range in the sorted keys
 class SeedTable:
     """Device-resident k-mer table + geometry constants."""
 
-    keys: jax.Array       # [U] uint32 sorted hashes
-    start: jax.Array      # [U+1] int32
-    packed: jax.Array     # [P] uint32 (gene << POS_BITS | pos)
+    bkeys: jax.Array      # [2^LUT_BITS, W+1] uint32: each prefix bucket's
+    #                       keys as ONE row (last entry = bucket count), so
+    #                       key lookup is a single row gather + in-register
+    #                       compare — no binary search, no per-element
+    #                       gathers (which run ~100M elem/s on TPU)
+    padded: jax.Array     # [U, Pmax+1] uint32 posting rows
+    #                       (gene<<POS_BITS|pos; last entry = list length),
+    #                       fixed-width so the posting lookup is one
+    #                       contiguous row gather
     lut: jax.Array        # [2^LUT_BITS + 1] int32 prefix bucket starts
-    lut_steps: int        # binary-search steps within the widest bucket
-    max_post: int         # longest posting list (gather-cap ceiling)
+    max_post: int         # Pmax == longest posting list (zero truncation)
     k: int
     n_genes: int
     max_diag: int
@@ -72,20 +77,45 @@ class SeedTable:
             )
             packed = packed[perm]
         # key hashes are uniform, so top-LUT_BITS prefixes split the sorted
-        # table into tiny buckets: a full 18-step binary search (18 gathers
-        # per query) becomes 2 LUT gathers + lut_steps (~3) in-bucket steps
+        # table into tiny buckets; store each bucket's keys as one row so
+        # a query is a single row gather + in-register compare (the 18-step
+        # binary search was ~7 per-element gathers per k-mer)
         prefixes = index.kmer_keys >> np.uint32(32 - LUT_BITS)
         lut = np.searchsorted(
             prefixes, np.arange((1 << LUT_BITS) + 1, dtype=np.uint32)
         ).astype(np.int32)
         widest = int((lut[1:] - lut[:-1]).max()) if len(index.kmer_keys) else 1
+        U = len(index.kmer_keys)
+        W = max(widest, 1)
+        bkeys = np.zeros(((1 << LUT_BITS), W + 1), dtype=np.uint32)
+        if U:
+            slots = np.arange(U, dtype=np.int64) - lut[prefixes]
+            bkeys[prefixes, slots] = index.kmer_keys
+        bkeys[:, W] = (lut[1:] - lut[:-1]).astype(np.uint32)
+
+        # pad every posting list to one fixed-width row (32-entry ceiling:
+        # the round-robin gene order above means anything truncated beyond
+        # ~2x the gene count is a same-gene repeat, not a lost gene); the
+        # row's last entry carries the true list length
+        Pmax = int(min(max(int(lens.max()) if len(lens) else 1, 1), 32))
+        start = index.kmer_start.astype(np.int64)
+        col = np.arange(Pmax)
+        rows_idx = np.minimum(start[:-1, None] + col, max(len(packed) - 1, 0))
+        padded_rows = packed[rows_idx] if len(packed) else np.zeros(
+            (U, Pmax), np.uint32
+        )
+        padded_rows = np.where(col < lens[:, None], padded_rows, 0).astype(
+            np.uint32
+        )
+        padded_rows = np.concatenate(
+            [padded_rows, np.minimum(lens, Pmax).astype(np.uint32)[:, None]],
+            axis=1,
+        )
         return cls(
-            keys=jnp.asarray(index.kmer_keys),
-            start=jnp.asarray(index.kmer_start),
-            packed=jnp.asarray(packed),
+            bkeys=jnp.asarray(bkeys),
+            padded=jnp.asarray(padded_rows),
             lut=jnp.asarray(lut),
-            lut_steps=max(1, int(np.ceil(np.log2(widest + 1)))),
-            max_post=int(lens.max()) if len(lens) else 1,
+            max_post=Pmax,
             k=index.kmer,
             n_genes=int(index.backbone.shape[0]),  # incl. pseudo-refs
             max_diag=Lmax // DIAG_BUCKET + 4,
@@ -121,14 +151,13 @@ def _packKmers(codes: jax.Array, k: int, stride: int):
     jax.jit,
     static_argnames=(
         "k", "stride", "max_postings", "top_c", "n_genes", "max_diag",
-        "min_votes", "lut_steps",
+        "min_votes",
     ),
 )
 def _findCandidates(
     codes: jax.Array,
-    table_keys: jax.Array,
-    table_start: jax.Array,
-    table_packed: jax.Array,
+    table_bkeys: jax.Array,
+    table_padded: jax.Array,
     table_lut: jax.Array,
     k: int,
     stride: int,
@@ -137,42 +166,45 @@ def _findCandidates(
     n_genes: int,
     max_diag: int,
     min_votes: int,
-    lut_steps: int,
 ) -> tuple[jax.Array, jax.Array]:
     """-> cand_key [R, top_c] int32 (gene*max_diag + diag_bucket, -1 = none),
     cand_votes [R, top_c] int32."""
     keys, offsets, valid = _packKmers(codes, k, stride)        # [R, S]
     R, S = keys.shape
 
-    # prefix-LUT lower_bound: 2 LUT gathers + lut_steps in-bucket steps
-    # instead of an 18-step binary search over the whole table
-    U = table_keys.shape[0]
+    # bucketed key rows: the whole lookup is one row gather + in-register
+    # compare (slots >= the bucket's count are masked, so junk fill can
+    # never shadow a real key), plus one per-element lut gather for the
+    # bucket's global start
+    U = table_padded.shape[0]
+    W = table_bkeys.shape[1] - 1
     pre = (keys >> jnp.uint32(32 - LUT_BITS)).astype(jnp.int32)
-    lo = table_lut[pre]
-    hi = table_lut[pre + 1]
-    for _ in range(lut_steps):
-        mid = (lo + hi) >> 1
-        mv = table_keys[jnp.clip(mid, 0, U - 1)]
-        go_right = (mv < keys) & (mid < hi)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right | (mid >= hi), hi, mid)
-    idx = jnp.clip(lo, 0, U - 1)
-    hit = valid & (table_keys[idx] == keys) & (lo < U)
+    brow = jnp.take(table_bkeys, pre, axis=0)                  # [R, S, W+1]
+    cnt = brow[:, :, W].astype(jnp.int32)
+    m = (brow[:, :, :W] == keys[:, :, None]) & (
+        jnp.arange(W)[None, None, :] < cnt[:, :, None]
+    )
+    hit = valid & m.any(axis=-1)
+    off = jnp.argmax(m, axis=-1).astype(jnp.int32)
+    idx = jnp.clip(table_lut[pre] + off, 0, max(U - 1, 0))
 
-    p_start = table_start[idx]                                 # [R, S]
-    p_end = table_start[idx + 1]
-    slot = jnp.arange(max_postings)
-    p_idx = p_start[:, :, None] + slot[None, None, :]          # [R, S, P]
-    p_ok = hit[:, :, None] & (p_idx < p_end[:, :, None])
-    p_idx = jnp.clip(p_idx, 0, table_packed.shape[0] - 1)
-    packed = table_packed[p_idx]
+    # fixed-width posting rows (last entry = true length): one contiguous
+    # row gather, then slice the (static) cap — no per-element gather
+    # anywhere in the posting lookup
+    Pmax = table_padded.shape[1] - 1
+    P = min(max_postings, Pmax)
+    rows = jnp.take(table_padded, idx, axis=0)                 # [R, S, Pmax+1]
+    packed = rows[:, :, :P]
+    p_len = rows[:, :, Pmax].astype(jnp.int32)
+    slot = jnp.arange(P)
+    p_ok = hit[:, :, None] & (slot[None, None, :] < p_len[:, :, None])
     gene = (packed >> POS_BITS).astype(jnp.int32)
     pos = (packed & ((1 << POS_BITS) - 1)).astype(jnp.int32)
 
     diag = jnp.maximum(pos - offsets[None, :, None], 0)
     vote = gene * max_diag + diag // DIAG_BUCKET
     SENTINEL = n_genes * max_diag + 1
-    vote = jnp.where(p_ok, vote, SENTINEL).reshape(R, S * max_postings)
+    vote = jnp.where(p_ok, vote, SENTINEL).reshape(R, S * P)
 
     # run-length count per distinct key without searchsorted: sort, mark
     # run starts, and take (next run-start index - own index) via a
@@ -224,9 +256,8 @@ def findCandidates(
     (key % max_diag) * DIAG_BUCKET = window diagonal estimate."""
     cand, votes = _findCandidates(
         jnp.asarray(codes),
-        table.keys,
-        table.start,
-        table.packed,
+        table.bkeys,
+        table.padded,
         table.lut,
         table.k,
         stride,
@@ -235,6 +266,5 @@ def findCandidates(
         table.n_genes,
         table.max_diag,
         min_votes,
-        table.lut_steps,
     )
     return np.asarray(cand), np.asarray(votes)

@@ -151,9 +151,8 @@ def revCompDevice(codes: jax.Array, lengths: jax.Array) -> jax.Array:
 def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, min_votes):
     return _findCandidates(
         codes,
-        arr.table.keys,
-        arr.table.start,
-        arr.table.packed,
+        arr.table.bkeys,
+        arr.table.padded,
         arr.table.lut,
         arr.table.k,
         stride,
@@ -162,7 +161,6 @@ def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, m
         arr.table.n_genes,
         arr.table.max_diag,
         min_votes,
-        arr.table.lut_steps,
     )
 
 
