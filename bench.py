@@ -116,7 +116,24 @@ def main() -> None:
         u = unpackCodes2bit(packed, RL)
         return u, revCompDevice(u, lens)
 
-    split = SplitCohortStep(arr, use_pallas=use_pallas)
+    if os.environ.get("BENCH_MONO"):
+        # single-dispatch monolith: the whole chunk is ONE jitted program
+        # (no inter-stage dispatch); per-stage timing unavailable
+        @jax.jit
+        def mono(c1, l1, c2, l2, r1, r2):
+            return cohortStep(arr, c1, l1, c2, l2, r1, r2,
+                              axis_name=None, use_pallas=use_pallas)
+
+        class _MonoStep:
+            def __call__(self, c1, l1, c2, l2, r1, r2, timings=None):
+                out = mono(c1, l1, c2, l2, r1, r2)
+                if timings is not None:
+                    jax.block_until_ready(out)
+                return out
+
+        split = _MonoStep()
+    else:
+        split = SplitCohortStep(arr, use_pallas=use_pallas)
     timings: dict = {}
 
     # fixed-size chunks: few compiled shapes, reused for every chunk
