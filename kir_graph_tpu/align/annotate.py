@@ -328,6 +328,9 @@ class VariantAnnotator:
         if exon_only:
             known_snp = known_snp[t.var_in_exon[known_snp]]
             known_del = [i for i in known_del if t.var_in_exon[i]]
+            # novel variants default in_exon=False in the reference, so
+            # exon_only drops them from positives (hisat2.py:775-790)
+            novel_local_ids = []
         pos_ids = [t.var_ids[i] for i in known_snp] + [
             t.var_ids[i] for i in known_del
         ] + novel_local_ids

@@ -241,16 +241,17 @@ def _kdeLogDensity(x: jax.Array, data: jax.Array, bandwidth: float) -> jax.Array
 
 
 def _localMinima(y: np.ndarray, order: int) -> np.ndarray:
-    """Indices i where y[i] < y[j] for all j within `order` on both sides
-    (scipy argrelextrema(np.less) equivalent)."""
+    """Indices i where y[i] < y[clip(i±k)] for k=1..order, matching scipy
+    argrelextrema(np.less, mode='clip'): out-of-range neighbours clip to the
+    boundary index, so the exact edges self-compare and never qualify."""
     n = len(y)
-    out = []
-    for i in range(n):
-        lo, hi = max(0, i - order), min(n, i + order + 1)
-        window = np.concatenate([y[lo:i], y[i + 1 : hi]])
-        if len(window) and np.all(y[i] < window):
-            out.append(i)
-    return np.array(out, dtype=int)
+    idx = np.arange(n)
+    ok = np.ones(n, dtype=bool)
+    for k in range(1, order + 1):
+        left = np.clip(idx - k, 0, n - 1)
+        right = np.clip(idx + k, 0, n - 1)
+        ok &= (y < y[left]) & (y < y[right])
+    return idx[ok]
 
 
 class KDEcut(Dist):

@@ -9,7 +9,9 @@ produces `{name}.{tool}_merge.tsv` allele tables that the CLI merges.
 from __future__ import annotations
 
 import glob
+import os
 import re
+import shlex
 import subprocess
 import uuid
 from typing import Any, ClassVar, Type
@@ -68,9 +70,11 @@ class Executor:
         self.engine = engine_type
 
     def runShell(self, cmd: str, cwd: str | None = None) -> subprocess.CompletedProcess:
+        """Run a command string as an argv list (shell=False) so filenames
+        with shell metacharacters cannot break or inject commands."""
         logger.info(f"[Run] {cmd}")
         return subprocess.run(
-            cmd, shell=True, cwd=cwd, check=True, universal_newlines=True
+            shlex.split(cmd), cwd=cwd, check=True, universal_newlines=True
         )
 
     def runDocker(
@@ -79,9 +83,10 @@ class Executor:
         if self.engine == "local":
             return self.runShell(cmd, cwd)
         name = str(uuid.uuid4()).split("-", 1)[0]
+        host_dir = shlex.quote(os.getcwd())
         return self.runShell(
             f"{self.engine} run -it --rm --name {name} {opts} "
-            f"-v $PWD:/app -w /app/{cwd or ''} {image} {cmd}"
+            f"-v {host_dir}:/app -w /app/{cwd or ''} {image} {cmd}"
         )
 
     def checkImage(self, image: str) -> bool:

@@ -45,7 +45,16 @@ class Variant:
     in_exon: bool = False
 
     def sortKey(self) -> tuple:
-        return (self.ref, self.pos, _TYPE_ORDER[self.typ], str(self.val))
+        # Type-stable val key: deletion lengths stay numeric so same-position
+        # deletions order 2 < 10 (the reference compares val natively; only
+        # same-type variants ever reach the val comparison).
+        if self.val is None:
+            vkey: tuple = (0, 0, "")
+        elif isinstance(self.val, int):
+            vkey = (1, self.val, "")
+        else:
+            vkey = (2, 0, str(self.val))
+        return (self.ref, self.pos, _TYPE_ORDER[self.typ], vkey)
 
     def __lt__(self, other: "Variant") -> bool:
         return self.sortKey() < other.sortKey()

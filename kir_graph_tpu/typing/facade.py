@@ -83,6 +83,14 @@ class TypingWithPosNegAllele(Typing):
         logger.debug(f"[Allele] {gene=} {cn=}")
         force_homo = False if isHetrozygous(gene) else None
 
+        # CN>0 but no unique passing reads (e.g. provided-CN path): the
+        # reference's defaultdicts yield empty reads+variants -> zero alleles
+        # -> "fail" -> GENE* (kir_typing.py:126-131). Short-circuit that.
+        if not self._gene_reads.get(gene) or not self._gene_variants.get(gene):
+            logger.warning(f"[Allele] {gene} has no reads; returning fail")
+            pure_gene = gene.split("*")[0]
+            return [f"{pure_gene}*"] * cn, 0
+
         if not self._exon_first and not self._exon_only:
             typ: AlleleTyping = AlleleTyping(
                 self._gene_reads[gene],
@@ -135,6 +143,10 @@ class TypingWithReport(Typing):
         self._gene_reads = preprocessHisatReads(reads_data)
 
     def typingPerGene(self, gene: str, cn: int) -> tuple[list[str], int]:
+        if not self._gene_reads.get(gene):
+            logger.warning(f"[Allele] {gene} has no reads; returning fail")
+            pure_gene = gene.split("*")[0]
+            return [f"{pure_gene}*"] * cn, 0
         report = hisat2TypingPerGene(self._gene_reads[gene])
         report = sorted(report, key=lambda i: -i.prob)
 
