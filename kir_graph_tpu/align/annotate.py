@@ -23,6 +23,23 @@ from ..typing.pairread import PairRead
 _TYPE_RANK = {"insertion": 0, "single": 1, "deletion": 2}
 
 
+def _csrConcat(
+    n_rows: int, groups: list[tuple[np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (rows, values) groups into one CSR, keeping rows sorted and,
+    within a row, group order first then each group's original order."""
+    rows = np.concatenate([r.astype(np.int64) for r, _ in groups])
+    vals = np.concatenate([v.astype(np.int64) for _, v in groups])
+    gid = np.concatenate(
+        [np.full(len(r), i, dtype=np.int64) for i, (r, _) in enumerate(groups)]
+    )
+    order = np.argsort(rows * len(groups) + gid, kind="stable")
+    rows, vals = rows[order], vals[order]
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    return np.cumsum(indptr), vals
+
+
 def _canonDelPos(seq: np.ndarray, pos: int, length: int) -> int:
     """Left-align a deletion run against the backbone (VCF-style)."""
     while pos > 0 and seq[pos - 1] == seq[pos + length - 1]:
@@ -43,6 +60,35 @@ class GeneTables:
     del_lookup: dict          # (canon_pos, len) -> local idx
     snp_lookup: np.ndarray    # [L, 4] -> local idx (-1)
     seq: np.ndarray
+
+
+@dataclass
+class EvidenceArrays:
+    """Array-form per-read variant evidence (no per-read Python objects).
+
+    Rows are mates interleaved read-major/mate-minor: row 2n = left mate of
+    pair n, row 2n+1 = right mate.  Variant indices are global: [0, Vtot)
+    indexes the concatenated per-gene catalogs (`ids`), [Vtot, Vtot+Nnov)
+    the novel SNVs registered in this batch (`novel_variants`).
+    """
+
+    gene: np.ndarray            # [N] int32 pair gene (-1 unmapped)
+    nh: np.ndarray              # [N] int32
+    nm: np.ndarray              # [2, N] int32 per-mate edit distance
+    pass_mask: np.ndarray       # [N] bool — concordant and both mates NM<=k
+    pos_indptr: np.ndarray      # [2N+1] CSR over interleaved mate rows
+    pos_idx: np.ndarray         # [P] int64 global variant indices
+    neg_indptr: np.ndarray      # [2N+1]
+    neg_idx: np.ndarray         # [Q] int64
+    ids: np.ndarray             # [Vtot+Nnov] object: catalog + novel ids
+    novel_variants: list        # list[Variant]
+    n_catalog: int              # Vtot
+
+    def mateSlices(self, n: int) -> tuple[slice, slice]:
+        return (
+            slice(self.pos_indptr[2 * n], self.pos_indptr[2 * n + 1]),
+            slice(self.pos_indptr[2 * n + 1], self.pos_indptr[2 * n + 2]),
+        )
 
 
 class VariantAnnotator:
@@ -79,9 +125,407 @@ class VariantAnnotator:
                     seq=g.seq,
                 )
             )
+        self._buildGlobalTables()
+
+    def _buildGlobalTables(self) -> None:
+        """Concatenated cross-gene tables for the vectorised annotate path."""
+        idx = self.index
+        G, Lmax = len(self.tables), idx.backbone.shape[1]
+        starts = np.zeros(G + 1, dtype=np.int64)
+        for gi, t in enumerate(self.tables):
+            starts[gi + 1] = starts[gi] + len(t.var_ids)
+        self.gvar_start = starts
+        Vtot = int(starts[-1])
+        self.g_pos = np.concatenate(
+            [t.var_pos for t in self.tables]
+        ).astype(np.int64) if Vtot else np.zeros(0, np.int64)
+        self.g_is_del = np.concatenate([t.var_is_del for t in self.tables]) \
+            if Vtot else np.zeros(0, bool)
+        self.g_val = np.concatenate([t.var_val for t in self.tables]) \
+            if Vtot else np.zeros(0, np.int64)
+        self.g_in_exon = np.concatenate([t.var_in_exon for t in self.tables]) \
+            if Vtot else np.zeros(0, bool)
+        self.g_ignore = np.concatenate([t.var_ignore for t in self.tables]) \
+            if Vtot else np.zeros(0, bool)
+        self.g_ids = np.array(
+            [i for t in self.tables for i in t.var_ids], dtype=object
+        )
+        # [G, Lmax, 4] -> global SNP idx (or -1)
+        self.snp_lookup_g = np.full((G, Lmax, 4), -1, dtype=np.int64)
+        for gi, t in enumerate(self.tables):
+            L = t.snp_lookup.shape[0]
+            lk = t.snp_lookup.astype(np.int64)
+            self.snp_lookup_g[gi, :L] = np.where(lk >= 0, lk + starts[gi], -1)
+        # backbone bases per gene, PAD past length
+        self.seq_g = idx.backbone[:G]
+        # span boundary tables: lo_at[g, p] = bisect(keys, (p, 1, "A")),
+        # hi_at[g, p] = bisect(keys, (p, 1, "T")) — exactly the reference's
+        # getVariantsBoundary sentinels (hisat2.py:692-713)
+        self.lo_at = np.zeros((G, Lmax + 2), dtype=np.int64)
+        self.hi_at = np.zeros((G, Lmax + 2), dtype=np.int64)
+        for gi, t in enumerate(self.tables):
+            if not t.var_keys:
+                self.lo_at[gi] = starts[gi]
+                self.hi_at[gi] = starts[gi]
+                continue
+            pos = np.array([k[0] for k in t.var_keys], dtype=np.int64)
+            rank = np.array([k[1] for k in t.var_keys], dtype=np.int64)
+            # within rank 1 the val strings are single bases; map to a rank
+            # preserving "A"<"C"<"G"<"N"<"T" so the sentinel compares work
+            vord = np.zeros(len(t.var_keys), dtype=np.int64)
+            order_map = {"A": 0, "C": 1, "G": 2, "N": 3, "T": 4}
+            for i, k in enumerate(t.var_keys):
+                if k[1] == 1:
+                    vord[i] = order_map.get(k[2][:1], 5)
+            packed = (pos * 8 + rank) * 8 + np.where(rank == 1, vord, 0)
+            p = np.arange(Lmax + 2, dtype=np.int64)
+            self.lo_at[gi] = starts[gi] + np.searchsorted(
+                packed, (p * 8 + 1) * 8 + 0
+            )
+            self.hi_at[gi] = starts[gi] + np.searchsorted(
+                packed, (p * 8 + 1) * 8 + 4
+            )
+        # deletion lookup: packed (gene, pos, len) -> global idx, sorted
+        dkeys, dvals = [], []
+        self._del_span = Lmax + 2
+        maxlen = 2
+        for t in self.tables:
+            for (p, l) in t.del_lookup:
+                maxlen = max(maxlen, l + 2)
+        self._del_maxlen = maxlen
+        for gi, t in enumerate(self.tables):
+            for (p, l), li in t.del_lookup.items():
+                dkeys.append((gi * self._del_span + p) * maxlen + l)
+                dvals.append(li + starts[gi])
+        dk = np.array(dkeys, dtype=np.int64)
+        dv = np.array(dvals, dtype=np.int64)
+        order = np.argsort(dk)
+        self.del_keys = dk[order]
+        self.del_vals = dv[order]
 
     # ------------------------------------------------------------------
+    def annotateArrays(
+        self,
+        result: AlignResult,
+        exon_only: bool = False,
+        error_correction: bool = False,
+    ) -> tuple[EvidenceArrays, np.ndarray, np.ndarray]:
+        """Vectorised annotate: all per-read work batched as array ops
+        (kills the reference's 2nd hot loop, hisat2.py:279-515, without a
+        per-read Python loop).  Returns (evidence, depth, pileup).
+
+        Semantics are identical to `annotateLoop` (the oracle): NM
+        accounting, novel-SNV registration order, positive/negative span
+        rules, error correction, exon_only filtering.
+        """
+        idx = self.index
+        G, Lmax = idx.backbone.shape
+        Gt = len(self.tables)
+        N = len(result.gene)
+        RL = result.cols_l.shape[1]
+        mapped = result.gene >= 0
+
+        # interleaved mate rows: row 2n = left mate, 2n+1 = right mate
+        M = 2 * N
+        cols = np.empty((M, RL), dtype=np.int64)
+        bases = np.empty((M, RL), dtype=np.int64)
+        lens = np.empty(M, dtype=np.int64)
+        cols[0::2], cols[1::2] = result.cols_l, result.cols_r
+        bases[0::2], bases[1::2] = result.bases_l, result.bases_r
+        lens[0::2], lens[1::2] = result.len_l, result.len_r
+        gene = np.repeat(result.gene.astype(np.int64), 2)
+        row_mapped = np.repeat(mapped, 2)
+
+        j = np.arange(RL)[None, :]
+        in_len = j < lens[:, None]
+        consumed = (cols >= 0) & in_len & row_mapped[:, None]
+        any_consumed = consumed.any(axis=1)
+        overhang = ((cols == -3) & in_len).any(axis=1) & row_mapped
+        n_ins = ((cols == -2) & in_len & row_mapped[:, None]).sum(axis=1)
+
+        safe_gene = np.clip(gene, 0, Gt - 1)
+        safe_cols = np.clip(cols, 0, Lmax - 1)
+        bb = self.seq_g[safe_gene[:, None], safe_cols]
+
+        # --- error correction (reference hisat2.py:609-654): pileup over
+        # all mapped pairs, then minority mismatching bases corrected.
+        # Depth/pileup outputs stay raw (the reference pileups the BAM).
+        bases_raw = bases
+        if error_correction:
+            ec_pileup = np.zeros((Gt, Lmax, 5), dtype=np.int32)
+            rows, cposs = np.nonzero(consumed)
+            np.add.at(
+                ec_pileup,
+                (gene[rows], cols[rows, cposs], bases[rows, cposs]),
+                1,
+            )
+            cand = consumed & (bases != bb) & (bases < 4)
+            rows, cposs = np.nonzero(cand)
+            if len(rows):
+                counts = ec_pileup[gene[rows], cols[rows, cposs], :4]
+                totals = counts.sum(axis=1)
+                own = counts[np.arange(len(rows)), bases[rows, cposs]] \
+                    / np.maximum(totals, 1)
+                minority = (totals >= 20) & (own <= 0.2)
+                frac = counts / np.maximum(totals, 1)[:, None]
+                maj = frac.argmax(axis=1)
+                has_major = frac.max(axis=1) >= 0.8
+                bases = bases.copy()
+                fix = minority & has_major
+                bases[rows[fix], cposs[fix]] = maj[fix]
+                ton = minority & ~has_major
+                bases[rows[ton], cposs[ton]] = 4
+
+        # --- SNP classification
+        mm = consumed & (bases != bb)
+        n_mask = bases >= 4
+        mm_snp = mm & ~n_mask
+        mm_n = mm & n_mask
+        snp_gidx = np.where(
+            mm_snp,
+            self.snp_lookup_g[
+                safe_gene[:, None], safe_cols, np.clip(bases, 0, 3)
+            ],
+            -1,
+        )
+        known_mask = mm_snp & (snp_gidx >= 0)
+        novel_mask = mm_snp & (snp_gidx < 0)
+        novel_snp_cnt = novel_mask.sum(axis=1)
+        n_pos_cnt = mm_n.sum(axis=1)
+        ignored_cnt = np.where(known_mask, self.g_ignore[snp_gidx], False) \
+            .sum(axis=1)
+
+        # --- deletion runs between consecutive consumed columns
+        pm = np.maximum.accumulate(np.where(consumed, cols, -1), axis=1)
+        prev_before = np.concatenate(
+            [np.full((M, 1), -1, dtype=np.int64), pm[:, :-1]], axis=1
+        )
+        gap = cols - prev_before - 1
+        run_mask = consumed & (prev_before >= 0) & (gap > 0)
+        r_rows, r_js = np.nonzero(run_mask)
+        r_start0 = prev_before[r_rows, r_js] + 1
+        r_len = gap[r_rows, r_js]
+        r_gene = gene[r_rows]
+        # canonical (left-aligned) deletion position, vectorised: shift every
+        # run left while the flanking base repeats (same rule as _canonDelPos)
+        r_canon = r_start0.copy()
+        seq_g = self.seq_g
+        for _ in range(Lmax):
+            active = (r_canon > 0) & (
+                seq_g[r_gene, np.maximum(r_canon - 1, 0)]
+                == seq_g[r_gene, np.minimum(r_canon + r_len - 1, Lmax - 1)]
+            )
+            if not active.any():
+                break
+            r_canon[active] -= 1
+        # catalog lookup: canonical key, then original-position key
+        ml, span = self._del_maxlen, self._del_span
+
+        def delFind(p, l, g):
+            key = (g * span + p) * ml + np.minimum(l, ml - 1)
+            i = np.searchsorted(self.del_keys, key)
+            ok = (i < len(self.del_keys)) & (
+                self.del_keys[np.minimum(i, len(self.del_keys) - 1)] == key
+            )
+            return np.where(ok, self.del_vals[np.minimum(i, len(self.del_keys) - 1)], -1) \
+                if len(self.del_keys) else np.full(len(p), -1, dtype=np.int64)
+
+        d1 = delFind(r_canon, r_len, r_gene)
+        d2 = delFind(r_start0, r_len, r_gene)
+        r_del_gidx = np.where(d1 >= 0, d1, d2)
+        r_known = r_del_gidx >= 0
+        novel_del_len = np.zeros(M, dtype=np.int64)
+        np.add.at(novel_del_len, r_rows[~r_known], r_len[~r_known])
+
+        # --- NM and filters
+        nm = (novel_snp_cnt + n_pos_cnt + n_ins + novel_del_len
+              + ignored_cnt).astype(np.int64)
+        nm[~any_consumed] = 99
+        evidence_empty = (n_ins > 0) | (novel_del_len > 0) | overhang
+        nm2 = nm.reshape(N, 2).T
+        pass_mask = mapped & (nm2 <= self.num_editdist).all(axis=0)
+
+        # --- novel SNV registration: first occurrence in row-major (read,
+        # mate, column) order, matching the reference's sequential nv ids
+        reg_mask = novel_mask & ~evidence_empty[:, None]
+        nrows, njs = np.nonzero(reg_mask)
+        npos = cols[nrows, njs]
+        nbase = bases[nrows, njs]
+        nkey = (gene[nrows] * Lmax + npos) * 4 + nbase
+        uniq_keys, first_idx, inverse = np.unique(
+            nkey, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first_idx, kind="stable")
+        rank_of_uniq = np.empty(len(uniq_keys), dtype=np.int64)
+        rank_of_uniq[order] = np.arange(len(uniq_keys))
+        Vtot = self.gvar_start[-1]
+        novel_gidx_inst = Vtot + rank_of_uniq[inverse]   # per instance
+        novel_variants: list[Variant] = []
+        novel_ids = IdAllocator()
+        ids_all = np.concatenate(
+            [self.g_ids, np.empty(len(uniq_keys), dtype=object)]
+        )
+        for u in order:
+            key = int(uniq_keys[u])
+            b = key % 4
+            p = (key // 4) % Lmax
+            gi = key // (4 * Lmax)
+            v = Variant(
+                pos=int(p), typ="single", ref=self.tables[gi].name,
+                val="ACGT"[b], id=novel_ids.nextNovel(),
+            )
+            novel_variants.append(v)
+        for i, v in enumerate(novel_variants):
+            ids_all[Vtot + i] = str(v.id)
+
+        # --- positives CSR: known SNPs (column order), known deletions
+        # (run order), then novel SNVs (column order) — the loop's order
+        pass_row = np.repeat(pass_mask, 2) & ~evidence_empty
+        ksel = known_mask & pass_row[:, None]
+        if exon_only:
+            ksel &= self.g_in_exon[np.clip(snp_gidx, 0, max(Vtot - 1, 0))]
+        krows, kjs = np.nonzero(ksel)
+        k_gidx = snp_gidx[krows, kjs]
+        dsel = r_known & pass_row[r_rows]
+        if exon_only:
+            dsel &= self.g_in_exon[np.clip(r_del_gidx, 0, max(Vtot - 1, 0))]
+        d_rows = r_rows[dsel]
+        d_gidx = r_del_gidx[dsel]
+        if exon_only:
+            # novel variants default in_exon=False in the reference, so
+            # exon_only drops them from positives (hisat2.py:775-790)
+            v_rows = np.zeros(0, dtype=np.int64)
+            v_gidx = np.zeros(0, dtype=np.int64)
+        else:
+            v_rows = nrows[pass_row[nrows]]
+            v_gidx = novel_gidx_inst[pass_row[nrows]]
+        pos_indptr, pos_idx = _csrConcat(
+            M, [(krows, k_gidx), (d_rows, d_gidx), (v_rows, v_gidx)]
+        )
+
+        # --- negatives CSR: catalog span [lo, hi) minus positives, N-site
+        # SNPs and deletions reaching the read end
+        first_col = np.where(
+            any_consumed, np.argmax(consumed, axis=1), 0
+        )
+        left = cols[np.arange(M), first_col]
+        last_col = RL - 1 - np.argmax(consumed[:, ::-1], axis=1)
+        right = cols[np.arange(M), last_col] + 1
+        do_neg = pass_row & any_consumed
+        lo = np.where(do_neg, self.lo_at[safe_gene, np.clip(left, 0, Lmax + 1)], 0)
+        hi = np.where(do_neg, self.hi_at[safe_gene, np.clip(right, 0, Lmax + 1)], 0)
+        hi = np.maximum(hi, lo)
+        counts = (hi - lo).astype(np.int64)
+        cand_rows = np.repeat(np.arange(M), counts)
+        base_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        cand_gidx = (
+            np.arange(len(cand_rows)) - np.repeat(base_off, counts)
+            + np.repeat(lo, counts)
+        )
+        keep = np.ones(len(cand_rows), dtype=bool)
+        Vbig = np.int64(max(Vtot, 1))
+        # exclude positives (catalog ones only — novel ids are outside the
+        # [lo, hi) catalog span; the loop's pos_set is likewise built from
+        # the exon-filtered known sets)
+        pr = np.concatenate([krows, d_rows])
+        pg = np.concatenate([k_gidx, d_gidx])
+        keep &= ~np.isin(cand_rows * Vbig + cand_gidx, pr * Vbig + pg)
+        # exclude SNPs at N columns
+        nr2, nj2 = np.nonzero(mm_n & pass_row[:, None])
+        ncols_keys = nr2 * np.int64(Lmax + 1) + cols[nr2, nj2]
+        cand_is_del = self.g_is_del[cand_gidx] if Vtot else np.zeros(0, bool)
+        cand_pos = self.g_pos[cand_gidx] if Vtot else np.zeros(0, np.int64)
+        snp_at_n = ~cand_is_del & np.isin(
+            cand_rows * np.int64(Lmax + 1) + cand_pos, ncols_keys
+        )
+        keep &= ~snp_at_n
+        # exclude deletions reaching the read end
+        cand_val = self.g_val[cand_gidx] if Vtot else np.zeros(0, np.int64)
+        right_of = right[cand_rows]
+        keep &= ~(cand_is_del & (cand_pos + cand_val + 10 >= right_of))
+        if exon_only:
+            keep &= self.g_in_exon[cand_gidx]
+        neg_rows = cand_rows[keep]
+        neg_gidx = cand_gidx[keep]
+        neg_indptr = np.zeros(M + 1, dtype=np.int64)
+        np.add.at(neg_indptr, neg_rows + 1, 1)
+        neg_indptr = np.cumsum(neg_indptr)
+
+        # --- depth / pileup from passing, unique-mapped pairs
+        depth = np.zeros((Gt, Lmax), dtype=np.int32)
+        pileup = np.zeros((Gt, Lmax, 5), dtype=np.int32)
+        uniq_row = np.repeat(pass_mask & (result.nh == 1), 2)
+        sel = consumed & uniq_row[:, None]
+        rows, cposs = np.nonzero(sel)
+        np.add.at(depth, (gene[rows], cols[rows, cposs]), 1)
+        np.add.at(
+            pileup, (gene[rows], cols[rows, cposs], bases_raw[rows, cposs]), 1
+        )
+
+        ev = EvidenceArrays(
+            gene=result.gene.astype(np.int32),
+            nh=result.nh.astype(np.int32),
+            nm=nm2.astype(np.int32),
+            pass_mask=pass_mask,
+            pos_indptr=pos_indptr,
+            pos_idx=pos_idx,
+            neg_indptr=neg_indptr,
+            neg_idx=neg_gidx,
+            ids=ids_all,
+            novel_variants=novel_variants,
+            n_catalog=int(Vtot),
+        )
+        logger.info(
+            f"[Align] pairs mapped {int(mapped.sum())}, "
+            f"passed NM filter {int(pass_mask.sum())}, "
+            f"unique {int((pass_mask & (result.nh == 1)).sum())}"
+        )
+        return ev, depth, pileup
+
+    def toPairReads(self, ev: EvidenceArrays) -> list[PairRead]:
+        """EvidenceArrays -> PairRead list (only at JSON/compat boundaries)."""
+        ids = ev.ids
+        pp, pi = ev.pos_indptr, ev.pos_idx
+        np_, ni = ev.neg_indptr, ev.neg_idx
+        reads = []
+        for n in np.nonzero(ev.pass_mask)[0]:
+            r0, r1 = 2 * n, 2 * n + 1
+            reads.append(
+                PairRead(
+                    backbone=self.tables[ev.gene[n]].name,
+                    multiple=int(ev.nh[n]),
+                    lpv=[ids[i] for i in pi[pp[r0]:pp[r0 + 1]]],
+                    lnv=[ids[i] for i in ni[np_[r0]:np_[r0 + 1]]],
+                    rpv=[ids[i] for i in pi[pp[r1]:pp[r1 + 1]]],
+                    rnv=[ids[i] for i in ni[np_[r1]:np_[r1 + 1]]],
+                )
+            )
+        return reads
+
     def annotate(
+        self,
+        result: AlignResult,
+        exon_only: bool = False,
+        error_correction: bool = False,
+    ) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorised product path; same contract as `annotateLoop`."""
+        ev, depth, pileup = self.annotateArrays(
+            result, exon_only=exon_only, error_correction=error_correction
+        )
+        variants: list[Variant] = []
+        for t in self.tables:
+            variants.extend(self.index.genes[t.name].variants)
+        variants.extend(ev.novel_variants)
+        reads = self.toPairReads(ev)
+        return (
+            {"variants": variants, "reads": reads},
+            depth,
+            pileup,
+            ev.pass_mask,
+        )
+
+    # ------------------------------------------------------------------
+    def annotateLoop(
         self,
         result: AlignResult,
         exon_only: bool = False,
