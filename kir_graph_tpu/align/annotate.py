@@ -498,6 +498,7 @@ class VariantAnnotator:
                     lnv=[ids[i] for i in ni[np_[r0]:np_[r0 + 1]]],
                     rpv=[ids[i] for i in pi[pp[r1]:pp[r1 + 1]]],
                     rnv=[ids[i] for i in ni[np_[r1]:np_[r1 + 1]]],
+                    pair_index=int(n),
                 )
             )
         return reads
@@ -625,6 +626,7 @@ class VariantAnnotator:
                     lnv=per_mate[0]["neg_ids"],
                     rpv=per_mate[1]["pos_ids"],
                     rnv=per_mate[1]["neg_ids"],
+                    pair_index=int(n),
                 )
             )
 

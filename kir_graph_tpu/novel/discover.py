@@ -6,13 +6,18 @@ Novel-allele discovery (reference novel_discover.py).
 3. Keep candidate novel SNVs with count >= 3 whose ALT wins the pileup
 4. Apply surviving SNVs to the allele sequence -> `ALLELE-{pos}{alt}`
 
-Differences from the reference: the pileup comes from the aligner's
-[G, L, base] count array (ops output saved by the pipeline) rather than a
-pysam query over a BAM, and it covers all unique-mapped reads of the gene
-(the reference restricts to the assigned read group; at CN=1 these match).
+Pileup semantics match the reference's qname-filtered BAM query
+(novel_discover.py:237-264): the per-position base counts are restricted
+to the pairs ASSIGNED to the candidate allele's read group, one base per
+pair (the reference keys its pileup dict by query name, so when both
+mates cover the position the later one wins — here mate 2).  Placement
+arrays saved by the pipeline (`.placements.npz`) stand in for the BAM;
+when they are absent we fall back to the whole-gene unique pileup, which
+is only equivalent at CN=1.
 """
 from __future__ import annotations
 
+import os
 import sys
 from collections import Counter
 from itertools import chain
@@ -142,6 +147,48 @@ def applyNovelVariant(
     return allele_seq
 
 
+class GroupPileup:
+    """Read-group-restricted pileup over saved per-pair placements.
+
+    Mirrors reference queryPileup + countFilterPileup
+    (novel_discover.py:237-264): count one base per assigned pair at the
+    queried backbone position; when both mates cover it, mate 2 wins
+    (the reference's per-qname dict keeps the last mate seen).
+    """
+
+    def __init__(self, placements) -> None:
+        if isinstance(placements, (str, bytes)):
+            placements = np.load(placements)
+        self.slot_of_pair = {
+            int(r): i for i, r in enumerate(placements["pair_rows"])
+        }
+        self.cols_l = placements["cols_l"]
+        self.cols_r = placements["cols_r"]
+        self.bases_l = placements["bases_l"]
+        self.bases_r = placements["bases_r"]
+
+    def counts(self, reads: list[PairRead], pos: int) -> dict[str, int]:
+        slots = np.array(
+            [self.slot_of_pair[r.pair_index] for r in reads
+             if r.pair_index in self.slot_of_pair],
+            dtype=np.int64,
+        )
+        if not len(slots):
+            return {}
+        hit_l = self.cols_l[slots] == pos
+        hit_r = self.cols_r[slots] == pos
+        bl = np.where(hit_l.any(axis=1),
+                      self.bases_l[slots, hit_l.argmax(axis=1)], -1)
+        br = np.where(hit_r.any(axis=1),
+                      self.bases_r[slots, hit_r.argmax(axis=1)], -1)
+        base = np.where(br >= 0, br, bl)  # mate 2 wins
+        base = base[base >= 0]
+        out: dict[str, int] = {}
+        for b, c in zip(*np.unique(base, return_counts=True)):
+            out["ACGTN"[min(int(b), 4)]] = int(c)
+        return out
+
+
 def splitReadsByAlleles(
     model: TypingWithPosNegAllele, predict_alleles: list[str]
 ) -> Iterable[tuple[str, tuple[str, ...], list[PairRead], dict[str, Variant]]]:
@@ -164,21 +211,35 @@ def discoverNovel(
     apply: bool = True,
     pileup: np.ndarray | None = None,
     gene_names: list[str] | None = None,
+    placements=None,
 ) -> None:
     """Find and apply novel SNVs vs the called alleles.
 
-    pileup: [G, Lmax, 5] base counts (from the aligner); gene_names maps
-    its first axis.  When omitted it is loaded from
-    `{variant_name}.pileup.npy` + the index gene order in the MSA files.
+    placements: per-pair placement arrays (path to `.placements.npz` or a
+    loaded mapping) — enables the read-group-restricted pileup that
+    matches the reference at CN>1.  Defaults to
+    `{variant_name}.placements.npz` when that file exists.  Without it,
+    pileup [G, Lmax, 5] + gene_names give the whole-gene unique pileup
+    (CN=1-equivalent fallback only).
     """
     result = pd.read_csv(result_name + ".tsv", sep="\t")
     predict_alleles = result["alleles"][0].split("_")
     data = TypingWithPosNegAllele(variant_name + ".json")
 
-    if pileup is None:
-        pileup = np.load(variant_name + ".pileup.npy")
-    if gene_names is None:
-        gene_names = sorted(data._gene_reads.keys())
+    group_pileup: GroupPileup | None = None
+    if placements is None and os.path.exists(variant_name + ".placements.npz"):
+        placements = variant_name + ".placements.npz"
+    if placements is not None:
+        group_pileup = GroupPileup(placements)
+    else:
+        logger.warning(
+            "[Novel] no placements available; falling back to the "
+            "whole-gene pileup (read-group-exact only at CN=1)"
+        )
+        if pileup is None:
+            pileup = np.load(variant_name + ".pileup.npy")
+        if gene_names is None:
+            gene_names = sorted(data._gene_reads.keys())
 
     msas: dict[str, Genemsa] = {}
     allele_reads: GroupPairRead = {}
@@ -231,18 +292,17 @@ def discoverNovel(
                 nv["skip"] = True
                 nv["skip_reason"] = "Number of variant too low"
 
-        gi = gene_names.index(gene) if gene in gene_names else -1
+        gi = gene_names.index(gene) if gene_names and gene in gene_names else -1
         for nv in novel_variants:
             if nv["skip"]:
                 continue
-            if gi < 0 or nv["pos"] >= pileup.shape[1]:
-                nv["skip"] = True
-                nv["skip_reason"] = "Pileup empty"
-                continue
-            counts = pileup[gi, nv["pos"]]
-            nv["pileup"] = {
-                "ACGTN"[b]: int(counts[b]) for b in range(5) if counts[b]
-            }
+            if group_pileup is not None:
+                nv["pileup"] = group_pileup.counts(reads, nv["pos"])
+            elif gi >= 0 and nv["pos"] < pileup.shape[1]:
+                counts = pileup[gi, nv["pos"]]
+                nv["pileup"] = {
+                    "ACGTN"[b]: int(counts[b]) for b in range(5) if counts[b]
+                }
             if not nv["pileup"]:
                 nv["skip"] = True
                 nv["skip_reason"] = "Pileup empty"

@@ -446,7 +446,7 @@ def _pairAndReduce(
 def makeShardedCohortStep(mesh: Mesh, arr: DeviceIndexArrays, top_c: int = 2):
     """jit the cohort step over the mesh with real shardings:
     reads -> P('data'), membership -> P(None, 'model'), outputs replicated."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def step(codes1, len1, codes2, len2, rc1, rc2, membership):
         local_arr = DeviceIndexArrays(
@@ -470,6 +470,6 @@ def makeShardedCohortStep(mesh: Mesh, arr: DeviceIndexArrays, top_c: int = 2):
             P(None, "model"),
         ),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -63,6 +63,19 @@ class SamplePipeline:
             writeReadsAndVariantsData(reads_data, out_prefix + ".json")
             self.writeDepthTsv(depth, depth_tsv)
             np.save(out_prefix + ".pileup.npy", pileup)
+            # compact per-passing-pair placements: lets novel discovery
+            # pileup the assigned read group only (the reference's
+            # qname-filtered no_multi BAM pileup, novel_discover.py:237-264)
+            rows = np.nonzero(passed)[0]
+            np.savez_compressed(
+                out_prefix + ".placements.npz",
+                pair_rows=rows.astype(np.int32),
+                gene=result.gene[rows].astype(np.int32),
+                cols_l=result.cols_l[rows].astype(np.int32),
+                cols_r=result.cols_r[rows].astype(np.int32),
+                bases_l=result.bases_l[rows].astype(np.int8),
+                bases_r=result.bases_r[rows].astype(np.int8),
+            )
             # mapping stats (samtools-flagstat stand-in, reference
             # plot.py:44-68)
             import json

@@ -22,6 +22,11 @@ class PairRead:
     lnv: list[str] = field(default_factory=list)  # left mate negative variant ids
     rpv: list[str] = field(default_factory=list)
     rnv: list[str] = field(default_factory=list)
+    # row in the aligner's pair batch (links back to saved placements so
+    # novel discovery can pileup the assigned read group only; the
+    # reference achieves this via qname filtering of the no_multi BAM,
+    # novel_discover.py:237-264)
+    pair_index: int = -1
 
 
 ReadsAndVariantsData = dict  # {"variants": list[Variant], "reads": list[PairRead]}
