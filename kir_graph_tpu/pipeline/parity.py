@@ -1,0 +1,254 @@
+"""
+Golden-example parity proxy (offline stand-in for the reference example).
+
+The reference's headline correctness check runs its bundled example
+(example/test0{0,1}.read{1,2}.fq.gz through main.py:423-606) against
+result.{cn,allele}.tsv, on an index built from IPD-KIR 2100.  This build
+has zero network egress (DNS resolution fails; see docs/PARITY.md for the
+recorded attempt), so this module reproduces the example's exact SHAPE on
+a synthetic IPD-scale database:
+
+  * a 17-gene KIR roster rendered as a real IPD checkout (msf gen+nuc,
+    gff) -> cold-built via the CLI `--ipd-db` path with `ab_2dl1s1`
+    merging, exon-only alleles included (`withexon` in the reference)
+  * sample 00 with a PROVIDED CN file via cohort.csv's `cnfile` column
+    (reference example/cohort.csv + test00.assigned.cn.tsv), including a
+    CN=3 merged gene and CN=0 genes
+  * sample 01 through the full depth->CN fit
+  * truth includes exon-only (`e`-suffixed) alleles
+  * `exonfirst` allele strategy (reference kir_typing.py default for
+    real data)
+
+runParityProxy() builds everything, runs the real CLI main(), and
+returns an exact-match report; tests/test_parity.py asserts it at
+reduced scale, scripts/parity_proxy.py records the full-scale report.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..msa.genemsa import Genemsa
+from ..sim.ipd_checkout import writeIpdCheckout
+from ..sim.reads import simulatePairedReads, writeFastq
+from ..sim.synth_db import SynthConfig, alleleUngappedSeq, makeSyntheticDB
+from ..utils import logger
+
+# gene -> merged backbone under the ab_2dl1s1 index (reference kir_msa.py
+# merge modes; see msa/builder.py:175-198)
+MERGE_OF = {"KIR2DL1": "KIR2DL1S1", "KIR2DS1": "KIR2DL1S1",
+            "KIR2DL5A": "KIR2DL5", "KIR2DL5B": "KIR2DL5"}
+
+
+def mergedBackbone(gene: str) -> str:
+    return MERGE_OF.get(gene, gene) + "*BACKBONE"
+
+
+@dataclass
+class ParityTruth:
+    name: str
+    copies: dict[str, int]                  # allele name (with e) -> copies
+    cn: dict[str, int] = field(default_factory=dict)  # backbone -> CN
+    cnfile: str = ""
+
+
+def exonUniqueAlleles(msa: Genemsa) -> list[str]:
+    """Alleles whose exon-column string is unique within the gene — the
+    only ones identifiable from exon evidence alone, hence the only safe
+    exon-only (nuc-only) candidates for an exact-recovery proxy."""
+    from ..sim.ipd_checkout import exonConcatSeq
+
+    names = [n for n in msa.alleles if not n.endswith("*BACKBONE")]
+    sig = {n: exonConcatSeq(msa, n) for n in names}
+    from collections import Counter
+
+    cnt = Counter(sig.values())
+    return [n for n in names if cnt[sig[n]] == 1]
+
+
+def buildProxyCheckout(
+    workdir: str,
+    n_alleles_per_gene: int = 100,
+    seed: int = 21,
+    n_exon_only: int = 8,
+) -> tuple[dict[str, Genemsa], str, dict[str, list[str]]]:
+    """Synthetic 17-gene DB -> IPD checkout with nuc-only alleles."""
+    cfg = SynthConfig(
+        seed=seed,
+        n_genes=17,
+        n_alleles_per_gene=n_alleles_per_gene,
+        n_snp_sites=max(60, int(1.5 * n_alleles_per_gene)),
+        n_families=8 if n_alleles_per_gene >= 40 else 4,
+    )
+    genes = makeSyntheticDB(cfg)
+    rng = np.random.Generator(np.random.Philox(seed + 1))
+    exon_only: dict[str, list[str]] = {}
+    for g, msa in genes.items():
+        cands = exonUniqueAlleles(msa)
+        k = min(n_exon_only, max(0, len(cands) - 2))
+        if k:
+            exon_only[g] = sorted(rng.choice(cands, size=k, replace=False))
+    db_path = os.path.join(workdir, "IPDKIR")
+    writeIpdCheckout(genes, db_path, exon_only=exon_only)
+    return genes, db_path, exon_only
+
+
+def _sampleProfile(
+    genes: dict[str, Genemsa],
+    exon_only: dict[str, list[str]],
+    rng: np.random.Generator,
+    cn3_gene: str = "KIR2DL1",
+) -> dict[str, list[str]]:
+    """gene -> allele names, KIR-like CN structure: 3DL3 diploid anchor,
+    one CN=3 merged gene, some CN=0, one exon-only allele somewhere."""
+    profile: dict[str, list[str]] = {}
+    eo_genes = [g for g in genes if exon_only.get(g)]
+    eo_gene = str(rng.choice(eo_genes)) if eo_genes else ""
+    for g, msa in genes.items():
+        names = [n for n in msa.alleles if not n.endswith("*BACKBONE")]
+        full = [n for n in names if n not in set(exon_only.get(g, []))]
+        if g == "KIR3DL3":
+            cn = 2
+        elif g == cn3_gene:
+            cn = 3
+        else:
+            cn = int(rng.choice([0, 1, 2], p=[0.25, 0.35, 0.4]))
+        if not cn:
+            continue
+        picks: list[str] = []
+        if g == eo_gene:
+            picks.append(str(rng.choice(exon_only[g])) + "e")
+        while len(picks) < cn:
+            picks.append(str(rng.choice(full)))
+        profile[g] = picks
+    return profile
+
+
+def makeParitySamples(
+    genes: dict[str, Genemsa],
+    exon_only: dict[str, list[str]],
+    workdir: str,
+    depth: float = 20.0,
+    seed: int = 77,
+) -> tuple[str, list[ParityTruth]]:
+    """Two example-shaped samples; sample 00 gets a provided-CN file."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    truths: list[ParityTruth] = []
+    rows = []
+    for s in range(2):
+        profile = _sampleProfile(
+            genes, exon_only, rng, cn3_gene="KIR2DL1" if s == 0 else "KIR2DS1"
+        )
+        copies: dict[str, int] = {}
+        seqs: dict[str, str] = {}
+        for g, picks in profile.items():
+            for a in picks:
+                copies[a] = copies.get(a, 0) + 1
+                # reads come from the TRUE full-length sequence even for
+                # nuc-only alleles (the DB only saw their exons)
+                seqs[a] = alleleUngappedSeq(genes[g], a.rstrip("e"))
+        sim = simulatePairedReads(
+            seqs, depth=depth, seed=seed + 10 + s, error_rate=0.002,
+            allele_copies=copies, sample_name=f"parity{s}",
+        )
+        name = os.path.join(workdir, f"test{s:02d}")
+        r1, r2 = name + ".read1.fq.gz", name + ".read2.fq.gz"
+        writeFastq(r1, sim.names, sim.r1)
+        writeFastq(r2, sim.names, sim.r2)
+
+        cn: dict[str, int] = {}
+        for g, picks in profile.items():
+            bb = mergedBackbone(g)
+            cn[bb] = cn.get(bb, 0) + len(picks)
+        truth = ParityTruth(name=name, copies=copies, cn=cn)
+        if s == 0:  # provided-CN path (reference test00.assigned.cn.tsv)
+            truth.cnfile = name + ".assigned.cn.tsv"
+            pd.DataFrame(
+                [{"gene": g, "cn": c} for g, c in sorted(cn.items())]
+            ).to_csv(truth.cnfile, sep="\t", index=False)
+        rows.append({"name": name, "r1": r1, "r2": r2,
+                     "cnfile": truth.cnfile or None})
+        truths.append(truth)
+    csv = os.path.join(workdir, "cohort.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return csv, truths
+
+
+def evaluateParity(
+    cohort_name: str, truths: list[ParityTruth], index
+) -> dict:
+    """Exact-match report: CN per backbone, alleles per sample."""
+    report: dict = {"samples": [], "cn_exact": True, "allele_exact": True}
+    cn = pd.read_csv(cohort_name + ".cn.tsv", sep="\t", index_col=0)
+    al = pd.read_csv(cohort_name + ".allele.tsv", sep="\t")
+    backbones = list(index.gene_names)
+    for s, truth in enumerate(truths):
+        got_cn = dict(cn[cn.columns[s]])
+        want_cn = {bb: truth.cn.get(bb, 0) for bb in backbones}
+        cn_ok = {bb: int(got_cn.get(bb, 0)) == want_cn[bb] for bb in backbones}
+        called = sorted(al.iloc[s]["alleles"].split("_"))
+        want = sorted(a for a, c in truth.copies.items() for _ in range(c))
+        # secondary metric: e-suffix-insensitive (eval/compare.py:120)
+        strip = lambda xs: sorted(x[:-1] if x.endswith("e") else x for x in xs)
+        sample_report = {
+            "name": truth.name,
+            "cn_match": sum(cn_ok.values()),
+            "cn_total": len(backbones),
+            "cn_wrong": {bb: (int(got_cn.get(bb, 0)), want_cn[bb])
+                         for bb, ok in cn_ok.items() if not ok},
+            "alleles_called": called,
+            "alleles_want": want,
+            "allele_exact": called == want,
+            "allele_exact_e_insensitive": strip(called) == strip(want),
+        }
+        report["samples"].append(sample_report)
+        report["cn_exact"] &= all(cn_ok.values())
+        report["allele_exact"] &= sample_report["allele_exact"]
+    return report
+
+
+def runParityProxy(
+    workdir: str,
+    n_alleles_per_gene: int = 100,
+    depth: float = 20.0,
+    seed: int = 21,
+    allele_strategy: str = "exonfirst",
+) -> dict:
+    """Build the proxy DB + samples, run the real CLI, report parity."""
+    from .main import createParser, main
+
+    os.makedirs(workdir, exist_ok=True)
+    genes, db_path, exon_only = buildProxyCheckout(
+        workdir, n_alleles_per_gene=n_alleles_per_gene, seed=seed
+    )
+    csv, truths = makeParitySamples(
+        genes, exon_only, workdir, depth=depth, seed=seed + 50
+    )
+    cohort_name = os.path.join(workdir, "cohort")
+    index_prefix = os.path.join(workdir, "index", "kir")
+    args = createParser().parse_args([
+        "--input-csv", csv,
+        "--ipd-db", db_path,
+        "--index-prefix", index_prefix,
+        "--msa-type", "ab_2dl1s1",
+        "--output-cohort-name", cohort_name,
+        "--allele-strategy", allele_strategy,
+        "--allele-top-n", "300",
+    ])
+    main(args)
+
+    from ..index.build import loadIndex
+
+    index = loadIndex(index_prefix)
+    report = evaluateParity(cohort_name, truths, index)
+    report["config"] = {
+        "n_genes": 17, "n_alleles_per_gene": n_alleles_per_gene,
+        "depth": depth, "seed": seed, "allele_strategy": allele_strategy,
+        "exon_only_total": sum(len(v) for v in exon_only.values()),
+    }
+    logger.info(f"[Parity] cn_exact={report['cn_exact']} "
+                f"allele_exact={report['allele_exact']}")
+    return report

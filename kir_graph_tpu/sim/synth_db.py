@@ -77,6 +77,9 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
         "KIR3DL3", "KIR2DL1", "KIR2DL4", "KIR3DL2", "KIR2DS4", "KIR2DL3",
         "KIR3DL1", "KIR2DS1", "KIR2DL2", "KIR2DS2", "KIR2DP1", "KIR3DP1",
         "KIR2DS3", "KIR2DS5", "KIR3DS1",
+        # positions 15/16: the 2DL5A/B pair so n_genes=17 reproduces the
+        # real ab-merge roster (reference kir_msa.py merge modes)
+        "KIR2DL5A", "KIR2DL5B",
     ]
     genes: dict[str, Genemsa] = {}
     for g in range(cfg.n_genes):
