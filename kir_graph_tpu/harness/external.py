@@ -92,100 +92,218 @@ class T1kTool(ContainerTool):
 
 
 class PingTool(ContainerTool):
-    """PING R pipeline (clone + run in container, parse
-    finalAlleleCalls.csv). CN thresholding may require manual review —
-    the same caveat the reference documents (research/other_kir.py:414)."""
+    """PING R pipeline (reference kir/ping.py; upstream
+    github.com/wesleymarin/PING).  CN thresholding may require manual
+    review of manualCopyNumberFrame.csv mid-run — the same caveat the
+    reference documents (research/other_kir.py:414)."""
 
     name = "ping"
 
     def __init__(self, version: str = "20220527", **kwargs):
         super().__init__(**kwargs)
         self.version = version
-        self.images = {"ping": "localhost/c4lab/ping"}
-        self.folder = "PING"
+        self.images = {"ping": f"localhost/c4lab/ping:{self.version}"}
 
-    def run(self, input_folder: str, output_folder: str) -> str:
+    def download(self, folder_base: str = "") -> str:
+        folder = os.path.join(
+            folder_base or ".", "ping_" + self.escapeName(self.version)
+        )
+        if os.path.exists(folder):
+            return folder
+        raise RuntimeError(
+            f"PING checkout not found at {folder}; this build is offline — "
+            "clone github.com/wesleymarin/PING there first"
+        )
+
+    def migrateSample(self, input_name: str) -> str:
+        """Symlink the cohort's FASTQs into one PING input directory with
+        `id.{sample}` names (ping.py:67-82)."""
+        folder = self.replaceWildcard(input_name, "_pingsample")
+        if os.path.exists(folder):
+            return folder
+        os.makedirs(folder)
+        depth = len([p for p in folder.split(os.sep) if p and p != "."])
+        rel = os.path.join(*([".."] * depth)) if depth else "."
+        for name in self.listFiles(input_name):
+            f1, f2 = f"{name}.read.1.fq", f"{name}.read.2.fq"
+            suffix = "fq"
+            if not os.path.exists(f1):
+                f1, f2 = f"{name}.read.1.fq.gz", f"{name}.read.2.fq.gz"
+                suffix = "fq.gz"
+            sid = self.getID(name)
+            os.symlink(os.path.join(rel, f1),
+                       os.path.join(folder, f"id.{sid}.read.1.{suffix}"))
+            os.symlink(os.path.join(rel, f2),
+                       os.path.join(folder, f"id.{sid}.read.2.{suffix}"))
+        return folder
+
+    def getOutputFolder(self, folder_in: str, index: str) -> str:
+        return folder_in + ".result_" + self.escapeName(index)
+
+    def main(self, folder_in: str, index: str) -> str:
+        """Run PING_run.R over the migrated sample folder."""
         self._requireEngine()
+        folder_out = self.getOutputFolder(folder_in, index)
+        if os.path.exists(os.path.join(folder_out, "finalAlleleCalls.csv")):
+            return folder_out
         self.runDocker(
             "ping",
-            "Rscript PING_run.R",
+            f"Rscript ping.run_{self.version}.R",
             opts=(
-                f" -e RAW_FASTQ_DIR=../{input_folder}"
+                f" -v $PWD/{index}/Resources:/app/Resources:ro"
+                f" -e RAW_FASTQ_DIR={folder_in}"
                 f" -e FASTQ_PATTERN=fq"
                 f" -e THREADS={self.getThreads()}"
-                f" -e RESULTS_DIR=../{output_folder}"
+                f" -e RESULTS_DIR={folder_out}"
+                f" -e SHORTNAME_DELIM=.read"
             ),
-            cwd=self.folder,
         )
-        return output_folder
+        return folder_out
 
     @staticmethod
     def readAllele(csv_file: str) -> dict[str, list[str]]:
-        """finalAlleleCalls: 'KIR2DL1*001 KIR2DL1*002' with 'unresolved' /
-        'failed' markers per gene column."""
+        """finalAlleleCalls.csv: per-gene 'A*001+A*002 <alt>' strings with
+        'null'/'failed'/'unresolved' markers (ping.py:108-144)."""
         df = pd.read_csv(csv_file)
+        if not isinstance(df.index, pd.RangeIndex):
+            df = df.reset_index()
+        df = df.rename(columns={"Unnamed: 0": "name", "index": "name"})
+        df = df.fillna("")
         out: dict[str, list[str]] = {}
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
+            name_id = str(row["name"])
+            if name_id.startswith("id."):
+                name_id = name_id[3:]
             alleles: list[str] = []
             for gene, call in row.items():
                 if gene == "name" or not isinstance(call, str):
                     continue
                 for part in call.split(" ")[0].split("+"):
                     if part and "null" not in part and "failed" not in part:
-                        alleles.append(part)
-            out[str(row.get("name", ""))] = alleles
+                        alleles.append(part.replace("_", "."))
+            out[name_id] = alleles
         return out
 
+    def mergeResult(self, result_folder: str, use_novel: bool = False) -> str:
+        output_name = result_folder + ".merge"
+        if use_novel:
+            output_name += "_iter"
+            data = self.readAllele(
+                os.path.join(result_folder, "iterAlleleCalls.csv"))
+        else:
+            output_name += "_final"
+            data = self.readAllele(
+                os.path.join(result_folder, "finalAlleleCalls.csv"))
+        predict_list = [
+            {"id": name, "alleles": alleles, "name": f"{result_folder}.{name}"}
+            for name, alleles in data.items()
+        ]
+        self.savePredictedAllele(predict_list, output_name)
+        return output_name
+
+    @staticmethod
+    def readGeneDepthRatio(locus_csv: str) -> pd.DataFrame:
+        """PING locusRatioFrame.csv -> tidy depth-ratio table
+        (ping.py:155-166)."""
+        df = pd.read_csv(locus_csv)
+        df = df.rename(columns={"Unnamed: 0": "sample"})
+        df["method"] = "PING"
+        df["id"] = [str(s)[3:] if str(s).startswith("id.") else str(s)
+                    for s in df["sample"]]
+        return df.drop(columns=["sample"])
+
     def runAll(self, input_name: str) -> str:
-        raise RuntimeError(
-            "PING requires its repository + container and per-cohort CN "
-            "threshold review; wire run()/readAllele() into your cohort "
-            "layout (see reference kir/ping.py)"
-        )
-
-
-class SakaueKirTool(ContainerTool):
-    """Sakaue et al. pipeline: bwa -> picard -> GATK ploidy -> HaplotypeCaller."""
-
-    name = "sakauekir"
-
-    def __init__(self, **kwargs):
-        super().__init__(**kwargs)
-        self.images = {
-            "bwa": "quay.io/biocontainers/bwa:0.7.17-hed695b0_7",
-            "picard": "quay.io/biocontainers/picard:2.27.3--hdfd78af_0",
-            "gatk3": "docker.io/broadinstitute/gatk3:3.6-0",
-            "gatk4": "docker.io/broadinstitute/gatk:4.2.6.1",
-            "deepvariant": "docker.io/google/deepvariant:1.4.0",
-        }
-
-    def runAll(self, input_name: str) -> str:
-        raise RuntimeError(
-            "SakaueKir needs GATK/picard/DeepVariant containers and the "
-            "published reference panel; see reference kir/sakauekir.py"
-        )
+        index = self.download()
+        folder = self.migrateSample(input_name)
+        result = self.main(folder, index=index)
+        return self.mergeResult(result)
 
 
 class KpiTool(ContainerTool):
-    """KPI k-mer haplotype caller (nextflow container)."""
+    """KPI k-mer haplotype caller (reference kir/kpi.py; upstream
+    github.com/droeatumn/kpi)."""
 
     name = "kpi"
 
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
+        self.version = "v1.1.1"
         self.images = {"kpi": "docker.io/droeatumn/kpi"}
 
-    def run(self, input_name: str) -> str:
+    def download(self, folder_base: str = "") -> str:
+        folder = os.path.join(
+            folder_base or ".", "kpi_" + self.escapeName(self.version)
+        )
+        if os.path.exists(folder):
+            return folder
+        raise RuntimeError(
+            f"KPI checkout not found at {folder}; this build is offline — "
+            "clone github.com/droeatumn/kpi there first"
+        )
+
+    def run(self, input_name: str, index: str) -> str:
+        """Write the nextflow mapping file and run KPI (kpi.py:35-56)."""
+        mapping_file = self.replaceWildcard(input_name, "_kpidatalist")
+        out_suffix = ".kpi_" + self.escapeName(index)
+        output_name = input_name + out_suffix + "_prediction"
+        if os.path.exists(mapping_file + ".txt"):
+            return output_name
+        with open(mapping_file + ".txt", "w") as f:
+            for name in self.listFiles(input_name):
+                f1, f2 = f"{name}.read.1.fq", f"{name}.read.2.fq"
+                if not os.path.exists(f1):
+                    f1, f2 = f"{name}.read.1.fq.gz", f"{name}.read.2.fq.gz"
+                base = os.path.basename(name)
+                print(base + out_suffix, f1, sep="\t", file=f)
+                print(base + out_suffix, f2, sep="\t", file=f)
         self._requireEngine()
-        output_name = input_name + ".kpi"
-        self.runDocker("kpi", f"main.nf --map {input_name}.txt --output {output_name}")
+        folder = os.path.dirname(input_name) or "."
+        self.runDocker(
+            "kpi", f"/opt/kpi/main.nf --map {mapping_file}.txt --output {folder}"
+        )
+        return output_name
+
+    def mergeResult(self, input_name: str, index: str) -> str:
+        """KPI haplotype strings -> per-gene CN + pseudo-allele table
+        (kpi.py:58-105): take the first haplotype interpretation, sum the
+        haplotype table's per-gene presence columns."""
+        haps = pd.read_csv(os.path.join(index, "input", "haps.txt"), sep="\t")
+        output_name_cn = self.replaceWildcard(input_name, "_merge_cn")
+        output_name = self.replaceWildcard(input_name, "_merge_guess_allele")
+
+        cn: dict[str, dict[str, int]] = {}
+        guess_allele = []
+        for name in self.listFiles(input_name):
+            df = pd.read_csv(name + ".txt", sep="\t")
+            haplo = str(df["haplotypes"][0]).split("|")[0]
+            sel = haps[haps["nomenclature"].isin(haplo.split("+"))]
+            sel = sel.drop(columns=[
+                c for c in
+                ("haplotype", "nomenclature", "Jiang 2012 freq", "structure")
+                if c in sel.columns
+            ])
+            sel = sel.set_axis([f"KIR{c}" for c in sel.columns], axis=1)
+            name_id = self.getID(name)
+            cn[name_id] = {g: int(v) for g, v in sel.sum(axis=0).items()}
+            alleles = [
+                g for g, c in cn[name_id].items() for _ in range(c)
+            ]
+            guess_allele.append(
+                {"id": name_id, "alleles": alleles, "name": name}
+            )
+        assert cn
+        df_cn = pd.DataFrame(cn).reset_index().rename(columns={"index": "gene"})
+        df_cn.to_csv(output_name_cn + ".csv", index=False)
+        self.savePredictedAllele(guess_allele, output_name)
         return output_name
 
     def runAll(self, input_name: str) -> str:
-        raise RuntimeError(
-            "KPI needs its nextflow container; see reference kir/kpi.py"
-        )
+        index = self.download()
+        samples = self.run(input_name, index=index)
+        return self.mergeResult(samples, index=index)
 
+
+from .sakaue import SakaueKirTool  # noqa: E402  (needs ContainerTool above)
 
 EXTERNAL_TOOLS = {
     T1kTool.name: T1kTool,
