@@ -131,6 +131,10 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
                 name = name[:-2] + f"{rng.integers(10, 99):02d}"
             msa.append(name, chars.tobytes().decode())
 
+        # a column deleted in EVERY allele has no ACGT vote and would put an
+        # 'E' into the backbone — drop such columns first (real MSAs are
+        # shrunk the same way before msa2hisat consumes them)
+        msa = msa.shrink()
         backbone = f"{gene_name}*BACKBONE"
         msa.append(backbone, msa.get_consensus(include_gap=False))
         msa.set_reference(backbone)

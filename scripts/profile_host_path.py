@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Per-phase wall profile of the exact product path (alignPairs + annotate)
+on the bench workload — identifies where the host-orchestrated time goes
+before rebuilding it on the fast device stages."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+
+import numpy as np
+
+from bench import buildWorld, simulateBatch
+
+TIMES: dict = {}
+
+
+def timed(name, fn):
+    def wrap(*a, **k):
+        t0 = time.time()
+        out = fn(*a, **k)
+        TIMES[name] = TIMES.get(name, 0.0) + (time.time() - t0)
+        return out
+
+    return wrap
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    genes, index = buildWorld(small=bool(os.environ.get("BENCH_SMALL")))
+    n_pairs = 2000 if os.environ.get("BENCH_SMALL") else 30000
+    c1, l1, c2, l2 = simulateBatch(genes, index, n_pairs)
+
+    from kir_graph_tpu.align import pipeline as pl
+    from kir_graph_tpu.align.annotate import VariantAnnotator
+
+    aligner = pl.GraphAligner(index)
+    annotator = VariantAnnotator(index)
+
+    t0 = time.time()
+    aligner.alignPairs(c1, l1, c2, l2)
+    print(f"warm alignPairs (incl compile): {time.time() - t0:.1f}s", flush=True)
+
+    # instrument
+    aligner._scoreJobs = timed("scoreJobs", aligner._scoreJobs)
+    aligner._tracebackJobs = timed("tracebackJobs", aligner._tracebackJobs)
+    pl.findCandidates = timed("findCandidates", pl.findCandidates)
+    pl.revCompCodes = timed("revComp", pl.revCompCodes)
+
+    t0 = time.time()
+    result = aligner.alignPairs(c1, l1, c2, l2)
+    total = time.time() - t0
+    t0 = time.time()
+    annotator.annotate(result)
+    t_ann = time.time() - t0
+
+    n_reads = 2 * len(c1)
+    print(f"alignPairs total: {total:.2f}s ({n_reads/total:,.0f} reads/s)")
+    for k, v in sorted(TIMES.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:>16}: {v:6.2f}s")
+    other = total - sum(TIMES.values())
+    print(f"  {'host numpy/other':>16}: {other:6.2f}s")
+    print(f"annotate: {t_ann:.2f}s")
+    print(f"product path: {n_reads/(total+t_ann):,.0f} reads/s")
+
+
+if __name__ == "__main__":
+    main()

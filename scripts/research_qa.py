@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Reference-scale research QA (VERDICT round-1 item 8).
+
+Replays the reference's QA cohorts (research/kg_main.py:454-480): N=100
+samples at 30x and 15x with pinned seeds on a 17-gene synthetic DB, plus
+an adversarial novel-SNV cohort, through the full CLI pipeline; writes
+per-run accuracy tables to {out}/qa_summary.json and a markdown table.
+
+  python scripts/research_qa.py [outdir]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from kir_graph_tpu.pipeline.research import createParser, main  # noqa: E402
+
+RUNS = [
+    # name, samples, depth, novel_per_sample
+    ("n100_d30", 100, 30.0, 0),
+    ("n100_d15", 100, 15.0, 0),
+    ("n25_d30_novel", 25, 30.0, 1),
+]
+
+
+def run() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "research_qa"
+    results = {}
+    for name, samples, depth, novel in RUNS:
+        t0 = time.time()
+        args = createParser().parse_args([
+            "--out", os.path.join(base, name),
+            "--samples", str(samples),
+            "--depth", str(depth),
+            "--seed", "87",
+            "--db-seed", "21",
+            "--n-genes", "17",
+            "--alleles-per-gene", "30",
+            "--gene-length", "4000",
+            "--novel-per-sample", str(novel),
+            "--log-level", "WARNING",
+        ])
+        report = main(args)
+        report["wall_s"] = round(time.time() - t0, 1)
+        report["config"] = {"samples": samples, "depth": depth, "novel": novel}
+        results[name] = report
+        print(json.dumps({name: report}, default=str), flush=True)
+        with open(os.path.join(base, "qa_summary.json"), "w") as f:
+            json.dump(results, f, indent=1, default=str)
+
+    lines = [
+        "| run | N | depth | novel/sample | gene acc | 7-digit acc | CN errors | wall (s) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, rep in results.items():
+        c = rep["config"]
+        lines.append(
+            f"| {name} | {c['samples']} | {c['depth']:g} | {c['novel']} "
+            f"| {rep['allele_acc_gene']:.4f} | {rep['allele_acc_7digit']:.4f} "
+            f"| {rep['cn_errors']} | {rep['wall_s']} |"
+        )
+    with open(os.path.join(base, "qa_table.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    run()
