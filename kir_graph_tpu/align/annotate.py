@@ -225,25 +225,36 @@ class VariantAnnotator:
         RL = result.cols_l.shape[1]
         mapped = result.gene >= 0
 
-        # interleaved mate rows: row 2n = left mate, 2n+1 = right mate
+        # compact to mapped pairs: unmapped rows contribute nothing to any
+        # output, and most device batches are padded/bucketed well past the
+        # mapped count — every [rows, RL] op below shrinks accordingly
+        map_pairs = np.nonzero(mapped)[0].astype(np.int64)
+        Nm = len(map_pairs)
         M = 2 * N
-        cols = np.empty((M, RL), dtype=np.int64)
-        bases = np.empty((M, RL), dtype=np.int64)
-        lens = np.empty(M, dtype=np.int64)
-        cols[0::2], cols[1::2] = result.cols_l, result.cols_r
-        bases[0::2], bases[1::2] = result.bases_l, result.bases_r
-        lens[0::2], lens[1::2] = result.len_l, result.len_r
-        gene = np.repeat(result.gene.astype(np.int64), 2)
-        row_mapped = np.repeat(mapped, 2)
+        Mc = 2 * Nm
+        # interleaved mate rows (within the compacted set): row 2i = left
+        # mate of mapped pair i, row 2i+1 = right mate; `mrows` maps back
+        # to the full interleaved index, and is strictly increasing, so
+        # compacted row-major order == full row-major order
+        mrows = np.empty(Mc, dtype=np.int64)
+        mrows[0::2] = 2 * map_pairs
+        mrows[1::2] = 2 * map_pairs + 1
+        cols = np.empty((Mc, RL), dtype=np.int32)
+        bases = np.empty((Mc, RL), dtype=np.int16)
+        lens = np.empty(Mc, dtype=np.int32)
+        cols[0::2], cols[1::2] = result.cols_l[map_pairs], result.cols_r[map_pairs]
+        bases[0::2], bases[1::2] = result.bases_l[map_pairs], result.bases_r[map_pairs]
+        lens[0::2], lens[1::2] = result.len_l[map_pairs], result.len_r[map_pairs]
+        gene = np.repeat(result.gene[map_pairs].astype(np.int64), 2)
 
-        j = np.arange(RL)[None, :]
+        j = np.arange(RL, dtype=np.int32)[None, :]
         in_len = j < lens[:, None]
-        consumed = (cols >= 0) & in_len & row_mapped[:, None]
+        consumed = (cols >= 0) & in_len
         any_consumed = consumed.any(axis=1)
-        overhang = ((cols == -3) & in_len).any(axis=1) & row_mapped
-        n_ins = ((cols == -2) & in_len & row_mapped[:, None]).sum(axis=1)
+        overhang = ((cols == -3) & in_len).any(axis=1)
+        n_ins = ((cols == -2) & in_len).sum(axis=1)
 
-        safe_gene = np.clip(gene, 0, Gt - 1)
+        safe_gene = gene  # compacted rows are all mapped: gene is valid
         safe_cols = np.clip(cols, 0, Lmax - 1)
         bb = self.seq_g[safe_gene[:, None], safe_cols]
 
@@ -252,13 +263,11 @@ class VariantAnnotator:
         # Depth/pileup outputs stay raw (the reference pileups the BAM).
         bases_raw = bases
         if error_correction:
-            ec_pileup = np.zeros((Gt, Lmax, 5), dtype=np.int32)
             rows, cposs = np.nonzero(consumed)
-            np.add.at(
-                ec_pileup,
-                (gene[rows], cols[rows, cposs], bases[rows, cposs]),
-                1,
-            )
+            lin = (gene[rows] * Lmax + cols[rows, cposs]) * 5 \
+                + bases[rows, cposs]
+            ec_pileup = np.bincount(lin, minlength=Gt * Lmax * 5) \
+                .reshape(Gt, Lmax, 5).astype(np.int32)
             cand = consumed & (bases != bb) & (bases < 4)
             rows, cposs = np.nonzero(cand)
             if len(rows):
@@ -298,7 +307,7 @@ class VariantAnnotator:
         # --- deletion runs between consecutive consumed columns
         pm = np.maximum.accumulate(np.where(consumed, cols, -1), axis=1)
         prev_before = np.concatenate(
-            [np.full((M, 1), -1, dtype=np.int64), pm[:, :-1]], axis=1
+            [np.full((Mc, 1), -1, dtype=np.int32), pm[:, :-1]], axis=1
         )
         gap = cols - prev_before - 1
         run_mask = consumed & (prev_before >= 0) & (gap > 0)
@@ -334,7 +343,7 @@ class VariantAnnotator:
         d2 = delFind(r_start0, r_len, r_gene)
         r_del_gidx = np.where(d1 >= 0, d1, d2)
         r_known = r_del_gidx >= 0
-        novel_del_len = np.zeros(M, dtype=np.int64)
+        novel_del_len = np.zeros(Mc, dtype=np.int64)
         np.add.at(novel_del_len, r_rows[~r_known], r_len[~r_known])
 
         # --- NM and filters
@@ -342,8 +351,12 @@ class VariantAnnotator:
               + ignored_cnt).astype(np.int64)
         nm[~any_consumed] = 99
         evidence_empty = (n_ins > 0) | (novel_del_len > 0) | overhang
-        nm2 = nm.reshape(N, 2).T
-        pass_mask = mapped & (nm2 <= self.num_editdist).all(axis=0)
+        nm2c = nm.reshape(Nm, 2).T                     # [2, Nm]
+        pass_c = (nm2c <= self.num_editdist).all(axis=0)
+        pass_mask = np.zeros(N, dtype=bool)
+        pass_mask[map_pairs] = pass_c
+        nm2 = np.zeros((2, N), dtype=np.int64)
+        nm2[:, map_pairs] = nm2c
 
         # --- novel SNV registration: first occurrence in row-major (read,
         # mate, column) order, matching the reference's sequential nv ids
@@ -380,7 +393,7 @@ class VariantAnnotator:
 
         # --- positives CSR: known SNPs (column order), known deletions
         # (run order), then novel SNVs (column order) — the loop's order
-        pass_row = np.repeat(pass_mask, 2) & ~evidence_empty
+        pass_row = np.repeat(pass_c, 2) & ~evidence_empty
         ksel = known_mask & pass_row[:, None]
         if exon_only:
             ksel &= self.g_in_exon[np.clip(snp_gidx, 0, max(Vtot - 1, 0))]
@@ -400,7 +413,12 @@ class VariantAnnotator:
             v_rows = nrows[pass_row[nrows]]
             v_gidx = novel_gidx_inst[pass_row[nrows]]
         pos_indptr, pos_idx = _csrConcat(
-            M, [(krows, k_gidx), (d_rows, d_gidx), (v_rows, v_gidx)]
+            M,
+            [
+                (mrows[krows], k_gidx),
+                (mrows[d_rows], d_gidx),
+                (mrows[v_rows], v_gidx),
+            ],
         )
 
         # --- negatives CSR: catalog span [lo, hi) minus positives, N-site
@@ -408,15 +426,15 @@ class VariantAnnotator:
         first_col = np.where(
             any_consumed, np.argmax(consumed, axis=1), 0
         )
-        left = cols[np.arange(M), first_col]
+        left = cols[np.arange(Mc), first_col]
         last_col = RL - 1 - np.argmax(consumed[:, ::-1], axis=1)
-        right = cols[np.arange(M), last_col] + 1
+        right = cols[np.arange(Mc), last_col] + 1
         do_neg = pass_row & any_consumed
         lo = np.where(do_neg, self.lo_at[safe_gene, np.clip(left, 0, Lmax + 1)], 0)
         hi = np.where(do_neg, self.hi_at[safe_gene, np.clip(right, 0, Lmax + 1)], 0)
         hi = np.maximum(hi, lo)
         counts = (hi - lo).astype(np.int64)
-        cand_rows = np.repeat(np.arange(M), counts)
+        cand_rows = np.repeat(np.arange(Mc), counts)
         base_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
         cand_gidx = (
             np.arange(len(cand_rows)) - np.repeat(base_off, counts)
@@ -447,20 +465,19 @@ class VariantAnnotator:
             keep &= self.g_in_exon[cand_gidx]
         neg_rows = cand_rows[keep]
         neg_gidx = cand_gidx[keep]
-        neg_indptr = np.zeros(M + 1, dtype=np.int64)
-        np.add.at(neg_indptr, neg_rows + 1, 1)
-        neg_indptr = np.cumsum(neg_indptr)
+        neg_counts_full = np.zeros(M, dtype=np.int64)
+        neg_counts_full[mrows] = np.bincount(neg_rows, minlength=Mc)
+        neg_indptr = np.concatenate([[0], np.cumsum(neg_counts_full)])
 
         # --- depth / pileup from passing, unique-mapped pairs
-        depth = np.zeros((Gt, Lmax), dtype=np.int32)
-        pileup = np.zeros((Gt, Lmax, 5), dtype=np.int32)
-        uniq_row = np.repeat(pass_mask & (result.nh == 1), 2)
+        uniq_row = np.repeat(pass_c & (result.nh[map_pairs] == 1), 2)
         sel = consumed & uniq_row[:, None]
         rows, cposs = np.nonzero(sel)
-        np.add.at(depth, (gene[rows], cols[rows, cposs]), 1)
-        np.add.at(
-            pileup, (gene[rows], cols[rows, cposs], bases_raw[rows, cposs]), 1
-        )
+        lin = (gene[rows] * Lmax + cols[rows, cposs]) * 5 \
+            + bases_raw[rows, cposs]
+        pileup = np.bincount(lin, minlength=Gt * Lmax * 5) \
+            .reshape(Gt, Lmax, 5).astype(np.int32)
+        depth = pileup.sum(axis=-1, dtype=np.int32)
 
         ev = EvidenceArrays(
             gene=result.gene.astype(np.int32),

@@ -44,6 +44,13 @@ def revCompCodes(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Reverse-complement of padded code rows (pad stays at the tail)."""
     n, m = codes.shape
     comp = np.array([3, 2, 1, 0, 4], dtype=np.int8)
+    if n and lengths.min() == lengths.max():
+        # uniform read length (the usual FASTQ case): one strided reverse,
+        # no per-row realignment gather
+        L = int(lengths[0])
+        out = np.full_like(codes, BASE_PAD)
+        out[:, :L] = comp[codes[:, L - 1 :: -1]]
+        return out
     flipped = comp[codes[:, ::-1]]
     # row i is left-padded by (m - L); shift it back to the front
     shift = (m - lengths)[:, None]

@@ -21,14 +21,9 @@ import numpy as np
 
 from ..index.build import BASE_PAD, KirIndex
 from ..utils import logger
-from .dp import (
-    AlignParams,
-    bandedScoreGather,
-    bandedTracebackGather,
-    decodeDeltas,
-)
+from .dp import AlignParams, bandedTracebackGather, decodeDeltas
 from .encode import revCompCodes
-from .seeding import DIAG_BUCKET, SeedTable, findCandidates
+from .seeding import DIAG_BUCKET, SeedTable
 
 PAD_L = 64  # front padding of window coordinate space
 
@@ -80,20 +75,17 @@ class GraphAligner:
         self.min_votes = min_votes
         self.max_pair_buckets = max_pair_buckets
 
-        self.table = SeedTable.fromIndex(index)
+        # shared device index arrays: the same seed table + per-(gene, diag)
+        # window byte-plane the pure-device cohort path uses — scoring is a
+        # contiguous row gather, not [J, W] per-element gathers
+        from ..parallel.cohort import buildDeviceArrays
+
+        self.arr = buildDeviceArrays(index, self.p)
+        self.table = self.arr.table
         G, Lmax = index.backbone.shape
         self.Lmax = Lmax
-        W = self.p.window
-        pad_total = Lmax + PAD_L + W + 8
-        backbone = np.full((G, pad_total), BASE_PAD, dtype=np.int8)
-        backbone[:, PAD_L : PAD_L + Lmax] = index.backbone
-        # bits 0-3: catalogued SNP alts; bit 4: catalogued-deletion column
-        altdel = np.zeros((G, pad_total), dtype=np.uint8)
-        altdel[:, PAD_L : PAD_L + Lmax] = index.alt_mask | (
-            index.del_ok.astype(np.uint8) << 4
-        )
-        self._backbone = jnp.asarray(backbone)
-        self._altdel = jnp.asarray(altdel)
+        self._backbone = self.arr.backbone
+        self._altdel = self.arr.altdel
 
     @staticmethod
     def _bucket(n: int, chunk: int) -> int:
@@ -105,37 +97,7 @@ class GraphAligner:
             b *= 4
         return min(b, chunk)
 
-    def _scoreJobs(self, gene, w0, codes, lens, chunk: int = 16384):
-        """Score-only DP over job arrays; returns cost, end_off."""
-        J = len(gene)
-        costs = np.empty(J, dtype=np.float32)
-        end_off = np.empty(J, dtype=np.int32)
-        for s in range(0, J, chunk):
-            e = min(s + chunk, J)
-            n = e - s
-            pad = self._bucket(n, chunk) - n
-            wg = np.concatenate([gene[s:e], np.zeros(pad, dtype=gene.dtype)])
-            ww = np.concatenate([w0[s:e], np.zeros(pad, dtype=w0.dtype)])
-            rc = np.concatenate(
-                [codes[s:e], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
-            )
-            rl = np.concatenate([lens[s:e], np.full(pad, 1, np.int32)])
-            if self.use_pallas:
-                from ..ops.dp_pallas import bandedScorePallasGather
-
-                score_fn = bandedScorePallasGather
-            else:
-                score_fn = bandedScoreGather
-            c, o = score_fn(
-                self._backbone, self._altdel,
-                jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
-                jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,
-            )
-            costs[s:e] = np.asarray(c)[:n]
-            end_off[s:e] = np.asarray(o)[:n]
-        return costs, end_off
-
-    def _tracebackJobs(self, gene, w0, codes, lens, chunk: int = 8192):
+    def _tracebackJobs(self, gene, w0, codes, lens, chunk: int = 32768):
         J = len(gene)
         RL = self.p.read_len
         costs = np.empty(J, dtype=np.float32)
@@ -168,6 +130,8 @@ class GraphAligner:
         return costs, cols
 
     # ------------------------------------------------------------------
+    CHUNK_PAIRS = 32768  # fixed upper shape: big batches stream in chunks
+
     def alignPairs(
         self,
         codes1: np.ndarray,
@@ -175,9 +139,25 @@ class GraphAligner:
         codes2: np.ndarray,
         len2: np.ndarray,
     ) -> AlignResult:
-        # bucket the pair count so XLA shapes repeat across batches
         N0 = len(codes1)
-        Nb = self._bucket(N0, 1 << 22)
+        if N0 > self.CHUNK_PAIRS:
+            parts = [
+                self.alignPairs(
+                    codes1[s : s + self.CHUNK_PAIRS],
+                    len1[s : s + self.CHUNK_PAIRS],
+                    codes2[s : s + self.CHUNK_PAIRS],
+                    len2[s : s + self.CHUNK_PAIRS],
+                )
+                for s in range(0, N0, self.CHUNK_PAIRS)
+            ]
+            return AlignResult(
+                **{
+                    k: np.concatenate([getattr(pt, k) for pt in parts])
+                    for k in AlignResult.__dataclass_fields__
+                }
+            )
+        # bucket the pair count so XLA shapes repeat across batches
+        Nb = self._bucket(N0, self.CHUNK_PAIRS)
         if Nb > N0:
             pad = Nb - N0
 
@@ -211,50 +191,50 @@ class GraphAligner:
         N = len(codes1)
         RL = self.p.read_len
         md = self.table.max_diag
-
-        # --- candidates for each mate x orientation: [N, 2*2, C]
-        mates = []
-        for codes, lens in ((codes1, len1), (codes2, len2)):
-            rc = revCompCodes(codes, lens)
-            for oriented, is_rc in ((codes, False), (rc, True)):
-                cand, votes = findCandidates(
-                    self.table,
-                    oriented,
-                    stride=self.stride,
-                    max_postings=self.max_postings,
-                    top_c=self.top_c,
-                    min_votes=self.min_votes,
-                )
-                mates.append((cand, oriented, is_rc))
-
-        # --- flatten into score jobs
-        # job slots: slot s = (mate_orient m in 0..3, c in 0..C)
         C = self.top_c
         S = 4 * C
-        job_gene = np.full((N, S), -1, dtype=np.int32)
-        job_diag = np.zeros((N, S), dtype=np.int32)  # bucket index
-        for m, (cand, _, _) in enumerate(mates):
-            ok = cand >= 0
-            job_gene[:, m * C : (m + 1) * C] = np.where(ok, cand // md, -1)
-            job_diag[:, m * C : (m + 1) * C] = np.where(ok, cand % md, 0)
 
-        flat_ok = job_gene.ravel() >= 0
-        flat_idx = np.nonzero(flat_ok)[0]
-        read_of_job = flat_idx // S
-        slot_of_job = flat_idx % S
-        morient = slot_of_job // C  # 0: m1 fwd, 1: m1 rc, 2: m2 fwd, 3: m2 rc
+        # --- device: ONE stacked seed dispatch + ONE dense score dispatch
+        # over all four (mate, orientation) streams, then a single sync.
+        # Scoring runs the dense [4N, C] grid on the precomputed window
+        # byte-plane (contiguous row gathers); invalid slots cost >= 1e9.
+        rc1 = revCompCodes(codes1, len1)
+        rc2 = revCompCodes(codes2, len2)
+        codes_all = np.concatenate([codes1, rc1, codes2, rc2], axis=0)
+        lens_all = np.concatenate([len1, len1, len2, len2]).astype(np.int32)
 
-        g = job_gene.ravel()[flat_idx]
-        w0 = (job_diag.ravel()[flat_idx] * DIAG_BUCKET) - DIAG_BUCKET
-        jcodes = np.empty((len(flat_idx), codes1.shape[1]), dtype=np.int8)
-        jlens = np.empty(len(flat_idx), dtype=np.int32)
-        for m, (_, oriented, _) in enumerate(mates):
-            sel = morient == m
-            jcodes[sel] = oriented[read_of_job[sel]]
-            jlens[sel] = (len1 if m < 2 else len2)[read_of_job[sel]]
+        from ..parallel.cohort import scoreDenseGrid
+        from .seeding import _findCandidates
 
-        logger.info(f"[Align] {N} pairs -> {len(flat_idx)} score jobs")
-        cost, end_off = self._scoreJobs(g, w0, jcodes, jlens)
+        codes_dev = jnp.asarray(codes_all)
+        cand_d, _ = _findCandidates(
+            codes_dev, self.table.bkeys, self.table.padded, self.table.lut,
+            self.table.k, self.stride, self.max_postings, C,
+            self.table.n_genes, md, self.min_votes,
+        )
+        gene_d = jnp.where(cand_d >= 0, cand_d // md, -1)
+        diag_d = cand_d % md
+        cost_d, end_d = scoreDenseGrid(
+            self.arr.win, md, self.p, codes_dev, jnp.asarray(lens_all),
+            gene_d, diag_d, use_pallas=self.use_pallas,
+        )
+
+        # one sync: stream-major [4N, C] -> [N, S] slot grids
+        # (slot s = morient * C + c; morient 0: m1 fwd, 1: m1 rc,
+        #  2: m2 fwd, 3: m2 rc — the stacked stream order)
+        def toSlots(x, dtype):
+            return (
+                np.asarray(x).reshape(4, N, C).transpose(1, 0, 2)
+                .reshape(N, S).astype(dtype)
+            )
+
+        job_gene = toSlots(gene_d, np.int32)
+        job_diag = toSlots(diag_d, np.int32)
+        slot_cost = toSlots(cost_d, np.float32)
+        end_abs = toSlots(end_d, np.int64)
+        logger.info(
+            f"[Align] {N} pairs -> {int((job_gene >= 0).sum())} scored slots"
+        )
 
         # pseudo-reference remap: rows >= G_true are spliced deletion
         # haplotypes; pairing/NH/dedup happen in TRUE gene coordinates
@@ -268,18 +248,10 @@ class GraphAligner:
             row_pos[G_true + p] = pos
             row_len[G_true + p] = dlen
 
-        end_abs = w0 + jlens - 1 + end_off
-        end_true = end_abs + (end_abs >= row_pos[g]) * row_len[g]
-        g_true = row_true[g]
-
-        # scatter job results back into [N, S] slot grids
+        gsafe = np.clip(job_gene, 0, G_all - 1)
+        slot_end = end_abs + (end_abs >= row_pos[gsafe]) * row_len[gsafe]
+        job_gene_true = np.where(job_gene >= 0, row_true[gsafe], -1)
         BIG = np.float32(1e9)
-        slot_cost = np.full((N, S), BIG, dtype=np.float32)
-        slot_end = np.zeros((N, S), dtype=np.int64)
-        job_gene_true = np.full((N, S), -1, dtype=np.int32)
-        slot_cost[read_of_job, slot_of_job] = cost
-        slot_end[read_of_job, slot_of_job] = end_true
-        job_gene_true[read_of_job, slot_of_job] = g_true
 
         # --- concordant pairing: m1 slots x m2 slots, opposite orientation
         # (pairing in TRUE gene/column space so placements on a pseudo-ref
@@ -349,21 +321,22 @@ class GraphAligner:
             oc = np.where(is_rc[:, None], codes_r, codes_f)
             return gsel, w0w, oc, lens, is_rc
 
-        rc1_codes = mates[1][1]  # already computed for seeding
-        rc2_codes = mates[3][1]
-        g1, w01, oc1, l1, isrc1 = winnerJobs(slot1, 0, codes1, rc1_codes, len1)
-        g2, w02, oc2, l2, isrc2 = winnerJobs(slot2, 2 * C, codes2, rc2_codes, len2)
+        g1, w01, oc1, l1, isrc1 = winnerJobs(slot1, 0, codes1, rc1, len1)
+        g2, w02, oc2, l2, isrc2 = winnerJobs(slot2, 2 * C, codes2, rc2, len2)
 
         midx = np.nonzero(mapped)[0]
         cols_l = np.full((N, RL), -1, dtype=np.int32)
         cols_r = np.full((N, RL), -1, dtype=np.int32)
         if len(midx):
-            _, cl = self._tracebackJobs(
-                g1[midx], w01[midx], oc1[midx], l1[midx]
+            # both mates' winners in ONE traceback dispatch
+            nw = len(midx)
+            _, cw = self._tracebackJobs(
+                np.concatenate([g1[midx], g2[midx]]),
+                np.concatenate([w01[midx], w02[midx]]),
+                np.concatenate([oc1[midx], oc2[midx]]),
+                np.concatenate([l1[midx], l2[midx]]),
             )
-            _, cr = self._tracebackJobs(
-                g2[midx], w02[midx], oc2[midx], l2[midx]
-            )
+            cl, cr = cw[:nw], cw[nw:]
             # pseudo-ref cols -> true backbone coords (the junction then
             # shows as a catalogued-deletion gap to the annotator)
             for cols, gw in ((cl, g1[midx]), (cr, g2[midx])):

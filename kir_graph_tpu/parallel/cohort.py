@@ -164,7 +164,8 @@ def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, m
     )
 
 
-def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, diag, use_pallas: bool = False):
+def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
+                   use_pallas: bool = False):
     """DP-score a dense [R, C] candidate grid -> cost [R, C], end [R, C].
 
     Windows come from the precomputed per-(gene, diag-bucket) byte-plane
@@ -172,11 +173,9 @@ def _scoreDense(arr: DeviceIndexArrays, codes, lens, gene, diag, use_pallas: boo
     (the latter run at ~100M elem/s on TPU — 10x slower than the DP kernel
     itself at bench shapes).
     """
-    p = arr.params
     R, C = gene.shape
-    md = arr.table.max_diag
     rows = jnp.where(gene >= 0, gene * md + diag, 0).reshape(-1)
-    wbytes = jnp.take(arr.win, rows, axis=0)
+    wbytes = jnp.take(win, rows, axis=0)
     rcodes = jnp.repeat(codes, C, axis=0)
     rlens = jnp.repeat(lens, C)
     if use_pallas:
@@ -233,7 +232,10 @@ def cohortStep(
     for (c, l), cand in zip(streams, cands):
         gene = jnp.where(cand >= 0, cand // md, -1)
         diag = cand % md
-        cost, end = _scoreDense(arr, c, l, gene, diag, use_pallas=use_pallas)
+        cost, end = scoreDenseGrid(
+            arr.win, arr.table.max_diag, arr.params, c, l, gene, diag,
+            use_pallas=use_pallas,
+        )
         costs.append(cost)
         ends.append(end)
         genes.append(gene)
@@ -286,7 +288,10 @@ class SplitCohortStep:
         @jax.jit
         def score(codes, len1, len2, gene, diag):
             lens = jnp.concatenate([len1, len1, len2, len2], axis=0)
-            cost, end = _scoreDense(arr, codes, lens, gene, diag, use_pallas=use_pallas)
+            cost, end = scoreDenseGrid(
+                arr.win, arr.table.max_diag, arr.params, codes, lens, gene,
+                diag, use_pallas=use_pallas,
+            )
             return cost, end
 
         @jax.jit
