@@ -82,7 +82,9 @@ def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> Dev
     win = np.ascontiguousarray(sw[:, starts, :]).reshape(G * max_diag, p.window)
 
     # flatten variants across genes, pad allele axis to the global max
-    Amax = max(len(g.alleles) for g in index.genes.values())
+    # (floors keep the tables non-degenerate for variant-free linear
+    # indexes, e.g. the WGS extraction regions)
+    Amax = max(1, max(len(g.alleles) for g in index.genes.values()))
     var_gene, var_pos, var_alt, membership = [], [], [], []
     for gi, name in enumerate(index.gene_names):
         g = index.genes[name]
@@ -93,7 +95,7 @@ def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> Dev
             row = np.zeros(Amax, dtype=np.float32)
             row[: g.membership.shape[1]] = g.membership[vi]
             membership.append(row)
-    Vmax = -(-len(var_gene) // 128) * 128
+    Vmax = max(128, -(-len(var_gene) // 128) * 128)
     pad = Vmax - len(var_gene)
     var_gene += [0] * pad
     var_pos += [0] * pad

@@ -41,6 +41,10 @@ def createParser() -> argparse.ArgumentParser:
     p.add_argument("--gene-length", type=int, default=6000)
     p.add_argument("--error-rate", type=float, default=0.002)
     p.add_argument("--novel-per-sample", type=int, default=0)
+    p.add_argument("--read-profile", default="uniform",
+                   choices=["uniform", "hiseq"],
+                   help="simulator error model (hiseq: position-dependent "
+                        "quality, art_illumina-like)")
     p.add_argument("--haplotype-csv", default="",
                    help="real haplotype table (default: synthetic)")
     p.add_argument("--allele-strategy", default="full",
@@ -88,6 +92,7 @@ def main(args: argparse.Namespace) -> dict:
             depth=args.depth, seed=args.seed,
             error_rate=args.error_rate,
             novel_per_sample=args.novel_per_sample,
+            profile=args.read_profile,
         )
     truth_df = pd.read_csv(prefix + "_summary.csv", sep="\t", dtype=str)
 

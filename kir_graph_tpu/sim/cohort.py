@@ -169,6 +169,7 @@ def generateCohortFastq(
     error_rate: float = 0.002,
     novel_per_sample: int = 0,
     exon_capture: bool = False,
+    profile: str = "uniform",
 ) -> pd.DataFrame:
     """Write per-sample FASTQs + `{out_prefix}_summary.csv` truth table."""
     rows = []
@@ -195,11 +196,12 @@ def generateCohortFastq(
             error_rate=error_rate,
             allele_copies=copies,
             sample_name=t.sample_id,
+            profile=profile,
         )
         t.r1 = f"{out_prefix}.{t.sample_id}.read.1.fq.gz"
         t.r2 = f"{out_prefix}.{t.sample_id}.read.2.fq.gz"
-        writeFastq(t.r1, sim.names, sim.r1)
-        writeFastq(t.r2, sim.names, sim.r2)
+        writeFastq(t.r1, sim.names, sim.r1, sim.q1 or None)
+        writeFastq(t.r2, sim.names, sim.r2, sim.q2 or None)
         rows.append(
             {
                 "id": t.sample_id,

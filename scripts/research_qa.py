@@ -22,17 +22,19 @@ jax.config.update("jax_platforms", "cpu")
 from kir_graph_tpu.pipeline.research import createParser, main  # noqa: E402
 
 RUNS = [
-    # name, samples, depth, novel_per_sample
-    ("n100_d30", 100, 30.0, 0),
-    ("n100_d15", 100, 15.0, 0),
-    ("n25_d30_novel", 25, 30.0, 1),
+    # name, samples, depth, novel_per_sample, read profile
+    ("n100_d30", 100, 30.0, 0, "uniform"),
+    ("n100_d15", 100, 15.0, 0, "uniform"),
+    ("n25_d30_novel", 25, 30.0, 1, "uniform"),
+    # art-like position-dependent quality model (3' error tail)
+    ("n25_d30_hiseq", 25, 30.0, 0, "hiseq"),
 ]
 
 
 def run() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "research_qa"
     results = {}
-    for name, samples, depth, novel in RUNS:
+    for name, samples, depth, novel, profile in RUNS:
         t0 = time.time()
         args = createParser().parse_args([
             "--out", os.path.join(base, name),
@@ -44,6 +46,7 @@ def run() -> None:
             "--alleles-per-gene", "30",
             "--gene-length", "4000",
             "--novel-per-sample", str(novel),
+            "--read-profile", profile,
             "--log-level", "WARNING",
         ])
         report = main(args)
