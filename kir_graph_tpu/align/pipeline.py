@@ -21,7 +21,12 @@ import numpy as np
 
 from ..index.build import BASE_PAD, KirIndex
 from ..utils import logger
-from .dp import AlignParams, bandedTracebackGather, decodeDeltas
+from .dp import (
+    AlignParams,
+    bandedTracebackGather,
+    decodeDeltas,
+    linearCostGather,
+)
 from .encode import revCompCodes
 from .seeding import DIAG_BUCKET, SeedTable
 
@@ -97,36 +102,82 @@ class GraphAligner:
             b *= 4
         return min(b, chunk)
 
-    def _tracebackJobs(self, gene, w0, codes, lens, chunk: int = 32768):
+    def _tracebackJobs(
+        self, gene, w0, codes, lens,
+        dp_cost=None, end_off=None, chunk: int = 32768,
+    ):
+        """Traceback columns for winner jobs.
+
+        When `dp_cost`/`end_off` are given, first check the ungapped
+        shortcut: the pure-diagonal path cost at the winning end offset
+        (one cheap gather+sum dispatch).  Jobs where it equals the DP
+        optimum get their columns synthesized on host — the pointer-DP
+        traceback then runs only for the gapped minority (reads spanning
+        catalogued deletions or carrying novel indels)."""
         J = len(gene)
         RL = self.p.read_len
         costs = np.empty(J, dtype=np.float32)
         cols = np.empty((J, RL), dtype=np.int32)
-        for s in range(0, J, chunk):
-            e = min(s + chunk, J)
-            n = e - s
+        glen_all = np.asarray(self.index.lengths)
+        easy = np.zeros(J, dtype=bool)
+        if dp_cost is not None and J:
+            off = np.clip(end_off, 0, self.p.band - 1).astype(np.int32)
+            for s in range(0, J, chunk):
+                e = min(s + chunk, J)
+                n = e - s
+                pad = self._bucket(n, chunk) - n
+                lin = linearCostGather(
+                    self._backbone, self._altdel,
+                    jnp.asarray(np.clip(np.concatenate(
+                        [gene[s:e], np.zeros(pad, gene.dtype)]), 0, None)),
+                    jnp.asarray(np.concatenate(
+                        [w0[s:e], np.zeros(pad, w0.dtype)])),
+                    jnp.asarray(np.concatenate(
+                        [off[s:e], np.zeros(pad, np.int32)])),
+                    jnp.asarray(np.concatenate(
+                        [codes[s:e],
+                         np.full((pad, codes.shape[1]), BASE_PAD, np.int8)])),
+                    jnp.asarray(np.concatenate(
+                        [lens[s:e], np.full(pad, 1, np.int32)])),
+                    self.p, PAD_L,
+                )
+                easy[s:e] = np.asarray(lin)[:n] <= dp_cost[s:e] + 1e-4
+            if easy.any():
+                eidx = np.nonzero(easy)[0]
+                i = np.arange(RL, dtype=np.int32)[None, :]
+                abs_c = (w0[eidx] + off[eidx])[:, None] + i
+                consumed = i < lens[eidx][:, None]
+                glen = glen_all[np.clip(gene[eidx], 0, None)]
+                oor = consumed & ((abs_c < 0) | (abs_c >= glen[:, None]))
+                abs_c = np.where(consumed, np.where(oor, -3, abs_c), -1)
+                cols[eidx] = abs_c
+                costs[eidx] = dp_cost[eidx]
+        hard = np.nonzero(~easy)[0]
+        for s in range(0, len(hard), chunk):
+            hi = hard[s : s + chunk]
+            n = len(hi)
             pad = self._bucket(n, chunk) - n
-            wg = np.concatenate([gene[s:e], np.zeros(pad, dtype=gene.dtype)])
-            ww = np.concatenate([w0[s:e], np.zeros(pad, dtype=w0.dtype)])
+            wg = np.concatenate([gene[hi], np.zeros(pad, dtype=gene.dtype)])
+            ww = np.concatenate([w0[hi], np.zeros(pad, dtype=w0.dtype)])
             rc = np.concatenate(
-                [codes[s:e], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
+                [codes[hi], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
             )
-            rl = np.concatenate([lens[s:e], np.full(pad, 1, np.int32)])
+            rl = np.concatenate([lens[hi], np.full(pad, 1, np.int32)])
             c, start_col, delta = bandedTracebackGather(
                 self._backbone, self._altdel,
                 jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
                 jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,
             )
-            costs[s:e] = np.asarray(c)[:n]
+            costs[hi] = np.asarray(c)[:n]
             col = decodeDeltas(np.asarray(start_col)[:n], np.asarray(delta)[:n])
             abs_col = np.where(col >= 0, col + ww[:n, None], col)
             # consumed bases outside the reference (read overhangs a gene
             # boundary; window pad) -> -3 "out of reference" sentinel, so
             # they can't collide with the -1/-2 markers or index OOB
-            glen = np.asarray(self.index.lengths)[np.clip(wg[:n], 0, None)]
+            glen = glen_all[np.clip(wg[:n], 0, None)]
             oor = (col >= 0) & ((abs_col < 0) | (abs_col >= glen[:, None]))
             abs_col = np.where(oor, -3, abs_col)
-            cols[s:e] = abs_col
+            cols[hi] = abs_col
         return costs, cols
 
     # ------------------------------------------------------------------
@@ -314,15 +365,24 @@ class GraphAligner:
 
         # --- traceback winners
         def winnerJobs(slotm, base_offset, codes_f, codes_r, lens):
-            gsel = job_gene[np.arange(N), base_offset + slotm]
-            dsel = job_diag[np.arange(N), base_offset + slotm]
+            rows = np.arange(N)
+            gsel = job_gene[rows, base_offset + slotm]
+            dsel = job_diag[rows, base_offset + slotm]
             w0w = dsel * DIAG_BUCKET - DIAG_BUCKET
             is_rc = (slotm // C) == 1
             oc = np.where(is_rc[:, None], codes_r, codes_f)
-            return gsel, w0w, oc, lens, is_rc
+            # per-mate DP cost + final band offset (for the ungapped
+            # traceback shortcut): end_abs = w0 + (len-1) + end_off
+            dpc = slot_cost[rows, base_offset + slotm]
+            eoff = (
+                end_abs[rows, base_offset + slotm] - w0w - (lens - 1)
+            ).astype(np.int32)
+            return gsel, w0w, oc, lens, is_rc, dpc, eoff
 
-        g1, w01, oc1, l1, isrc1 = winnerJobs(slot1, 0, codes1, rc1, len1)
-        g2, w02, oc2, l2, isrc2 = winnerJobs(slot2, 2 * C, codes2, rc2, len2)
+        g1, w01, oc1, l1, isrc1, dpc1, eoff1 = winnerJobs(
+            slot1, 0, codes1, rc1, len1)
+        g2, w02, oc2, l2, isrc2, dpc2, eoff2 = winnerJobs(
+            slot2, 2 * C, codes2, rc2, len2)
 
         midx = np.nonzero(mapped)[0]
         cols_l = np.full((N, RL), -1, dtype=np.int32)
@@ -335,6 +395,8 @@ class GraphAligner:
                 np.concatenate([w01[midx], w02[midx]]),
                 np.concatenate([oc1[midx], oc2[midx]]),
                 np.concatenate([l1[midx], l2[midx]]),
+                dp_cost=np.concatenate([dpc1[midx], dpc2[midx]]),
+                end_off=np.concatenate([eoff1[midx], eoff2[midx]]),
             )
             cl, cr = cw[:nw], cw[nw:]
             # pseudo-ref cols -> true backbone coords (the junction then
