@@ -33,6 +33,10 @@ class MatchResult:
     answer_allele_full: str
     predit_allele_full: str
     match_type: MatchType = MatchType.NONE
+    # base-level diff (addBaseMatchness; reference kg_eval.py:352-386)
+    answer_allele_length: int = 0
+    predit_allele_length: int = 0
+    base_diff: int = -1
 
     def __lt__(self, other: "MatchResult") -> bool:
         return (self.answer_allele or self.predit_allele) < (
@@ -132,6 +136,50 @@ def compareSample(answer_list: list[str], predict_list: list[str]) -> list[Match
             compareGene(answer_dict.get(gene, []), predit_dict.get(gene, []))
         )
     return sorted(results)
+
+
+def lcsLength(a: str, b: str) -> int:
+    """Longest-common-subsequence length via the bit-parallel row DP
+    (Crochemore/Iliopoulos/Pinzon).  Python bigints give free multi-word
+    carries, so a 16 kb x 16 kb pair runs in ~0.1 s — replacing the
+    reference's Bio.pairwise2.localxx score (kg_eval.py:361-364), whose
+    no-penalty local score equals the LCS length."""
+    n = len(a)
+    if not n or not b:
+        return 0
+    pm: dict[str, int] = {}
+    for i, c in enumerate(a):
+        pm[c] = pm.get(c, 0) | (1 << i)
+    mask = (1 << n) - 1
+    v = mask
+    for c in b:
+        m = pm.get(c, 0)
+        v = ((v + (v & m)) | (v & ~m)) & mask
+    return n - v.bit_count()
+
+
+def addBaseMatchness(
+    results: CohortMatchResult, allele_seqs: dict[str, str]
+) -> None:
+    """Fill base-level diff (answer length - LCS score) for every matched
+    pair whose sequences are known (reference addBaseMatchness,
+    kg_eval.py:375-386)."""
+    matched = (
+        MatchType.MATCH7, MatchType.MATCH5, MatchType.MATCH3,
+        MatchType.MATCHGENE,
+    )
+    for rs in results.values():
+        for r in rs:
+            if r.match_type not in matched:
+                continue
+            sa = allele_seqs.get(r.answer_allele_full, "")
+            sp = allele_seqs.get(r.predit_allele_full, "")
+            if not sa or not sp:
+                continue
+            score = lcsLength(sa, sp)
+            r.answer_allele_length = len(sa)
+            r.predit_allele_length = len(sp)
+            r.base_diff = len(sa) - score
 
 
 def compareCohort(

@@ -111,3 +111,53 @@ def test_version_drift_db(synth_genes):
         gene = victim.split("*")[0]
         assert victim not in reduced[gene].get_sequence_names()
         assert victim in synth_genes[gene].get_sequence_names()
+
+
+def test_lcs_length_vs_bruteforce():
+    import numpy as np
+
+    from kir_graph_tpu.eval.compare import lcsLength
+
+    def brute(a, b):
+        dp = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i, j] = max(
+                    dp[i - 1, j], dp[i, j - 1],
+                    dp[i - 1, j - 1] + (a[i - 1] == b[j - 1]),
+                )
+        return int(dp[-1, -1])
+
+    rng = np.random.Generator(np.random.Philox(9))
+    for n, m in ((0, 5), (7, 0), (1, 1), (30, 25), (64, 64), (65, 130)):
+        a = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+        b = "".join("ACGT"[c] for c in rng.integers(0, 4, m))
+        assert lcsLength(a, b) == brute(a, b), (n, m)
+    assert lcsLength("ACGT", "ACGT") == 4
+    assert lcsLength("AAAA", "CCCC") == 0
+
+
+def test_add_base_matchness():
+    from kir_graph_tpu.eval.compare import (
+        MatchType,
+        addBaseMatchness,
+        compareCohort,
+    )
+
+    ans = {"s0": ["KIR2DL1*0010101", "KIR2DL1*0020101"]}
+    pred = {"s0": ["KIR2DL1*0010101", "KIR2DL1*0020102"]}
+    seqs = {
+        "KIR2DL1*0010101": "ACGTACGTACGT",
+        "KIR2DL1*0020101": "ACGTAAAAACGT",
+        "KIR2DL1*0020102": "ACGTAAACACGT",  # one C<->A change
+    }
+    results = compareCohort(ans, pred)
+    addBaseMatchness(results, seqs)
+    by_ans = {r.answer_allele_full: r for r in results["s0"]}
+    exact = by_ans["KIR2DL1*0010101"]
+    assert exact.match_type == MatchType.MATCH7
+    assert exact.base_diff == 0
+    near = by_ans["KIR2DL1*0020101"]
+    assert near.match_type == MatchType.MATCH5
+    assert near.base_diff == 1
+    assert near.answer_allele_length == 12
