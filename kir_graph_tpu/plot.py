@@ -1,8 +1,9 @@
 """
 Observability plots (reference graphkir/plot.py) rendered as dependency-free
 inline SVG: CN-model fit, per-gene depth profiles, read-mapping stats.
-`savePlot` writes one self-contained HTML; `showPlot` just prints the path
-(no dash server in this build).
+`savePlot` writes one self-contained HTML with hover-readout + drag-zoom
+(inline JS, no plotly); `showPlot` serves it on localhost like the
+reference's dash server (plot.py:131-138) via stdlib http.server.
 """
 from __future__ import annotations
 
@@ -57,8 +58,13 @@ def lineFigure(
         return Figure(title, "<svg></svg>")
     xr = (all_x.min(), all_x.max())
     yr = (min(all_y.min(), 0), all_y.max())
-    parts = [f'<svg width="{w}" height="{h}" xmlns="http://www.w3.org/2000/svg">'
-             f'<rect width="{w}" height="{h}" fill="white" stroke="#ccc"/>']
+    parts = [
+        f'<svg width="{w}" height="{h}" class="kgt-fig" '
+        f'viewBox="0 0 {w} {h}" data-x0="{xr[0]}" data-x1="{xr[1]}" '
+        f'data-y0="{yr[0]}" data-y1="{yr[1]}" '
+        f'xmlns="http://www.w3.org/2000/svg">'
+        f'<rect width="{w}" height="{h}" fill="white" stroke="#ccc"/>'
+    ]
     legend_y = 14
     for i, (label, xs, ys) in enumerate(series):
         if not len(xs):
@@ -149,15 +155,109 @@ def plotReadMappingStat(stats: list[dict], names: list[str] | None = None) -> li
     return [lineFigure("Read mapping statistics", series)]
 
 
+# hover readout (data coordinates from the svg's data-x0/x1/y0/y1 ranges,
+# matching _polyline's 30/20-px margins) + drag-zoom via viewBox, dblclick
+# resets — the interactivity slice of the reference's dash/plotly viewer
+_VIEWER_JS = """
+<script>
+document.querySelectorAll('svg.kgt-fig').forEach(function (svg) {
+  var W = +svg.getAttribute('width'), H = +svg.getAttribute('height');
+  var x0 = +svg.dataset.x0, x1 = +svg.dataset.x1;
+  var y0 = +svg.dataset.y0, y1 = +svg.dataset.y1;
+  var tip = document.createElementNS(svg.namespaceURI, 'text');
+  tip.setAttribute('font-size', '11'); tip.setAttribute('fill', '#333');
+  svg.appendChild(tip);
+  function dataXY(evt) {
+    var pt = svg.createSVGPoint(); pt.x = evt.clientX; pt.y = evt.clientY;
+    var p = pt.matrixTransform(svg.getScreenCTM().inverse());
+    return [x0 + (p.x - 30) / (W - 40) * (x1 - x0),
+            y0 + (H - 20 - p.y) / (H - 40) * (y1 - y0), p.x, p.y];
+  }
+  svg.addEventListener('mousemove', function (evt) {
+    var d = dataXY(evt);
+    tip.setAttribute('x', Math.min(d[2] + 8, W - 150));
+    tip.setAttribute('y', Math.max(d[3] - 6, 12));
+    tip.textContent = d[0].toFixed(1) + ', ' + d[1].toFixed(2);
+  });
+  svg.addEventListener('mouseleave', function () { tip.textContent = ''; });
+  var drag = null, band = null;
+  svg.addEventListener('mousedown', function (evt) {
+    drag = dataXY(evt);
+    band = document.createElementNS(svg.namespaceURI, 'rect');
+    band.setAttribute('fill', 'rgba(51,102,204,0.15)');
+    svg.appendChild(band);
+  });
+  svg.addEventListener('mousemove', function (evt) {
+    if (!drag || !band) return;
+    var d = dataXY(evt);
+    band.setAttribute('x', Math.min(drag[2], d[2]));
+    band.setAttribute('y', 0);
+    band.setAttribute('width', Math.abs(d[2] - drag[2]));
+    band.setAttribute('height', H);
+  });
+  svg.addEventListener('mouseup', function (evt) {
+    if (!drag) return;
+    var d = dataXY(evt);
+    var a = Math.min(drag[2], d[2]), b = Math.max(drag[2], d[2]);
+    if (band) { svg.removeChild(band); band = null; }
+    if (b - a > 5) {
+      var vb = svg.viewBox.baseVal;
+      var scale = vb.width / W;
+      svg.setAttribute('viewBox',
+        (vb.x + (a - 0) * scale) + ' ' + vb.y + ' ' +
+        Math.max((b - a) * scale, 1) + ' ' + vb.height);
+    }
+    drag = null;
+  });
+  svg.addEventListener('dblclick', function () {
+    svg.setAttribute('viewBox', '0 0 ' + W + ' ' + H);
+  });
+});
+</script>
+"""
+
+
 def savePlot(filename: str, figs: list[Figure]) -> None:
     with open(filename, "w") as f:
         f.write("<html><head><meta charset='utf-8'><title>kir_graph_tpu report"
                 "</title></head><body>\n")
         for fig in figs:
             f.write(fig.toHtml())
+        f.write(_VIEWER_JS)
         f.write("</body></html>\n")
     logger.info(f"[Plot] saved {filename} ({len(figs)} figures)")
 
 
-def showPlot(figs: list[Figure]) -> None:
-    logger.info(f"[Plot] {len(figs)} figures rendered (use savePlot for HTML)")
+def showPlot(
+    figs: list[Figure], port: int = 8051, block: bool = False
+) -> "object":
+    """Serve the figures on http://localhost:{port} (the reference serves
+    dash on 8051, plot.py:131-138).  Returns the server; non-blocking by
+    default so pipelines can continue."""
+    import http.server
+    import tempfile
+    import threading
+
+    path = tempfile.mktemp(suffix=".html")
+    savePlot(path, figs)
+    with open(path, "rb") as f:
+        payload = f.read()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib handler contract)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    logger.info(f"[Plot] serving {len(figs)} figures at http://127.0.0.1:{port}")
+    if block:
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
