@@ -39,7 +39,9 @@ def createParser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--cohort-csv", required=True,
         help="CSV with columns id,r1,r2 (WGS FASTQ per sample; the "
-        "hprc.csv sample table of kg_real.py:45)",
+        "hprc.csv sample table of kg_real.py:45) or id,bam (mapped BAM, "
+        "TWBB-style kg_real.py:86-96 — converted via the builtin "
+        "bam2fastq)",
     )
     parser.add_argument("--out", required=True, help="Output folder")
     parser.add_argument("--cohort", default="real", help="Cohort tag")
@@ -146,11 +148,21 @@ def main(args: argparse.Namespace) -> dict:
 
         return run
 
+    def sampleFastqs(i: int, row) -> tuple[str, str]:
+        if "bam" in df.columns and isinstance(row.bam, str) and row.bam:
+            from ..wgs.bam import bam2fastq
+
+            out = names[i] + ".bam2fq"
+            if os.path.exists(out + ".read.1.fq.gz"):
+                return out + ".read.1.fq.gz", out + ".read.2.fq.gz"
+            return bam2fastq(row.bam, out)
+        return str(row.r1), str(row.r2)
+
     # Task.output is a prefix (never an existing file), so every sample's
     # chain closure runs; the chain's stages resume off their own files
     exe.run(
         [
-            Task(output=names[i], fn=makeRunner(i, str(r.r1), str(r.r2)))
+            Task(output=names[i], fn=makeRunner(i, *sampleFastqs(i, r)))
             for i, r in enumerate(df.itertuples())
         ]
     )
