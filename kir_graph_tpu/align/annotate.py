@@ -150,8 +150,9 @@ class VariantAnnotator:
         self.g_ids = np.array(
             [i for t in self.tables for i in t.var_ids], dtype=object
         )
-        # [G, Lmax, 4] -> global SNP idx (or -1)
-        self.snp_lookup_g = np.full((G, Lmax, 4), -1, dtype=np.int64)
+        # [G, Lmax, 4] -> global SNP idx (or -1); int32 halves the bytes
+        # the [reads, RL] gather in annotateArrays touches
+        self.snp_lookup_g = np.full((G, Lmax, 4), -1, dtype=np.int32)
         for gi, t in enumerate(self.tables):
             L = t.snp_lookup.shape[0]
             lk = t.snp_lookup.astype(np.int64)

@@ -92,6 +92,140 @@ class GraphAligner:
         self._backbone = self.arr.backbone
         self._altdel = self.arr.altdel
 
+        # pseudo-reference remap: rows >= G_true are spliced deletion
+        # haplotypes; pairing/NH/dedup happen in TRUE gene coordinates
+        G_true = len(index.gene_names)
+        G_all = index.backbone.shape[0]
+        row_true = np.arange(G_all, dtype=np.int32)
+        row_pos = np.full(G_all, np.iinfo(np.int32).max, dtype=np.int64)
+        row_len = np.zeros(G_all, dtype=np.int64)
+        for pi, (tgi, pos, dlen) in enumerate(index.pseudo_refs):
+            row_true[G_true + pi] = tgi
+            row_pos[G_true + pi] = pos
+            row_len[G_true + pi] = dlen
+        self._row_true = row_true
+        self._row_pos = row_pos
+        self._row_len = row_len
+        self._pair_select = self._buildPairSelect()
+
+    def _buildPairSelect(self):
+        """Jitted concordant pairing + winner selection over the dense
+        [4N, C] score grids — the host pairing loop moved on-device, so
+        only two packed [*, N] arrays come back over the (slow) tunnel
+        instead of four full slot grids."""
+        import jax
+
+        C = self.top_c
+        BIG = jnp.float32(1e9)
+        row_true = jnp.asarray(self._row_true)
+        # int32-safe remap tables (device default dtype): clamp the "no
+        # pseudo split" sentinel below int32 max after the end-coordinate
+        # shift math
+        row_pos = jnp.asarray(
+            np.minimum(self._row_pos, 2**30).astype(np.int32)
+        )
+        row_len = jnp.asarray(self._row_len.astype(np.int32))
+        map_cap = jnp.float32(4.0 * (self.annot_editdist + 1))
+        pair_span = jnp.int32(self.max_pair_buckets * DIAG_BUCKET)
+
+        @jax.jit
+        def pairSelect(cost_d, gene_d, diag_d, end_d, lens_all):
+            S4, _ = gene_d.shape
+            N = S4 // 4
+
+            def toSlots(x):
+                return x.reshape(4, N, C).transpose(1, 0, 2).reshape(N, 4 * C)
+
+            job_gene = toSlots(gene_d)
+            job_diag = toSlots(diag_d)
+            slot_cost = toSlots(cost_d)
+            end_raw = toSlots(end_d).astype(jnp.int32)
+            lens4 = lens_all.reshape(4, N)
+
+            gsafe = jnp.clip(job_gene, 0, row_true.shape[0] - 1)
+            slot_end = end_raw + (end_raw >= row_pos[gsafe]) * row_len[gsafe]
+            job_gene_true = jnp.where(job_gene >= 0, row_true[gsafe], -1)
+
+            m1_cost = slot_cost[:, : 2 * C].reshape(N, 2, C)
+            m2_cost = slot_cost[:, 2 * C :].reshape(N, 2, C)
+            m1_gene = job_gene_true[:, : 2 * C].reshape(N, 2, C)
+            m2_gene = job_gene_true[:, 2 * C :].reshape(N, 2, C)
+            m1_end = slot_end[:, : 2 * C].reshape(N, 2, C)
+            m2_end = slot_end[:, 2 * C :].reshape(N, 2, C)
+            m2_cost_op = m2_cost[:, ::-1, :]
+            m2_gene_op = m2_gene[:, ::-1, :]
+            m2_end_op = m2_end[:, ::-1, :]
+
+            pc = m1_cost[:, :, :, None] + m2_cost_op[:, :, None, :]
+            same_gene = (
+                m1_gene[:, :, :, None] == m2_gene_op[:, :, None, :]
+            ) & (m1_gene[:, :, :, None] >= 0)
+            end_dist = jnp.abs(
+                m1_end[:, :, :, None] - m2_end_op[:, :, None, :]
+            )
+            valid = same_gene & (end_dist <= pair_span)
+            pair_cost = jnp.where(valid, pc, BIG)
+            flat_pair = pair_cost.reshape(N, -1)
+            best = flat_pair.min(axis=1)
+            mapped = best < map_cap
+
+            # NH: distinct (gene, end1, end2) among equal-best combos.
+            # O(K^2) pairwise dedup (K = 2*C*C) keeps everything int32 —
+            # no packed-hash int64 needed on device.
+            g_f = jnp.broadcast_to(
+                m1_gene[:, :, :, None], pair_cost.shape
+            ).reshape(N, -1)
+            e1_f = jnp.broadcast_to(
+                m1_end[:, :, :, None], pair_cost.shape
+            ).reshape(N, -1)
+            e2_f = jnp.broadcast_to(
+                m2_end_op[:, :, None, :], pair_cost.shape
+            ).reshape(N, -1)
+            is_best = (flat_pair <= best[:, None] + 1e-4) & valid.reshape(N, -1)
+            samepl = (
+                (g_f[:, :, None] == g_f[:, None, :])
+                & (e1_f[:, :, None] == e1_f[:, None, :])
+                & (e2_f[:, :, None] == e2_f[:, None, :])
+            )
+            K = flat_pair.shape[1]
+            earlier = jnp.tril(jnp.ones((K, K), bool), k=-1)
+            dup = (
+                samepl & earlier[None] & is_best[:, None, :]
+            ).any(axis=2)
+            nh = (is_best & ~dup).sum(axis=1).astype(jnp.int32)
+
+            best_combo = jnp.argmin(flat_pair, axis=1).astype(jnp.int32)
+            bo = best_combo // (C * C)
+            bc1 = (best_combo // C) % C
+            bc2 = best_combo % C
+            slot1 = bo * C + bc1
+            slot2 = (1 - bo) * C + bc2
+
+            rows = jnp.arange(N)
+
+            def winner(slotm, base, lens):
+                g = job_gene[rows, base + slotm]
+                d = job_diag[rows, base + slotm]
+                w0 = d * DIAG_BUCKET - DIAG_BUCKET
+                is_rc = (slotm // C).astype(jnp.int32)
+                dpc = slot_cost[rows, base + slotm]
+                eoff = end_raw[rows, base + slotm] - w0 - (lens - 1)
+                return g, w0, is_rc, dpc, eoff
+
+            g1, w01, isrc1, dpc1, eoff1 = winner(slot1, 0, lens4[0])
+            g2, w02, isrc2, dpc2, eoff2 = winner(slot2, 2 * C, lens4[2])
+
+            ints = jnp.stack(
+                [
+                    g1, g2, w01, w02, isrc1, isrc2, eoff1, eoff2,
+                    nh, mapped.astype(jnp.int32),
+                ]
+            )
+            floats = jnp.stack([best, dpc1, dpc2])
+            return ints, floats
+
+        return pairSelect
+
     @staticmethod
     def _bucket(n: int, chunk: int) -> int:
         """Pad size bucketing: few distinct shapes -> few XLA compiles.
@@ -265,124 +399,35 @@ class GraphAligner:
         )
         gene_d = jnp.where(cand_d >= 0, cand_d // md, -1)
         diag_d = cand_d % md
+        lens_dev = jnp.asarray(lens_all)
         cost_d, end_d = scoreDenseGrid(
-            self.arr.win, md, self.p, codes_dev, jnp.asarray(lens_all),
+            self.arr.win, md, self.p, codes_dev, lens_dev,
             gene_d, diag_d, use_pallas=self.use_pallas,
         )
 
-        # one sync: stream-major [4N, C] -> [N, S] slot grids
-        # (slot s = morient * C + c; morient 0: m1 fwd, 1: m1 rc,
-        #  2: m2 fwd, 3: m2 rc — the stacked stream order)
-        def toSlots(x, dtype):
-            return (
-                np.asarray(x).reshape(4, N, C).transpose(1, 0, 2)
-                .reshape(N, S).astype(dtype)
-            )
-
-        job_gene = toSlots(gene_d, np.int32)
-        job_diag = toSlots(diag_d, np.int32)
-        slot_cost = toSlots(cost_d, np.float32)
-        end_abs = toSlots(end_d, np.int64)
+        # --- device: concordant pairing + winner selection; download only
+        # two packed [*, N] arrays (slot s = morient * C + c; morient 0:
+        # m1 fwd, 1: m1 rc, 2: m2 fwd, 3: m2 rc — the stacked stream order)
+        ints_d, floats_d = self._pair_select(
+            cost_d, gene_d, diag_d, end_d, lens_dev
+        )
+        ints = np.asarray(ints_d)
+        floats = np.asarray(floats_d)
+        (g1, g2, w01, w02, isrc1i, isrc2i, eoff1, eoff2, nh, mappedi) = ints
+        best, dpc1, dpc2 = floats
+        isrc1 = isrc1i.astype(bool)
+        isrc2 = isrc2i.astype(bool)
+        mapped = mappedi.astype(bool)
+        row_true, row_pos, row_len = (
+            self._row_true, self._row_pos, self._row_len,
+        )
         logger.info(
-            f"[Align] {N} pairs -> {int((job_gene >= 0).sum())} scored slots"
+            f"[Align] {N} pairs -> {int(mapped.sum())} concordant"
         )
 
-        # pseudo-reference remap: rows >= G_true are spliced deletion
-        # haplotypes; pairing/NH/dedup happen in TRUE gene coordinates
-        G_true = len(self.index.gene_names)
-        G_all = self.index.backbone.shape[0]
-        row_true = np.arange(G_all, dtype=np.int32)
-        row_pos = np.full(G_all, np.iinfo(np.int32).max, dtype=np.int64)
-        row_len = np.zeros(G_all, dtype=np.int64)
-        for p, (tgi, pos, dlen) in enumerate(self.index.pseudo_refs):
-            row_true[G_true + p] = tgi
-            row_pos[G_true + p] = pos
-            row_len[G_true + p] = dlen
-
-        gsafe = np.clip(job_gene, 0, G_all - 1)
-        slot_end = end_abs + (end_abs >= row_pos[gsafe]) * row_len[gsafe]
-        job_gene_true = np.where(job_gene >= 0, row_true[gsafe], -1)
-        BIG = np.float32(1e9)
-
-        # --- concordant pairing: m1 slots x m2 slots, opposite orientation
-        # (pairing in TRUE gene/column space so placements on a pseudo-ref
-        # pair with mates on the base reference)
-        m1_cost = slot_cost[:, : 2 * C].reshape(N, 2, C)
-        m2_cost = slot_cost[:, 2 * C :].reshape(N, 2, C)
-        m1_gene = job_gene_true[:, : 2 * C].reshape(N, 2, C)
-        m2_gene = job_gene_true[:, 2 * C :].reshape(N, 2, C)
-        m1_end = slot_end[:, : 2 * C].reshape(N, 2, C)
-        m2_end = slot_end[:, 2 * C :].reshape(N, 2, C)
-
-        # combos [N, 2(m1 orient), C, C]: m2 uses the opposite orientation,
-        # i.e. index the m2 orientation axis flipped
-        m2_cost_op = m2_cost[:, ::-1, :]
-        m2_gene_op = m2_gene[:, ::-1, :]
-        m2_end_op = m2_end[:, ::-1, :]
-
-        pc = m1_cost[:, :, :, None] + m2_cost_op[:, :, None, :]
-        same_gene = (m1_gene[:, :, :, None] == m2_gene_op[:, :, None, :]) & (
-            m1_gene[:, :, :, None] >= 0
-        )
-        end_dist = np.abs(m1_end[:, :, :, None] - m2_end_op[:, :, None, :])
-        valid = same_gene & (end_dist <= self.max_pair_buckets * DIAG_BUCKET)
-        pair_cost = np.where(valid, pc, BIG)  # [N, 2, C, C]
-
-        flat_pair = pair_cost.reshape(N, -1)
-        best = flat_pair.min(axis=1)
-        # coarse combined-cost cap: the exact NM filter runs in the
-        # annotator; this only keeps absurd placements (e.g. boundary
-        # overhangs paying 1/pad-column) away from traceback
-        mapped = best < 4.0 * (self.annot_editdist + 1)
-
-        # NH: count distinct placements among equal-best combos
-        place_hash = (
-            m1_gene[:, :, :, None].astype(np.int64) * (self.Lmax * 2)
-            + m1_end[:, :, :, None]
-        ) * (self.Lmax * 2) + m2_end_op[:, :, None, :]
-        place_hash = np.where(valid, place_hash, -1).reshape(N, -1)
-        is_best = (flat_pair <= best[:, None] + 1e-4) & (place_hash >= 0)
-        hash_masked = np.where(is_best, place_hash, np.int64(-1))
-        hash_sorted = np.sort(hash_masked, axis=1)
-        new_run = np.concatenate(
-            [
-                (hash_sorted[:, :1] >= 0),
-                (hash_sorted[:, 1:] != hash_sorted[:, :-1])
-                & (hash_sorted[:, 1:] >= 0),
-            ],
-            axis=1,
-        )
-        nh = new_run.sum(axis=1).astype(np.int32)
-
-        best_combo = np.argmin(flat_pair, axis=1)
-        bo = best_combo // (C * C)        # m1 orientation of winner
-        bc1 = (best_combo // C) % C
-        bc2 = best_combo % C
-
-        # winner job slots
-        slot1 = bo * C + bc1              # within mate1 block
-        slot2 = (1 - bo) * C + bc2        # within mate2 block
-
-        # --- traceback winners
-        def winnerJobs(slotm, base_offset, codes_f, codes_r, lens):
-            rows = np.arange(N)
-            gsel = job_gene[rows, base_offset + slotm]
-            dsel = job_diag[rows, base_offset + slotm]
-            w0w = dsel * DIAG_BUCKET - DIAG_BUCKET
-            is_rc = (slotm // C) == 1
-            oc = np.where(is_rc[:, None], codes_r, codes_f)
-            # per-mate DP cost + final band offset (for the ungapped
-            # traceback shortcut): end_abs = w0 + (len-1) + end_off
-            dpc = slot_cost[rows, base_offset + slotm]
-            eoff = (
-                end_abs[rows, base_offset + slotm] - w0w - (lens - 1)
-            ).astype(np.int32)
-            return gsel, w0w, oc, lens, is_rc, dpc, eoff
-
-        g1, w01, oc1, l1, isrc1, dpc1, eoff1 = winnerJobs(
-            slot1, 0, codes1, rc1, len1)
-        g2, w02, oc2, l2, isrc2, dpc2, eoff2 = winnerJobs(
-            slot2, 2 * C, codes2, rc2, len2)
+        oc1 = np.where(isrc1[:, None], rc1, codes1)
+        oc2 = np.where(isrc2[:, None], rc2, codes2)
+        l1, l2 = len1.astype(np.int32), len2.astype(np.int32)
 
         midx = np.nonzero(mapped)[0]
         cols_l = np.full((N, RL), -1, dtype=np.int32)
