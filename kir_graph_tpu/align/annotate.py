@@ -500,6 +500,207 @@ class VariantAnnotator:
         )
         return ev, depth, pileup
 
+    # ------------------------------------------------------------------
+    # native path: the C++ classification core (native/annotate.cpp)
+    # with persistent arenas — same contract as annotateArrays, asserted
+    # equal in tests/test_native_annotate.py
+    # ------------------------------------------------------------------
+
+    def _nativeTables(self):
+        if hasattr(self, "_nt"):
+            return self._nt
+        import ctypes
+
+        from ..native_io import _loadLib
+
+        lib = _loadLib()
+        if lib is None or not hasattr(lib, "kgt_annotate"):
+            self._nt = None
+            return None
+        lib.kgt_annotate.restype = ctypes.c_long
+        u8 = np.uint8
+        self._nt = {
+            "lib": lib,
+            "seq_g": np.ascontiguousarray(self.seq_g, dtype=np.int8),
+            "snp": np.ascontiguousarray(self.snp_lookup_g, dtype=np.int32),
+            "ignore": np.ascontiguousarray(self.g_ignore, dtype=u8),
+            "in_exon": np.ascontiguousarray(self.g_in_exon, dtype=u8),
+            "is_del": np.ascontiguousarray(self.g_is_del, dtype=u8),
+            "pos": np.ascontiguousarray(self.g_pos, dtype=np.int64),
+            "val": np.ascontiguousarray(self.g_val, dtype=np.int64),
+            "lo": np.ascontiguousarray(self.lo_at, dtype=np.int64),
+            "hi": np.ascontiguousarray(self.hi_at, dtype=np.int64),
+            "dk": np.ascontiguousarray(self.del_keys, dtype=np.int64),
+            "dv": np.ascontiguousarray(self.del_vals, dtype=np.int64),
+            # adaptive output arenas, persistent across calls (page-fault
+            # churn on this class of host is the enemy)
+            "pos_cap": 1 << 20,
+            "neg_cap": 1 << 21,
+            "novel_cap": 1 << 16,
+            "bufs": {},
+        }
+        return self._nt
+
+    def _arena(self, nt, key, shape, dtype):
+        buf = nt["bufs"].get(key)
+        n = int(np.prod(shape))
+        if buf is None or buf.size < n:
+            buf = np.empty(max(n, 1), dtype=dtype)
+            nt["bufs"][key] = buf
+        return buf[:n].reshape(shape)
+
+    def annotateArraysNative(
+        self,
+        result: AlignResult,
+        exon_only: bool = False,
+        error_correction: bool = False,
+    ) -> tuple[EvidenceArrays, np.ndarray, np.ndarray]:
+        import ctypes
+
+        nt = self._nativeTables()
+        assert nt is not None
+        idx = self.index
+        Gt = len(self.tables)
+        _, Lmax = idx.backbone.shape
+        N = len(result.gene)
+        M = 2 * N
+        Vtot = int(self.gvar_start[-1])
+        map_pairs = np.ascontiguousarray(
+            np.nonzero(result.gene >= 0)[0], dtype=np.int64
+        )
+        Nm = len(map_pairs)
+
+        def ptr(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        cols_l = np.ascontiguousarray(result.cols_l, dtype=np.int32)
+        cols_r = np.ascontiguousarray(result.cols_r, dtype=np.int32)
+        bases_l = np.ascontiguousarray(result.bases_l, dtype=np.int8)
+        bases_r = np.ascontiguousarray(result.bases_r, dtype=np.int8)
+        len_l = np.ascontiguousarray(result.len_l, dtype=np.int32)
+        len_r = np.ascontiguousarray(result.len_r, dtype=np.int32)
+        gene32 = np.ascontiguousarray(result.gene, dtype=np.int32)
+        nh32 = np.ascontiguousarray(result.nh, dtype=np.int32)
+
+        nm_out = self._arena(nt, "nm", (2 * max(Nm, 1),), np.int32)
+        pass_out = self._arena(nt, "pass", (max(Nm, 1),), np.uint8)
+        pos_cnt = self._arena(nt, "pcnt", (2 * max(Nm, 1),), np.int64)
+        neg_cnt = self._arena(nt, "ncnt", (2 * max(Nm, 1),), np.int64)
+        pileup_flat = self._arena(nt, "pileup", (Gt * Lmax * 5,), np.int32)
+        n_novel = np.zeros(1, dtype=np.int64)
+
+        while True:
+            pileup_flat[:] = 0  # re-zero: retries would double-count
+            pos_vals = self._arena(nt, "pvals", (nt["pos_cap"],), np.int64)
+            neg_vals = self._arena(nt, "nvals", (nt["neg_cap"],), np.int64)
+            novel_keys = self._arena(
+                nt, "nkeys", (nt["novel_cap"],), np.int64
+            )
+            if Nm == 0:
+                need = 0
+                break
+            need = nt["lib"].kgt_annotate(
+                ctypes.c_int64(Nm), ctypes.c_int32(cols_l.shape[1]),
+                ctypes.c_int32(Gt), ctypes.c_int64(Lmax),
+                ctypes.c_int64(Vtot), ctypes.c_int32(self.num_editdist),
+                ctypes.c_int32(int(exon_only)),
+                ctypes.c_int32(int(error_correction)),
+                ptr(map_pairs, ctypes.c_int64),
+                ptr(cols_l, ctypes.c_int32), ptr(bases_l, ctypes.c_int8),
+                ptr(len_l, ctypes.c_int32),
+                ptr(cols_r, ctypes.c_int32), ptr(bases_r, ctypes.c_int8),
+                ptr(len_r, ctypes.c_int32),
+                ptr(gene32, ctypes.c_int32), ptr(nh32, ctypes.c_int32),
+                ptr(nt["seq_g"], ctypes.c_int8),
+                ptr(nt["snp"], ctypes.c_int32),
+                ptr(nt["ignore"], ctypes.c_uint8),
+                ptr(nt["in_exon"], ctypes.c_uint8),
+                ptr(nt["is_del"], ctypes.c_uint8),
+                ptr(nt["pos"], ctypes.c_int64),
+                ptr(nt["val"], ctypes.c_int64),
+                ptr(nt["lo"], ctypes.c_int64), ptr(nt["hi"], ctypes.c_int64),
+                ptr(nt["dk"], ctypes.c_int64), ptr(nt["dv"], ctypes.c_int64),
+                ctypes.c_int64(len(nt["dk"])),
+                ctypes.c_int64(self._del_span),
+                ctypes.c_int64(self._del_maxlen),
+                ptr(nm_out, ctypes.c_int32), ptr(pass_out, ctypes.c_uint8),
+                ptr(pos_cnt, ctypes.c_int64),
+                ptr(pos_vals, ctypes.c_int64),
+                ctypes.c_int64(nt["pos_cap"]),
+                ptr(neg_cnt, ctypes.c_int64),
+                ptr(neg_vals, ctypes.c_int64),
+                ctypes.c_int64(nt["neg_cap"]),
+                ptr(novel_keys, ctypes.c_int64),
+                ctypes.c_int64(nt["novel_cap"]),
+                ptr(n_novel, ctypes.c_int64),
+                ptr(pileup_flat, ctypes.c_int32),
+            )
+            if need == 0:
+                break
+            for cap in ("pos_cap", "neg_cap", "novel_cap"):
+                if need > nt[cap] // 2:
+                    nt[cap] = max(nt[cap] * 2, int(need) + 1)
+
+        # --- assemble the EvidenceArrays contract
+        mrows = np.empty(2 * Nm, dtype=np.int64)
+        mrows[0::2] = 2 * map_pairs
+        mrows[1::2] = 2 * map_pairs + 1
+        nm2 = np.zeros((2, N), dtype=np.int32)
+        pass_mask = np.zeros(N, dtype=bool)
+        if Nm:
+            nm2[:, map_pairs] = nm_out.reshape(Nm, 2).T
+            pass_mask[map_pairs] = pass_out.astype(bool)
+        counts_full = np.zeros(M, dtype=np.int64)
+        if Nm:
+            counts_full[mrows] = pos_cnt
+        pos_indptr = np.concatenate([[0], np.cumsum(counts_full)])
+        counts_full = np.zeros(M, dtype=np.int64)
+        if Nm:
+            counts_full[mrows] = neg_cnt
+        neg_indptr = np.concatenate([[0], np.cumsum(counts_full)])
+        P = int(pos_indptr[-1])
+        Q = int(neg_indptr[-1])
+
+        U = int(n_novel[0])
+        novel_variants: list[Variant] = []
+        novel_ids = IdAllocator()
+        ids_all = np.concatenate(
+            [self.g_ids, np.empty(U, dtype=object)]
+        )
+        for u in range(U):
+            key = int(novel_keys[u])
+            b = key % 4
+            p = (key // 4) % Lmax
+            gi = key // (4 * Lmax)
+            v = Variant(
+                pos=int(p), typ="single", ref=self.tables[gi].name,
+                val="ACGT"[b], id=novel_ids.nextNovel(),
+            )
+            novel_variants.append(v)
+            ids_all[Vtot + u] = str(v.id)
+
+        pileup = pileup_flat.reshape(Gt, Lmax, 5).copy()
+        depth = pileup.sum(axis=-1, dtype=np.int32)
+        ev = EvidenceArrays(
+            gene=result.gene.astype(np.int32),
+            nh=result.nh.astype(np.int32),
+            nm=nm2,
+            pass_mask=pass_mask,
+            pos_indptr=pos_indptr,
+            pos_idx=pos_vals[:P].copy(),
+            neg_indptr=neg_indptr,
+            neg_idx=neg_vals[:Q].copy(),
+            ids=ids_all,
+            novel_variants=novel_variants,
+            n_catalog=Vtot,
+        )
+        logger.info(
+            f"[Align] pairs mapped {Nm}, "
+            f"passed NM filter {int(pass_mask.sum())}, "
+            f"unique {int((pass_mask & (result.nh == 1)).sum())}"
+        )
+        return ev, depth, pileup
+
     def toPairReads(self, ev: EvidenceArrays) -> list[PairRead]:
         """EvidenceArrays -> PairRead list (only at JSON/compat boundaries)."""
         ids = ev.ids
@@ -527,8 +728,16 @@ class VariantAnnotator:
         exon_only: bool = False,
         error_correction: bool = False,
     ) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
-        """Vectorised product path; same contract as `annotateLoop`."""
-        ev, depth, pileup = self.annotateArrays(
+        """Product path; same contract as `annotateLoop`.  Uses the native
+        C++ core when built (KGT_NO_NATIVE=1 forces the numpy oracle)."""
+        import os
+
+        use_native = (
+            not os.environ.get("KGT_NO_NATIVE")
+            and self._nativeTables() is not None
+        )
+        impl = self.annotateArraysNative if use_native else self.annotateArrays
+        ev, depth, pileup = impl(
             result, exon_only=exon_only, error_correction=error_correction
         )
         variants: list[Variant] = []

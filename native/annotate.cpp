@@ -1,0 +1,321 @@
+// Native variant-annotation core (mirrors the vectorised numpy oracle in
+// kir_graph_tpu/align/annotate.py:annotateArrays, which in turn fuses the
+// reference's BAM round-trip CIGAR/MD/Zs parsing + positive/negative
+// variant extraction, hisat2.py:279-515,716-800).
+//
+// Why native: the per-batch [reads, read_len] classification is pure host
+// work; a C++ single pass with persistent arenas does it allocation-free,
+// which keeps the product path immune to the host page-fault stalls that
+// dominate allocation-heavy array code on virtualised hosts (and is ~10x
+// faster than the numpy oracle even on a quiet machine).
+//
+// Contract (kgt_annotate): classify every mapped pair's mates, returning
+//   - per-mate NM + per-pair pass flags
+//   - per-mate positive variant lists (known SNPs by column, then known
+//     deletions, then novel SNVs — the oracle's CSR order)
+//   - per-mate negative variant lists (catalog span minus positives,
+//     N-column SNPs and read-end deletions excluded)
+//   - novel SNVs in first-occurrence order (global registration)
+//   - depth/pileup over passing unique pairs (raw bases)
+// All semantics (error correction, exon_only, thresholds) match the
+// oracle bit-for-bit; tests/test_native_annotate.py asserts equality.
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Scratch {
+  // per-row variable-size collections, reused across calls
+  std::vector<std::vector<int64_t>> known;    // known SNP gidx (col order)
+  std::vector<std::vector<int64_t>> dels;     // known deletion gidx
+  std::vector<std::vector<int64_t>> novel;    // packed (col<<2)|base
+  std::vector<std::vector<int32_t>> ncols;    // N-mismatch columns
+  std::vector<int32_t> nm, n_ins, left, right;
+  std::vector<uint8_t> any_cons, overhang, ev_empty;
+  std::unordered_map<int64_t, int64_t> novel_rank;
+  std::vector<int64_t> novel_keys;
+  std::vector<int32_t> ec_pileup;
+
+  void reset(size_t rows) {
+    if (known.size() < rows) {
+      known.resize(rows); dels.resize(rows);
+      novel.resize(rows); ncols.resize(rows);
+    }
+    for (size_t r = 0; r < rows; ++r) {
+      known[r].clear(); dels[r].clear(); novel[r].clear(); ncols[r].clear();
+    }
+    nm.assign(rows, 0); n_ins.assign(rows, 0);
+    left.assign(rows, 0); right.assign(rows, 0);
+    any_cons.assign(rows, 0); overhang.assign(rows, 0);
+    ev_empty.assign(rows, 0);
+    novel_rank.clear();
+    novel_keys.clear();
+  }
+};
+
+Scratch g_scratch;
+
+inline int64_t delKey(int64_t g, int64_t p, int64_t l, int64_t span,
+                      int64_t ml) {
+  int64_t lc = l < ml - 1 ? l : ml - 1;
+  return (g * span + p) * ml + lc;
+}
+
+inline int64_t delFind(const int64_t* keys, const int64_t* vals, int64_t nd,
+                       int64_t key) {
+  int64_t lo = 0, hi = nd;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    if (keys[mid] < key) lo = mid + 1; else hi = mid;
+  }
+  return (lo < nd && keys[lo] == key) ? vals[lo] : -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, or the required capacity (>0) when pos_cap /
+// neg_cap / novel_cap is too small (caller re-allocates and retries).
+long kgt_annotate(
+    // dims / flags
+    int64_t n_mapped, int32_t RL, int32_t Gt, int64_t Lmax, int64_t Vtot,
+    int32_t num_editdist, int32_t exon_only, int32_t error_correction,
+    // per-pair inputs ([N, RL] row-major full arrays + mapped indices)
+    const int64_t* map_pairs,
+    const int32_t* cols_l, const int8_t* bases_l, const int32_t* len_l,
+    const int32_t* cols_r, const int8_t* bases_r, const int32_t* len_r,
+    const int32_t* gene,  // [N] pair gene (valid at map_pairs)
+    const int32_t* nh,    // [N]
+    // catalog tables
+    const int8_t* seq_g,          // [Gt, Lmax]
+    const int32_t* snp_lookup,    // [Gt, Lmax, 4] global idx or -1
+    const uint8_t* g_ignore,      // [Vtot]
+    const uint8_t* g_in_exon,     // [Vtot]
+    const uint8_t* g_is_del,      // [Vtot]
+    const int64_t* g_pos,         // [Vtot]
+    const int64_t* g_val,         // [Vtot] deletion length (SNPs: any)
+    const int64_t* lo_at,         // [Gt, Lmax+2]
+    const int64_t* hi_at,         // [Gt, Lmax+2]
+    const int64_t* del_keys, const int64_t* del_vals, int64_t n_del_keys,
+    int64_t del_span, int64_t del_maxlen,
+    // outputs
+    int32_t* nm_out,        // [2*n_mapped] mate-interleaved
+    uint8_t* pass_out,      // [n_mapped]
+    int64_t* pos_cnt,       // [2*n_mapped]
+    int64_t* pos_vals, int64_t pos_cap,
+    int64_t* neg_cnt,       // [2*n_mapped]
+    int64_t* neg_vals, int64_t neg_cap,
+    int64_t* novel_keys_out, int64_t novel_cap, int64_t* n_novel_out,
+    int32_t* pileup_out     // [Gt, Lmax, 5], caller-zeroed
+) {
+  const int64_t rows = 2 * n_mapped;
+  Scratch& S = g_scratch;
+  S.reset(rows);
+
+  auto rowPtr = [&](int64_t r, const int32_t** cp, const int8_t** bp,
+                    int32_t* ln) {
+    int64_t p = map_pairs[r / 2];
+    if (r % 2 == 0) {
+      *cp = cols_l + p * RL; *bp = bases_l + p * RL; *ln = len_l[p];
+    } else {
+      *cp = cols_r + p * RL; *bp = bases_r + p * RL; *ln = len_r[p];
+    }
+  };
+
+  // --- optional error-correction pileup (all mapped pairs, raw bases;
+  // oracle annotate.py:261-286)
+  const int32_t* ec = nullptr;
+  if (error_correction) {
+    S.ec_pileup.assign((size_t)Gt * Lmax * 5, 0);
+    for (int64_t r = 0; r < rows; ++r) {
+      const int32_t* cp; const int8_t* bp; int32_t ln;
+      rowPtr(r, &cp, &bp, &ln);
+      int64_t g = gene[map_pairs[r / 2]];
+      for (int32_t i = 0; i < ln; ++i) {
+        if (cp[i] >= 0) {
+          int8_t b = bp[i] < 4 ? bp[i] : 4;
+          ++S.ec_pileup[(g * Lmax + cp[i]) * 5 + b];
+        }
+      }
+    }
+    ec = S.ec_pileup.data();
+  }
+
+  // --- pass A: per-mate classification
+  for (int64_t r = 0; r < rows; ++r) {
+    const int32_t* cp; const int8_t* bp; int32_t ln;
+    rowPtr(r, &cp, &bp, &ln);
+    const int64_t g = gene[map_pairs[r / 2]];
+    const int8_t* seq = seq_g + g * Lmax;
+    const int32_t* snp = snp_lookup + g * Lmax * 4;
+
+    int32_t novel_snp = 0, n_pos = 0, ignored = 0, ins = 0;
+    int64_t novel_del_len = 0;
+    int32_t prev_col = -1, first = -1, last = -1;
+    bool ovh = false;
+    for (int32_t i = 0; i < ln; ++i) {
+      int32_t c = cp[i];
+      if (c == -2) { ++ins; continue; }
+      if (c == -3) { ovh = true; continue; }
+      if (c < 0) continue;
+      if (first < 0) first = c;
+      last = c;
+      // deletion run between consecutive consumed columns
+      if (prev_col >= 0 && c - prev_col - 1 > 0) {
+        int64_t start0 = prev_col + 1, len = c - prev_col - 1;
+        int64_t canon = start0;
+        while (canon > 0 && seq[canon - 1] == seq[canon + len - 1]) --canon;
+        int64_t d = delFind(del_keys, del_vals, n_del_keys,
+                            delKey(g, canon, len, del_span, del_maxlen));
+        if (d < 0)
+          d = delFind(del_keys, del_vals, n_del_keys,
+                      delKey(g, start0, len, del_span, del_maxlen));
+        if (d >= 0) S.dels[r].push_back(d);
+        else novel_del_len += len;
+      }
+      prev_col = c;
+      int8_t b = bp[i];
+      if (error_correction && b != seq[c] && b < 4) {
+        const int32_t* cnt = ec + (g * Lmax + c) * 5;
+        int32_t tot = cnt[0] + cnt[1] + cnt[2] + cnt[3];
+        if (tot >= 20 && cnt[b] * 5 <= tot) {  // own <= 0.2
+          int32_t maj = 0;
+          for (int k = 1; k < 4; ++k) if (cnt[k] > cnt[maj]) maj = k;
+          b = (cnt[maj] * 5 >= tot * 4) ? (int8_t)maj : (int8_t)4;  // >=0.8
+        }
+      }
+      if (b >= 4) {
+        // N base never equals an in-reference backbone code (0..3)
+        ++n_pos;
+        S.ncols[r].push_back(c);
+        continue;
+      }
+      if (b == seq[c]) continue;
+      int32_t gi = snp[c * 4 + b];
+      if (gi >= 0) {
+        S.known[r].push_back(gi);
+        if (g_ignore[gi]) ++ignored;
+      } else {
+        ++novel_snp;
+        S.novel[r].push_back(((int64_t)c << 2) | b);
+      }
+    }
+    S.any_cons[r] = first >= 0;
+    S.overhang[r] = ovh;
+    S.n_ins[r] = ins;
+    S.left[r] = first;
+    S.right[r] = last + 1;
+    int64_t nm = novel_snp + n_pos + ins + novel_del_len + ignored;
+    if (first < 0) nm = 99;
+    S.nm[r] = (int32_t)nm;
+    S.ev_empty[r] = (ins > 0) || (novel_del_len > 0) || ovh;
+    nm_out[r] = (int32_t)nm;
+  }
+  for (int64_t p = 0; p < n_mapped; ++p)
+    pass_out[p] =
+        (S.nm[2 * p] <= num_editdist) && (S.nm[2 * p + 1] <= num_editdist);
+
+  // --- pass B: novel registration (first occurrence, row-major over all
+  // no-indel mates; oracle annotate.py:361-375) + emission
+  int64_t pos_n = 0, neg_n = 0;
+  long need = 0;
+  for (int64_t r = 0; r < rows; ++r) {
+    if (S.ev_empty[r]) { continue; }
+    for (int64_t pk : S.novel[r]) {
+      const int64_t g = gene[map_pairs[r / 2]];
+      int64_t key = (g * Lmax + (pk >> 2)) * 4 + (pk & 3);
+      if (!S.novel_rank.count(key)) {
+        int64_t rank = (int64_t)S.novel_keys.size();
+        S.novel_rank.emplace(key, rank);
+        S.novel_keys.push_back(key);
+      }
+    }
+  }
+  *n_novel_out = (int64_t)S.novel_keys.size();
+  if ((int64_t)S.novel_keys.size() > novel_cap)
+    need = (long)S.novel_keys.size();
+  else
+    std::memcpy(novel_keys_out, S.novel_keys.data(),
+                S.novel_keys.size() * sizeof(int64_t));
+
+  for (int64_t r = 0; r < rows; ++r) {
+    bool pass_row = pass_out[r / 2] && !S.ev_empty[r];
+    // positives: known SNPs (col order), known dels, novel SNVs
+    int64_t c0 = pos_n;
+    if (pass_row) {
+      const int64_t g = gene[map_pairs[r / 2]];
+      for (int64_t gi : S.known[r]) {
+        if (exon_only && !g_in_exon[gi]) continue;
+        if (pos_n < pos_cap) pos_vals[pos_n] = gi;
+        ++pos_n;
+      }
+      for (int64_t gi : S.dels[r]) {
+        if (exon_only && !g_in_exon[gi]) continue;
+        if (pos_n < pos_cap) pos_vals[pos_n] = gi;
+        ++pos_n;
+      }
+      if (!exon_only) {
+        for (int64_t pk : S.novel[r]) {
+          int64_t key = (g * Lmax + (pk >> 2)) * 4 + (pk & 3);
+          if (pos_n < pos_cap) pos_vals[pos_n] = Vtot + S.novel_rank[key];
+          ++pos_n;
+        }
+      }
+    }
+    pos_cnt[r] = pos_n - c0;
+    // negatives: catalog span minus positives (oracle annotate.py:424-467)
+    int64_t n0 = neg_n;
+    if (pass_row && S.any_cons[r]) {
+      const int64_t g = gene[map_pairs[r / 2]];
+      int64_t li = S.left[r]; if (li < 0) li = 0; if (li > Lmax + 1) li = Lmax + 1;
+      int64_t ri = S.right[r]; if (ri < 0) ri = 0; if (ri > Lmax + 1) ri = Lmax + 1;
+      int64_t lo = lo_at[g * (Lmax + 2) + li];
+      int64_t hi = hi_at[g * (Lmax + 2) + ri];
+      if (hi < lo) hi = lo;
+      for (int64_t gi = lo; gi < hi; ++gi) {
+        bool is_pos = false;
+        for (int64_t k : S.known[r]) if (k == gi) { is_pos = true; break; }
+        if (!is_pos)
+          for (int64_t k : S.dels[r]) if (k == gi) { is_pos = true; break; }
+        if (is_pos) continue;
+        if (!g_is_del[gi]) {
+          bool at_n = false;
+          for (int32_t nc : S.ncols[r])
+            if (nc == g_pos[gi]) { at_n = true; break; }
+          if (at_n) continue;
+        } else if (g_pos[gi] + g_val[gi] + 10 >= S.right[r]) {
+          continue;
+        }
+        if (exon_only && !g_in_exon[gi]) continue;
+        if (neg_n < neg_cap) neg_vals[neg_n] = gi;
+        ++neg_n;
+      }
+    }
+    neg_cnt[r] = neg_n - n0;
+  }
+  if (pos_n > pos_cap && pos_n > need) need = (long)pos_n;
+  if (neg_n > neg_cap && neg_n > need) need = (long)neg_n;
+
+  // --- depth/pileup over passing unique pairs (raw bases;
+  // oracle annotate.py:472-480)
+  for (int64_t p = 0; p < n_mapped; ++p) {
+    if (!pass_out[p] || nh[map_pairs[p]] != 1) continue;
+    const int64_t g = gene[map_pairs[p]];
+    for (int m = 0; m < 2; ++m) {
+      const int32_t* cp; const int8_t* bp; int32_t ln;
+      rowPtr(2 * p + m, &cp, &bp, &ln);
+      for (int32_t i = 0; i < ln; ++i)
+        if (cp[i] >= 0) {
+          int8_t b = bp[i] < 4 ? bp[i] : 4;
+          ++pileup_out[(g * Lmax + cp[i]) * 5 + b];
+        }
+    }
+  }
+  return need;
+}
+
+}  // extern "C"

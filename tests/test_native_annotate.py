@@ -1,0 +1,93 @@
+"""Native C++ annotate core vs the numpy oracle: bit-identical outputs
+on realistic batches (novel SNVs, catalogued deletions, N bases, error
+correction, exon-only)."""
+import os
+
+import numpy as np
+import pytest
+
+from kir_graph_tpu.align import GraphAligner, encodeReads
+from kir_graph_tpu.align.annotate import VariantAnnotator
+from kir_graph_tpu.sim.reads import simulatePairedReads
+from kir_graph_tpu.sim.synth_db import alleleUngappedSeq
+
+
+@pytest.fixture(scope="module")
+def batch(synth_genes, synth_index):
+    seqs = {}
+    for gname in synth_index.gene_names:
+        g = synth_index.genes[gname]
+        msa = synth_genes[gname.split("*")[0]]
+        for ai in (0, 3):
+            seqs[g.alleles[ai]] = alleleUngappedSeq(msa, g.alleles[ai])
+    sim = simulatePairedReads(seqs, depth=6, seed=17, error_rate=0.01)
+    c1, l1 = encodeReads(sim.r1)
+    c2, l2 = encodeReads(sim.r2)
+    aligner = GraphAligner(synth_index)
+    return aligner.alignPairs(c1, l1, c2, l2)
+
+
+def _assertSame(a, b):
+    ev_a, depth_a, pile_a = a
+    ev_b, depth_b, pile_b = b
+    np.testing.assert_array_equal(depth_a, depth_b)
+    np.testing.assert_array_equal(pile_a, pile_b)
+    np.testing.assert_array_equal(ev_a.nm, ev_b.nm)
+    np.testing.assert_array_equal(ev_a.pass_mask, ev_b.pass_mask)
+    np.testing.assert_array_equal(ev_a.pos_indptr, ev_b.pos_indptr)
+    np.testing.assert_array_equal(ev_a.pos_idx, ev_b.pos_idx)
+    np.testing.assert_array_equal(ev_a.neg_indptr, ev_b.neg_indptr)
+    np.testing.assert_array_equal(ev_a.neg_idx, ev_b.neg_idx)
+    assert list(ev_a.ids) == list(ev_b.ids)
+    assert len(ev_a.novel_variants) == len(ev_b.novel_variants)
+    for va, vb in zip(ev_a.novel_variants, ev_b.novel_variants):
+        assert (va.pos, va.typ, va.ref, va.val, va.id) == (
+            vb.pos, vb.typ, vb.ref, vb.val, vb.id
+        )
+
+
+@pytest.mark.parametrize(
+    "exon_only,error_correction",
+    [(False, False), (True, False), (False, True), (True, True)],
+)
+def test_native_matches_oracle(batch, synth_index, exon_only,
+                               error_correction):
+    ann = VariantAnnotator(synth_index)
+    if ann._nativeTables() is None:
+        pytest.skip("native lib not built")
+    got = ann.annotateArraysNative(
+        batch, exon_only=exon_only, error_correction=error_correction
+    )
+    want = ann.annotateArrays(
+        batch, exon_only=exon_only, error_correction=error_correction
+    )
+    _assertSame(got, want)
+
+
+def test_annotate_dispatches_native(batch, synth_index, monkeypatch):
+    ann = VariantAnnotator(synth_index)
+    if ann._nativeTables() is None:
+        pytest.skip("native lib not built")
+    reads_n, depth_n, _, pass_n = ann.annotate(batch)
+    monkeypatch.setenv("KGT_NO_NATIVE", "1")
+    reads_o, depth_o, _, pass_o = ann.annotate(batch)
+    np.testing.assert_array_equal(depth_n, depth_o)
+    np.testing.assert_array_equal(pass_n, pass_o)
+    assert len(reads_n["reads"]) == len(reads_o["reads"])
+    for rn, ro in zip(reads_n["reads"], reads_o["reads"]):
+        assert (rn.lpv, rn.lnv, rn.rpv, rn.rnv) == (
+            ro.lpv, ro.lnv, ro.rpv, ro.rnv
+        )
+
+
+def test_native_small_caps_regrow(batch, synth_index):
+    """Arena overflow path: tiny initial caps must regrow and still match."""
+    ann = VariantAnnotator(synth_index)
+    nt = ann._nativeTables()
+    if nt is None:
+        pytest.skip("native lib not built")
+    nt["pos_cap"], nt["neg_cap"], nt["novel_cap"] = 8, 8, 2
+    nt["bufs"].clear()
+    got = ann.annotateArraysNative(batch)
+    want = ann.annotateArrays(batch)
+    _assertSame(got, want)
