@@ -321,11 +321,11 @@ def linearCostGather(
 
 def decodeDeltas(start_col: np.ndarray, delta: np.ndarray) -> np.ndarray:
     """Host-side inverse of the delta encoding -> cols [J, RL] (abs window
-    coords; -1 pad, -2 insertion)."""
-    J, RL = delta.shape
-    step = np.where(delta > 0, delta, 0).astype(np.int64)
-    cum = np.cumsum(step, axis=1)
-    cols = start_col[:, None] - 1 + cum
+    coords; -1 pad, -2 insertion).  int32 throughout: max cumulative step
+    is 127 * RL, far below 2^31."""
+    step = np.where(delta > 0, delta, 0).astype(np.int32)
+    cum = np.cumsum(step, axis=1, dtype=np.int32)
+    cols = start_col[:, None].astype(np.int32) - 1 + cum
     cols = np.where(delta == 0, -2, cols)
     cols = np.where(delta < 0, -1, cols)
-    return cols.astype(np.int32)
+    return cols

@@ -35,7 +35,13 @@ PAD_L = 64  # front padding of window coordinate space
 
 @dataclass
 class AlignResult:
-    """Per-pair winning placements (host arrays)."""
+    """Per-pair winning placements (host arrays).
+
+    The [N, RL] arrays may be views of the aligner's persistent scratch
+    (fresh multi-MB allocations stall on ballooned hosts): they are valid
+    until the NEXT alignPairs() call on the same GraphAligner.  Copy
+    fields you need to keep across batches (the chunked >CHUNK_PAIRS path
+    concatenates, i.e. copies, so its results are stable)."""
 
     gene: np.ndarray        # [N] int32, -1 = unmapped/discordant
     nh: np.ndarray          # [N] int32 number of equal-best placements
@@ -226,6 +232,17 @@ class GraphAligner:
 
         return pairSelect
 
+    def _hostBuf(self, key: str, shape, dtype):
+        """Persistent host scratch (pages stay faulted-in across batches;
+        fresh large allocations stall for seconds on ballooned hosts)."""
+        bufs = self.__dict__.setdefault("_host_bufs", {})
+        n = int(np.prod(shape))
+        buf = bufs.get((key, np.dtype(dtype).str))
+        if buf is None or buf.size < n:
+            buf = np.empty(max(n, 1), dtype=dtype)
+            bufs[(key, np.dtype(dtype).str)] = buf
+        return buf[:n].reshape(shape)
+
     @staticmethod
     def _bucket(n: int, chunk: int) -> int:
         """Pad size bucketing: few distinct shapes -> few XLA compiles.
@@ -250,8 +267,8 @@ class GraphAligner:
         catalogued deletions or carrying novel indels)."""
         J = len(gene)
         RL = self.p.read_len
-        costs = np.empty(J, dtype=np.float32)
-        cols = np.empty((J, RL), dtype=np.int32)
+        costs = self._hostBuf("tb_costs", (J,), np.float32)
+        cols = self._hostBuf("tb_cols", (J, RL), np.int32)
         glen_all = np.asarray(self.index.lengths)
         easy = np.zeros(J, dtype=bool)
         if dp_cost is not None and J:
@@ -278,12 +295,18 @@ class GraphAligner:
                 easy[s:e] = np.asarray(lin)[:n] <= dp_cost[s:e] + 1e-4
             if easy.any():
                 eidx = np.nonzero(easy)[0]
+                ne = len(eidx)
                 i = np.arange(RL, dtype=np.int32)[None, :]
-                abs_c = (w0[eidx] + off[eidx])[:, None] + i
+                abs_c = self._hostBuf("easy_cols", (ne, RL), np.int32)
+                np.add(
+                    (w0[eidx] + off[eidx])[:, None].astype(np.int32), i,
+                    out=abs_c,
+                )
                 consumed = i < lens[eidx][:, None]
                 glen = glen_all[np.clip(gene[eidx], 0, None)]
                 oor = consumed & ((abs_c < 0) | (abs_c >= glen[:, None]))
-                abs_c = np.where(consumed, np.where(oor, -3, abs_c), -1)
+                abs_c[oor] = -3
+                abs_c[~consumed] = -1
                 cols[eidx] = abs_c
                 costs[eidx] = dp_cost[eidx]
         hard = np.nonzero(~easy)[0]
@@ -425,13 +448,19 @@ class GraphAligner:
             f"[Align] {N} pairs -> {int(mapped.sum())} concordant"
         )
 
-        oc1 = np.where(isrc1[:, None], rc1, codes1)
-        oc2 = np.where(isrc2[:, None], rc2, codes2)
+        oc1 = self._hostBuf("oc1", (N, RL), np.int8)
+        oc2 = self._hostBuf("oc2", (N, RL), np.int8)
+        np.copyto(oc1, codes1)
+        oc1[isrc1] = rc1[isrc1]
+        np.copyto(oc2, codes2)
+        oc2[isrc2] = rc2[isrc2]
         l1, l2 = len1.astype(np.int32), len2.astype(np.int32)
 
         midx = np.nonzero(mapped)[0]
-        cols_l = np.full((N, RL), -1, dtype=np.int32)
-        cols_r = np.full((N, RL), -1, dtype=np.int32)
+        cols_l = self._hostBuf("cols_l", (N, RL), np.int32)
+        cols_r = self._hostBuf("cols_r", (N, RL), np.int32)
+        cols_l.fill(-1)
+        cols_r.fill(-1)
         if len(midx):
             # both mates' winners in ONE traceback dispatch
             nw = len(midx)
