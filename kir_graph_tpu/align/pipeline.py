@@ -21,12 +21,7 @@ import numpy as np
 
 from ..index.build import BASE_PAD, KirIndex
 from ..utils import logger
-from .dp import (
-    AlignParams,
-    bandedTracebackGather,
-    decodeDeltas,
-    linearCostGather,
-)
+from .dp import AlignParams, bandedTracebackGather, decodeDeltas
 from .encode import revCompCodes
 from .seeding import DIAG_BUCKET, SeedTable
 
@@ -116,13 +111,19 @@ class GraphAligner:
 
     def _buildPairSelect(self):
         """Jitted concordant pairing + winner selection over the dense
-        [4N, C] score grids — the host pairing loop moved on-device, so
-        only two packed [*, N] arrays come back over the (slow) tunnel
-        instead of four full slot grids."""
+        [4N, C] score grids — the host pairing loop moved on-device.
+        Also decides the ungapped-traceback shortcut in-kernel (linear
+        diagonal cost vs the DP optimum), so the host downloads just
+        three small packed arrays (int16 + int8 + one f32 row): crucial
+        on tunneled TPUs whose device->host link degrades to ~0.1 MB/s."""
         import jax
 
         C = self.top_c
+        RL = self.p.read_len
         BIG = jnp.float32(1e9)
+        backbone = self._backbone
+        altdel = self._altdel
+        mismatch = jnp.float32(self.p.mismatch)
         row_true = jnp.asarray(self._row_true)
         # int32-safe remap tables (device default dtype): clamp the "no
         # pseudo split" sentinel below int32 max after the end-coordinate
@@ -133,9 +134,10 @@ class GraphAligner:
         row_len = jnp.asarray(self._row_len.astype(np.int32))
         map_cap = jnp.float32(4.0 * (self.annot_editdist + 1))
         pair_span = jnp.int32(self.max_pair_buckets * DIAG_BUCKET)
+        band = self.p.band
 
         @jax.jit
-        def pairSelect(cost_d, gene_d, diag_d, end_d, lens_all):
+        def pairSelect(cost_d, gene_d, diag_d, end_d, codes_dev, lens_all):
             S4, _ = gene_d.shape
             N = S4 // 4
 
@@ -209,26 +211,47 @@ class GraphAligner:
 
             rows = jnp.arange(N)
 
-            def winner(slotm, base, lens):
+            def winner(slotm, base, mate_off, lens):
                 g = job_gene[rows, base + slotm]
                 d = job_diag[rows, base + slotm]
                 w0 = d * DIAG_BUCKET - DIAG_BUCKET
                 is_rc = (slotm // C).astype(jnp.int32)
                 dpc = slot_cost[rows, base + slotm]
-                eoff = end_raw[rows, base + slotm] - w0 - (lens - 1)
-                return g, w0, is_rc, dpc, eoff
+                eoff = jnp.clip(
+                    end_raw[rows, base + slotm] - w0 - (lens - 1),
+                    0, band - 1,
+                )
+                # ungapped shortcut decision: cost of the pure-diagonal
+                # path at the winning end offset == DP optimum -> the
+                # traceback is synthesizable on host from (w0, eoff)
+                oc = codes_dev[(mate_off + is_rc) * N + rows]
+                idx = (w0 + PAD_L + eoff)[:, None] + jnp.arange(RL)[None, :]
+                gs = jnp.clip(g, 0, None)[:, None]
+                wb = backbone[gs, idx]
+                wa = altdel[gs, idx] & 0xF
+                ok = oc < 4
+                is_alt = (
+                    (wa >> jnp.clip(oc, 0, 3).astype(jnp.uint8)) & 1
+                ).astype(bool)
+                sub = jnp.where(((oc == wb) | is_alt) & ok, 0.0, mismatch)
+                in_len = jnp.arange(RL)[None, :] < lens[:, None]
+                lin = jnp.sum(jnp.where(in_len, sub, 0.0), axis=1)
+                easy = (lin <= dpc + 1e-4).astype(jnp.int8)
+                return g, d, is_rc, eoff, easy
 
-            g1, w01, isrc1, dpc1, eoff1 = winner(slot1, 0, lens4[0])
-            g2, w02, isrc2, dpc2, eoff2 = winner(slot2, 2 * C, lens4[2])
+            g1, d1, isrc1, eoff1, easy1 = winner(slot1, 0, 0, lens4[0])
+            g2, d2, isrc2, eoff2, easy2 = winner(slot2, 2 * C, 2, lens4[2])
 
-            ints = jnp.stack(
+            i16 = jnp.stack([g1, g2, d1, d2]).astype(jnp.int16)
+            i8 = jnp.stack(
                 [
-                    g1, g2, w01, w02, isrc1, isrc2, eoff1, eoff2,
-                    nh, mapped.astype(jnp.int32),
+                    isrc1, isrc2, eoff1, eoff2,
+                    jnp.clip(nh, 0, 127),
+                    mapped.astype(jnp.int32),
+                    easy1.astype(jnp.int32), easy2.astype(jnp.int32),
                 ]
-            )
-            floats = jnp.stack([best, dpc1, dpc2])
-            return ints, floats
+            ).astype(jnp.int8)
+            return i16, i8, best
 
         return pairSelect
 
@@ -255,44 +278,25 @@ class GraphAligner:
 
     def _tracebackJobs(
         self, gene, w0, codes, lens,
-        dp_cost=None, end_off=None, chunk: int = 32768,
+        easy=None, end_off=None, chunk: int = 32768,
     ):
         """Traceback columns for winner jobs.
 
-        When `dp_cost`/`end_off` are given, first check the ungapped
-        shortcut: the pure-diagonal path cost at the winning end offset
-        (one cheap gather+sum dispatch).  Jobs where it equals the DP
-        optimum get their columns synthesized on host — the pointer-DP
-        traceback then runs only for the gapped minority (reads spanning
-        catalogued deletions or carrying novel indels)."""
+        `easy` marks jobs whose optimal alignment is the pure-diagonal
+        path at `end_off` (decided on-device in pairSelect): their
+        columns are synthesized on host, and the pointer-DP traceback
+        runs only for the gapped minority (reads spanning catalogued
+        deletions or carrying novel indels)."""
         J = len(gene)
         RL = self.p.read_len
         costs = self._hostBuf("tb_costs", (J,), np.float32)
         cols = self._hostBuf("tb_cols", (J, RL), np.int32)
         glen_all = np.asarray(self.index.lengths)
-        easy = np.zeros(J, dtype=bool)
-        if dp_cost is not None and J:
-            off = np.clip(end_off, 0, self.p.band - 1).astype(np.int32)
-            for s in range(0, J, chunk):
-                e = min(s + chunk, J)
-                n = e - s
-                pad = self._bucket(n, chunk) - n
-                lin = linearCostGather(
-                    self._backbone, self._altdel,
-                    jnp.asarray(np.clip(np.concatenate(
-                        [gene[s:e], np.zeros(pad, gene.dtype)]), 0, None)),
-                    jnp.asarray(np.concatenate(
-                        [w0[s:e], np.zeros(pad, w0.dtype)])),
-                    jnp.asarray(np.concatenate(
-                        [off[s:e], np.zeros(pad, np.int32)])),
-                    jnp.asarray(np.concatenate(
-                        [codes[s:e],
-                         np.full((pad, codes.shape[1]), BASE_PAD, np.int8)])),
-                    jnp.asarray(np.concatenate(
-                        [lens[s:e], np.full(pad, 1, np.int32)])),
-                    self.p, PAD_L,
-                )
-                easy[s:e] = np.asarray(lin)[:n] <= dp_cost[s:e] + 1e-4
+        if easy is None:
+            easy = np.zeros(J, dtype=bool)
+        if J:
+            off = np.clip(end_off, 0, self.p.band - 1).astype(np.int32) \
+                if end_off is not None else np.zeros(J, np.int32)
             if easy.any():
                 eidx = np.nonzero(easy)[0]
                 ne = len(eidx)
@@ -308,7 +312,7 @@ class GraphAligner:
                 abs_c[oor] = -3
                 abs_c[~consumed] = -1
                 cols[eidx] = abs_c
-                costs[eidx] = dp_cost[eidx]
+                costs[eidx] = 0.0  # per-mate DP cost stays on device
         hard = np.nonzero(~easy)[0]
         for s in range(0, len(hard), chunk):
             hi = hard[s : s + chunk]
@@ -428,16 +432,23 @@ class GraphAligner:
             gene_d, diag_d, use_pallas=self.use_pallas,
         )
 
-        # --- device: concordant pairing + winner selection; download only
-        # two packed [*, N] arrays (slot s = morient * C + c; morient 0:
-        # m1 fwd, 1: m1 rc, 2: m2 fwd, 3: m2 rc — the stacked stream order)
-        ints_d, floats_d = self._pair_select(
-            cost_d, gene_d, diag_d, end_d, lens_dev
+        # --- device: concordant pairing + winner selection + ungapped-
+        # shortcut decision; download three small packed arrays (slot
+        # s = morient * C + c; morient 0: m1 fwd, 1: m1 rc, 2: m2 fwd,
+        # 3: m2 rc — the stacked stream order)
+        i16_d, i8_d, best_d = self._pair_select(
+            cost_d, gene_d, diag_d, end_d, codes_dev, lens_dev
         )
-        ints = np.asarray(ints_d)
-        floats = np.asarray(floats_d)
-        (g1, g2, w01, w02, isrc1i, isrc2i, eoff1, eoff2, nh, mappedi) = ints
-        best, dpc1, dpc2 = floats
+        i16 = np.asarray(i16_d).astype(np.int32)
+        i8 = np.asarray(i8_d)
+        best = np.asarray(best_d)
+        g1, g2, d1, d2 = i16
+        (isrc1i, isrc2i, eoff1, eoff2, nh, mappedi, easy1, easy2) = i8
+        w01 = d1 * DIAG_BUCKET - DIAG_BUCKET
+        w02 = d2 * DIAG_BUCKET - DIAG_BUCKET
+        eoff1 = eoff1.astype(np.int32)
+        eoff2 = eoff2.astype(np.int32)
+        nh = nh.astype(np.int32)
         isrc1 = isrc1i.astype(bool)
         isrc2 = isrc2i.astype(bool)
         mapped = mappedi.astype(bool)
@@ -469,7 +480,9 @@ class GraphAligner:
                 np.concatenate([w01[midx], w02[midx]]),
                 np.concatenate([oc1[midx], oc2[midx]]),
                 np.concatenate([l1[midx], l2[midx]]),
-                dp_cost=np.concatenate([dpc1[midx], dpc2[midx]]),
+                easy=np.concatenate(
+                    [easy1[midx], easy2[midx]]
+                ).astype(bool),
                 end_off=np.concatenate([eoff1[midx], eoff2[midx]]),
             )
             cl, cr = cw[:nw], cw[nw:]
