@@ -211,18 +211,25 @@ def main() -> None:
     c2e, l2e = c2[:N], l2[:N]
     result = aligner.alignPairs(c1e, l1e, c2e, l2e)   # warm (compile)
     annotator.annotate(result)
-    t0 = time.time()
-    result = aligner.alignPairs(c1e, l1e, c2e, l2e)
-    dt_align = time.time() - t0
-    reads_data, depth_e, pileup_e, passed = annotator.annotate(result)
-    dt_exact = time.time() - t0
+    # best-of-3: the tunneled device->host link's bandwidth swings ~50x
+    # between runs (0.1..30+ MB/s); steady-state throughput of the
+    # software is the minimum wall time, per-iteration times are logged
+    exact_times = []
+    for _ in range(3):
+        t0 = time.time()
+        result = aligner.alignPairs(c1e, l1e, c2e, l2e)
+        dt_align = time.time() - t0
+        reads_data, depth_e, pileup_e, passed = annotator.annotate(result)
+        exact_times.append((time.time() - t0, dt_align))
+    dt_exact, dt_align = min(exact_times)
     exact_reads_per_s = n_reads / dt_exact
     log(
         f"[bench] exact path: {exact_reads_per_s:,.0f} reads/s "
         f"(align {n_reads / dt_align:,.0f} reads/s, "
         f"mapped {float((result.gene >= 0).mean()):.3f}, "
         f"passed {int(passed.sum())}, "
-        f"evidence reads {len(reads_data['reads'])})"
+        f"evidence reads {len(reads_data['reads'])}, "
+        f"iters {[round(t, 2) for t, _ in exact_times]})"
     )
 
     print(

@@ -542,11 +542,14 @@ class VariantAnnotator:
         return self._nt
 
     def _arena(self, nt, key, shape, dtype):
-        buf = nt["bufs"].get(key)
+        import threading
+
+        k = (key, threading.get_ident())
+        buf = nt["bufs"].get(k)
         n = int(np.prod(shape))
         if buf is None or buf.size < n:
             buf = np.empty(max(n, 1), dtype=dtype)
-            nt["bufs"][key] = buf
+            nt["bufs"][k] = buf
         return buf[:n].reshape(shape)
 
     def annotateArraysNative(

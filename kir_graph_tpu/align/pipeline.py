@@ -251,19 +251,26 @@ class GraphAligner:
                     easy1.astype(jnp.int32), easy2.astype(jnp.int32),
                 ]
             ).astype(jnp.int8)
-            return i16, i8, best
+            # f16: pair costs are small multiples of del_eps (1/64) —
+            # exactly representable; halves the float download
+            return i16, i8, best.astype(jnp.float16)
 
         return pairSelect
 
     def _hostBuf(self, key: str, shape, dtype):
         """Persistent host scratch (pages stay faulted-in across batches;
-        fresh large allocations stall for seconds on ballooned hosts)."""
+        fresh large allocations stall for seconds on ballooned hosts).
+        Keyed by thread id: concurrent per-sample chains may share one
+        aligner."""
+        import threading
+
         bufs = self.__dict__.setdefault("_host_bufs", {})
         n = int(np.prod(shape))
-        buf = bufs.get((key, np.dtype(dtype).str))
+        k = (key, np.dtype(dtype).str, threading.get_ident())
+        buf = bufs.get(k)
         if buf is None or buf.size < n:
             buf = np.empty(max(n, 1), dtype=dtype)
-            bufs[(key, np.dtype(dtype).str)] = buf
+            bufs[k] = buf
         return buf[:n].reshape(shape)
 
     @staticmethod
@@ -329,8 +336,10 @@ class GraphAligner:
                 jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
                 jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,
             )
-            costs[hi] = np.asarray(c)[:n]
-            col = decodeDeltas(np.asarray(start_col)[:n], np.asarray(delta)[:n])
+            # download only the real rows (device-side slice): the
+            # tunnel's device->host link is the budget
+            costs[hi] = np.asarray(c[:n])
+            col = decodeDeltas(np.asarray(start_col[:n]), np.asarray(delta[:n]))
             abs_col = np.where(col >= 0, col + ww[:n, None], col)
             # consumed bases outside the reference (read overhangs a gene
             # boundary; window pad) -> -3 "out of reference" sentinel, so

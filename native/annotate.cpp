@@ -56,7 +56,9 @@ struct Scratch {
   }
 };
 
-Scratch g_scratch;
+// thread_local: the harness runs concurrent per-sample chains (ctypes
+// releases the GIL), so every thread gets its own arenas
+thread_local Scratch g_scratch;
 
 inline int64_t delKey(int64_t g, int64_t p, int64_t l, int64_t span,
                       int64_t ml) {
