@@ -137,57 +137,46 @@ class GraphAligner:
         band = self.p.band
 
         @jax.jit
-        def pairSelect(cost_d, gene_d, diag_d, end_d, codes_dev, lens_all):
-            S4, _ = gene_d.shape
-            N = S4 // 4
+        def pairSelect(cost_d, gene_d, orient_d, diag_d, end_d,
+                       codes_dev, lens_fwd):
+            # mate-stacked [2N, C] candidate grids (canonical seeding:
+            # per-candidate orientation)
+            N = gene_d.shape[0] // 2
+            end_raw = end_d.astype(jnp.int32)
+            gsafe = jnp.clip(gene_d, 0, row_true.shape[0] - 1)
+            g_end = end_raw + (end_raw >= row_pos[gsafe]) * row_len[gsafe]
+            g_true = jnp.where(gene_d >= 0, row_true[gsafe], -1)
 
-            def toSlots(x):
-                return x.reshape(4, N, C).transpose(1, 0, 2).reshape(N, 4 * C)
+            m1_cost, m2_cost = cost_d[:N], cost_d[N:]
+            m1_gene, m2_gene = g_true[:N], g_true[N:]
+            m1_end, m2_end = g_end[:N], g_end[N:]
+            m1_o, m2_o = orient_d[:N], orient_d[N:]
 
-            job_gene = toSlots(gene_d)
-            job_diag = toSlots(diag_d)
-            slot_cost = toSlots(cost_d)
-            end_raw = toSlots(end_d).astype(jnp.int32)
-            lens4 = lens_all.reshape(4, N)
-
-            gsafe = jnp.clip(job_gene, 0, row_true.shape[0] - 1)
-            slot_end = end_raw + (end_raw >= row_pos[gsafe]) * row_len[gsafe]
-            job_gene_true = jnp.where(job_gene >= 0, row_true[gsafe], -1)
-
-            m1_cost = slot_cost[:, : 2 * C].reshape(N, 2, C)
-            m2_cost = slot_cost[:, 2 * C :].reshape(N, 2, C)
-            m1_gene = job_gene_true[:, : 2 * C].reshape(N, 2, C)
-            m2_gene = job_gene_true[:, 2 * C :].reshape(N, 2, C)
-            m1_end = slot_end[:, : 2 * C].reshape(N, 2, C)
-            m2_end = slot_end[:, 2 * C :].reshape(N, 2, C)
-            m2_cost_op = m2_cost[:, ::-1, :]
-            m2_gene_op = m2_gene[:, ::-1, :]
-            m2_end_op = m2_end[:, ::-1, :]
-
-            pc = m1_cost[:, :, :, None] + m2_cost_op[:, :, None, :]
-            same_gene = (
-                m1_gene[:, :, :, None] == m2_gene_op[:, :, None, :]
-            ) & (m1_gene[:, :, :, None] >= 0)
-            end_dist = jnp.abs(
-                m1_end[:, :, :, None] - m2_end_op[:, :, None, :]
+            pc = m1_cost[:, :, None] + m2_cost[:, None, :]
+            valid = (
+                (m1_gene[:, :, None] == m2_gene[:, None, :])
+                & (m1_gene[:, :, None] >= 0)
+                & (m1_o[:, :, None] != m2_o[:, None, :])   # FR pairing
+                & (
+                    jnp.abs(m1_end[:, :, None] - m2_end[:, None, :])
+                    <= pair_span
+                )
             )
-            valid = same_gene & (end_dist <= pair_span)
             pair_cost = jnp.where(valid, pc, BIG)
             flat_pair = pair_cost.reshape(N, -1)
             best = flat_pair.min(axis=1)
             mapped = best < map_cap
 
             # NH: distinct (gene, end1, end2) among equal-best combos.
-            # O(K^2) pairwise dedup (K = 2*C*C) keeps everything int32 —
-            # no packed-hash int64 needed on device.
+            # O(K^2) pairwise dedup (K = C*C) keeps everything int32.
             g_f = jnp.broadcast_to(
-                m1_gene[:, :, :, None], pair_cost.shape
+                m1_gene[:, :, None], pair_cost.shape
             ).reshape(N, -1)
             e1_f = jnp.broadcast_to(
-                m1_end[:, :, :, None], pair_cost.shape
+                m1_end[:, :, None], pair_cost.shape
             ).reshape(N, -1)
             e2_f = jnp.broadcast_to(
-                m2_end_op[:, :, None, :], pair_cost.shape
+                m2_end[:, None, :], pair_cost.shape
             ).reshape(N, -1)
             is_best = (flat_pair <= best[:, None] + 1e-4) & valid.reshape(N, -1)
             samepl = (
@@ -203,28 +192,25 @@ class GraphAligner:
             nh = (is_best & ~dup).sum(axis=1).astype(jnp.int32)
 
             best_combo = jnp.argmin(flat_pair, axis=1).astype(jnp.int32)
-            bo = best_combo // (C * C)
-            bc1 = (best_combo // C) % C
+            bc1 = best_combo // C
             bc2 = best_combo % C
-            slot1 = bo * C + bc1
-            slot2 = (1 - bo) * C + bc2
 
             rows = jnp.arange(N)
 
-            def winner(slotm, base, mate_off, lens):
-                g = job_gene[rows, base + slotm]
-                d = job_diag[rows, base + slotm]
+            def winner(bc, mate, lens):
+                g = gene_d[mate * N + rows, bc]
+                d = diag_d[mate * N + rows, bc]
                 w0 = d * DIAG_BUCKET - DIAG_BUCKET
-                is_rc = (slotm // C).astype(jnp.int32)
-                dpc = slot_cost[rows, base + slotm]
+                is_rc = orient_d[mate * N + rows, bc]
+                dpc = cost_d[mate * N + rows, bc]
                 eoff = jnp.clip(
-                    end_raw[rows, base + slotm] - w0 - (lens - 1),
+                    end_raw[mate * N + rows, bc] - w0 - (lens - 1),
                     0, band - 1,
                 )
                 # ungapped shortcut decision: cost of the pure-diagonal
                 # path at the winning end offset == DP optimum -> the
                 # traceback is synthesizable on host from (w0, eoff)
-                oc = codes_dev[(mate_off + is_rc) * N + rows]
+                oc = codes_dev[(2 * mate + is_rc) * N + rows]
                 idx = (w0 + PAD_L + eoff)[:, None] + jnp.arange(RL)[None, :]
                 gs = jnp.clip(g, 0, None)[:, None]
                 wb = backbone[gs, idx]
@@ -239,8 +225,8 @@ class GraphAligner:
                 easy = (lin <= dpc + 1e-4).astype(jnp.int8)
                 return g, d, is_rc, eoff, easy
 
-            g1, d1, isrc1, eoff1, easy1 = winner(slot1, 0, 0, lens4[0])
-            g2, d2, isrc2, eoff2, easy2 = winner(slot2, 2 * C, 2, lens4[2])
+            g1, d1, isrc1, eoff1, easy1 = winner(bc1, 0, lens_fwd[:N])
+            g2, d2, isrc2, eoff2, easy2 = winner(bc2, 1, lens_fwd[N:])
 
             i16 = jnp.stack([g1, g2, d1, d2]).astype(jnp.int16)
             i8 = jnp.stack(
@@ -415,38 +401,39 @@ class GraphAligner:
         C = self.top_c
         S = 4 * C
 
-        # --- device: ONE stacked seed dispatch + ONE dense score dispatch
-        # over all four (mate, orientation) streams, then a single sync.
-        # Scoring runs the dense [4N, C] grid on the precomputed window
-        # byte-plane (contiguous row gathers); invalid slots cost >= 1e9.
+        # --- device: ONE canonical seed dispatch over the two forward
+        # streams (orientation folded per candidate) + ONE dense score
+        # dispatch on the [2N, C] grid with per-candidate oriented codes
+        # from the 4-stream pool; invalid slots cost >= 1e9.
         rc1 = revCompCodes(codes1, len1)
         rc2 = revCompCodes(codes2, len2)
         codes_all = np.concatenate([codes1, rc1, codes2, rc2], axis=0)
-        lens_all = np.concatenate([len1, len1, len2, len2]).astype(np.int32)
+        lens_fwd = np.concatenate([len1, len2]).astype(np.int32)
 
-        from ..parallel.cohort import scoreDenseGrid
+        from ..parallel.cohort import _selRows, decodeCandidates, scoreDenseGrid
         from .seeding import _findCandidates
 
         codes_dev = jnp.asarray(codes_all)
+        lens_dev = jnp.asarray(lens_fwd)
+        codes_fwd = jnp.concatenate(
+            [codes_dev[:N], codes_dev[2 * N : 3 * N]], axis=0
+        )
         cand_d, _ = _findCandidates(
-            codes_dev, self.table.bkeys, self.table.padded, self.table.lut,
-            self.table.k, self.stride, self.max_postings, C,
+            codes_fwd, lens_dev, self.table.bkeys, self.table.padded,
+            self.table.lut, self.table.k, self.stride, self.max_postings, C,
             self.table.n_genes, md, self.min_votes,
         )
-        gene_d = jnp.where(cand_d >= 0, cand_d // md, -1)
-        diag_d = cand_d % md
-        lens_dev = jnp.asarray(lens_all)
+        gene_d, orient_d, diag_d = decodeCandidates(cand_d, md)
         cost_d, end_d = scoreDenseGrid(
             self.arr.win, md, self.p, codes_dev, lens_dev,
-            gene_d, diag_d, use_pallas=self.use_pallas,
+            gene_d, diag_d, sel=_selRows(orient_d, N),
+            use_pallas=self.use_pallas,
         )
 
         # --- device: concordant pairing + winner selection + ungapped-
-        # shortcut decision; download three small packed arrays (slot
-        # s = morient * C + c; morient 0: m1 fwd, 1: m1 rc, 2: m2 fwd,
-        # 3: m2 rc — the stacked stream order)
+        # shortcut decision; download three small packed arrays
         i16_d, i8_d, best_d = self._pair_select(
-            cost_d, gene_d, diag_d, end_d, codes_dev, lens_dev
+            cost_d, gene_d, orient_d, diag_d, end_d, codes_dev, lens_dev
         )
         i16 = np.asarray(i16_d).astype(np.int32)
         i8 = np.asarray(i8_d)

@@ -21,7 +21,8 @@ from ..index.build import KMER_MIX1, KMER_MIX2
 DIAG_BUCKET = 16
 
 
-POS_BITS = 17   # posting = gene << POS_BITS | position (one gather, not two)
+POS_BITS = 17   # posting = gene << (POS_BITS+1) | flip << POS_BITS | pos
+#                 (one gather carries gene, canonical-flip and position)
 LUT_BITS = 18   # key-prefix LUT: top bits -> bucket range in the sorted keys
 
 
@@ -48,9 +49,12 @@ class SeedTable:
     def fromIndex(cls, index) -> "SeedTable":
         Lmax = int(index.backbone.shape[1])
         assert Lmax < (1 << POS_BITS)
+        assert index.backbone.shape[0] < (1 << (31 - POS_BITS))
         packed = (
-            index.kmer_gene.astype(np.uint32) << POS_BITS
-        ) | index.kmer_pos.astype(np.uint32)
+            (index.kmer_gene.astype(np.uint32) << np.uint32(POS_BITS + 1))
+            | (index.kmer_flip.astype(np.uint32) << np.uint32(POS_BITS))
+            | index.kmer_pos.astype(np.uint32)
+        )
 
         # reorder each key's posting list round-robin over genes, so a
         # query-time posting cap drops same-gene repeats before it ever
@@ -123,28 +127,45 @@ class SeedTable:
 
 
 def _packKmers(codes: jax.Array, k: int, stride: int):
-    """codes [R, L] -> hashes [R, S] uint32, offsets [S], valid [R, S].
+    """codes [R, L] -> (canonical hashes [R, S] uint32, offsets [S],
+    valid [R, S], flip [R, S]).
 
-    Built from k strided slices (no gather: constant-index gathers still
-    lower to per-element gathers on TPU, ~100M elem/s)."""
+    Canonical = min(kmer, revcomp(kmer)) as a 2k-bit value; flip marks
+    windows whose canonical form is the revcomp (same convention as
+    index/build.py:canonHashKmerWindows — the uint32 arithmetic must
+    match bit-for-bit).  Both strands accumulate from the same k strided
+    slices (no gather: constant-index gathers still lower to per-element
+    gathers on TPU, ~100M elem/s)."""
     R, L = codes.shape
     h = k // 2
     n_pos = (L - k) // stride + 1
     offsets = jnp.arange(n_pos) * stride                       # [S]
     span = (n_pos - 1) * stride + 1
-    hi = jnp.zeros((R, n_pos), jnp.uint32)
-    lo = jnp.zeros((R, n_pos), jnp.uint32)
+    fhi = jnp.zeros((R, n_pos), jnp.uint32)
+    flo = jnp.zeros((R, n_pos), jnp.uint32)
+    rhi = jnp.zeros((R, n_pos), jnp.uint32)
+    rlo = jnp.zeros((R, n_pos), jnp.uint32)
     valid = jnp.ones((R, n_pos), bool)
     for i in range(k):
         col = jax.lax.slice(codes, (0, i), (R, i + span), (1, stride))
         valid &= col < 4
         c = col.astype(jnp.uint32)
+        comp = jnp.uint32(3) - (c & jnp.uint32(3))  # pad-safe complement
+        # forward halves: base i sits at weight 2*(k-1-i)
         if i < h:
-            hi = hi + (c << jnp.uint32(2 * (h - 1 - i)))
+            fhi = fhi + (c << jnp.uint32(2 * (h - 1 - i)))
         else:
-            lo = lo + (c << jnp.uint32(2 * (k - 1 - i)))
-    keys = (hi * jnp.uint32(KMER_MIX1)) ^ (lo * jnp.uint32(KMER_MIX2))
-    return keys, offsets, valid
+            flo = flo + (c << jnp.uint32(2 * (k - 1 - i)))
+        # revcomp halves: base i lands at rc position k-1-i
+        if i >= h:
+            rhi = rhi + (comp << jnp.uint32(2 * (i - h)))
+        else:
+            rlo = rlo + (comp << jnp.uint32(2 * i))
+    flip = (rhi < fhi) | ((rhi == fhi) & (rlo < flo))
+    chi = jnp.where(flip, rhi, fhi)
+    clo = jnp.where(flip, rlo, flo)
+    keys = (chi * jnp.uint32(KMER_MIX1)) ^ (clo * jnp.uint32(KMER_MIX2))
+    return keys, offsets, valid, flip
 
 
 @partial(
@@ -156,6 +177,7 @@ def _packKmers(codes: jax.Array, k: int, stride: int):
 )
 def _findCandidates(
     codes: jax.Array,
+    lens: jax.Array,
     table_bkeys: jax.Array,
     table_padded: jax.Array,
     table_lut: jax.Array,
@@ -167,9 +189,14 @@ def _findCandidates(
     max_diag: int,
     min_votes: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> cand_key [R, top_c] int32 (gene*max_diag + diag_bucket, -1 = none),
-    cand_votes [R, top_c] int32."""
-    keys, offsets, valid = _packKmers(codes, k, stride)        # [R, S]
+    """-> cand_key [R, top_c] int32, cand_votes [R, top_c] int32.
+
+    Seeds only the FORWARD strand: k-mers are canonical, and each hit's
+    orientation is query_flip ^ posting_flip, folded into the key:
+    cand_key = (gene*2 + orient)*max_diag + diag_bucket (-1 = none),
+    orient 1 = the read aligns reverse-complemented.  This halves the
+    seeded (and downstream scored) stream count vs seeding fwd+rc."""
+    keys, offsets, valid, qflip = _packKmers(codes, k, stride)  # [R, S]
     R, S = keys.shape
 
     # bucketed key rows: the whole lookup is one row gather + in-register
@@ -198,12 +225,20 @@ def _findCandidates(
     p_len = rows[:, :, Pmax].astype(jnp.int32)
     slot = jnp.arange(P)
     p_ok = hit[:, :, None] & (slot[None, None, :] < p_len[:, :, None])
-    gene = (packed >> POS_BITS).astype(jnp.int32)
+    gene = (packed >> (POS_BITS + 1)).astype(jnp.int32)
+    pflip = ((packed >> POS_BITS) & 1).astype(jnp.int32)
     pos = (packed & ((1 << POS_BITS) - 1)).astype(jnp.int32)
 
-    diag = jnp.maximum(pos - offsets[None, :, None], 0)
-    vote = gene * max_diag + diag // DIAG_BUCKET
-    SENTINEL = n_genes * max_diag + 1
+    # hit orientation + per-orientation diagonal: a fwd-strand k-mer at
+    # read offset t sits at rc-read offset len - k - t
+    orient = pflip ^ qflip.astype(jnp.int32)[:, :, None]       # [R, S, P]
+    off_fwd = offsets[None, :, None]
+    off_rc = lens[:, None, None] - k - off_fwd
+    diag = jnp.maximum(
+        pos - jnp.where(orient == 1, off_rc, off_fwd), 0
+    )
+    vote = (gene * 2 + orient) * max_diag + diag // DIAG_BUCKET
+    SENTINEL = n_genes * 2 * max_diag + 1
     vote = jnp.where(p_ok, vote, SENTINEL).reshape(R, S * P)
 
     # run-length count per distinct key without searchsorted: sort, mark
@@ -247,15 +282,21 @@ def _findCandidates(
 def findCandidates(
     table: SeedTable,
     codes: np.ndarray,
+    lens: np.ndarray | None = None,
     stride: int = 8,
     max_postings: int = 64,
     top_c: int = 4,
     min_votes: int = 2,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Candidate (gene, diag-bucket) keys per read. key // max_diag = gene,
-    (key % max_diag) * DIAG_BUCKET = window diagonal estimate."""
+    """Candidate (gene, orient, diag-bucket) keys per FORWARD-strand read.
+    key // (2*max_diag) = gene, (key // max_diag) % 2 = orientation
+    (1 = read aligns reverse-complemented), (key % max_diag) * DIAG_BUCKET
+    = window diagonal estimate."""
+    if lens is None:
+        lens = np.full(len(codes), codes.shape[1], np.int32)
     cand, votes = _findCandidates(
         jnp.asarray(codes),
+        jnp.asarray(lens.astype(np.int32)),
         table.bkeys,
         table.padded,
         table.lut,

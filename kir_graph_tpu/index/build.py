@@ -50,6 +50,29 @@ def hashKmerWindows(window: np.ndarray) -> np.ndarray:
     return (hi * KMER_MIX1) ^ (lo * KMER_MIX2)
 
 
+def canonHashKmerWindows(window: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[n, k] base codes -> (keys [n] uint32, flip [n] bool): hash of the
+    CANONICAL k-mer (min of forward and reverse-complement as a 2k-bit
+    value); flip marks windows whose canonical form is the revcomp.
+
+    Canonical seeding lets queries seed only the forward read strand —
+    orientation is recovered per hit (query_flip ^ posting_flip), halving
+    the device seed/score stream count."""
+    k = window.shape[1]
+    assert k % 2 == 0 and k <= 32
+    h = k // 2
+    w = window.astype(np.uint64)
+    shifts = (2 * np.arange(k - 1, -1, -1)).astype(np.uint64)
+    fwd = (w << shifts).sum(axis=1, dtype=np.uint64)
+    rc_w = (3 - w)[:, ::-1]
+    rc = (rc_w << shifts).sum(axis=1, dtype=np.uint64)
+    flip = rc < fwd
+    canon = np.where(flip, rc, fwd)
+    hi = (canon >> np.uint64(k)).astype(np.uint32)
+    lo = (canon & np.uint64((1 << k) - 1)).astype(np.uint32)
+    return (hi * KMER_MIX1) ^ (lo * KMER_MIX2), flip
+
+
 def encodeSeq(seq: str) -> np.ndarray:
     """ASCII sequence -> int8 codes (A0 C1 G2 T3, everything else 4)."""
     return _ENCODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
@@ -138,6 +161,7 @@ class KirIndex:
     kmer_start: np.ndarray | None = None     # [U+1] int32 posting offsets
     kmer_gene: np.ndarray | None = None      # [P] int32
     kmer_pos: np.ndarray | None = None       # [P] int32
+    kmer_flip: np.ndarray | None = None      # [P] bool (canonical = revcomp)
 
     def finalize(self, build_kmers: bool = True) -> "KirIndex":
         self.gene_names = sorted(self.genes)
@@ -245,10 +269,15 @@ class KirIndex:
                     continue
                 window = np.lib.stride_tricks.sliding_window_view(codes, k)
                 valid = ~(window >= 4).any(axis=1)
-                keys = hashKmerWindows(window)[valid]
+                keys, flip = canonHashKmerWindows(window)
+                keys, flip = keys[valid], flip[valid]
                 pos = columns[:n][valid].astype(np.int64)
                 entry = np.stack(
-                    [keys.astype(np.int64), np.full(len(pos), grow), pos], axis=1
+                    [
+                        keys.astype(np.int64), np.full(len(pos), grow), pos,
+                        flip.astype(np.int64),
+                    ],
+                    axis=1,
                 )
                 all_entries.append(entry)
         if not all_entries:
@@ -256,6 +285,7 @@ class KirIndex:
             self.kmer_start = np.zeros(1, dtype=np.int32)
             self.kmer_gene = np.zeros(0, dtype=np.int32)
             self.kmer_pos = np.zeros(0, dtype=np.int32)
+            self.kmer_flip = np.zeros(0, dtype=bool)
             return
         entries = np.concatenate(all_entries)
         entries = np.unique(entries, axis=0)  # sorts by (key, gene, pos)
@@ -267,6 +297,7 @@ class KirIndex:
         ).astype(np.int32)
         self.kmer_gene = entries[:, 1].astype(np.int32)
         self.kmer_pos = entries[:, 2].astype(np.int32)
+        self.kmer_flip = entries[:, 3].astype(bool)
         logger.info(
             f"[Index] kmer table: {len(uniq_keys)} keys, "
             f"{len(entries)} postings (k={self.kmer})"
@@ -367,6 +398,7 @@ def saveIndex(index: KirIndex, prefix: str) -> None:
         "kmer_start": index.kmer_start,
         "kmer_gene": index.kmer_gene,
         "kmer_pos": index.kmer_pos,
+        "kmer_flip": index.kmer_flip,
     }
     meta: dict = {
         "kmer": index.kmer,
@@ -459,4 +491,9 @@ def loadIndex(prefix: str) -> KirIndex:
     index.kmer_start = data["kmer_start"]
     index.kmer_gene = data["kmer_gene"]
     index.kmer_pos = data["kmer_pos"]
+    if "kmer_flip" in data:
+        index.kmer_flip = data["kmer_flip"]
+    else:
+        # pre-canonical save: rebuild the k-mer table in the new scheme
+        index.buildKmerTable()
     return index

@@ -150,9 +150,11 @@ def revCompDevice(codes: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.where(col < lengths[:, None], gathered, 4).astype(jnp.int8)
 
 
-def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, min_votes):
+def _candidatesFor(arr: DeviceIndexArrays, codes, lens, top_c, stride,
+                   max_postings, min_votes):
     return _findCandidates(
         codes,
+        lens,
         arr.table.bkeys,
         arr.table.padded,
         arr.table.lut,
@@ -166,19 +168,35 @@ def _candidatesFor(arr: DeviceIndexArrays, codes, top_c, stride, max_postings, m
     )
 
 
+def decodeCandidates(cand, md: int):
+    """Orientation-folded candidate keys -> (gene row, orient, diag).
+    gene = -1 marks empty slots (orient meaningless there)."""
+    gene_o = cand // md
+    gene = jnp.where(cand >= 0, gene_o >> 1, -1)
+    orient = jnp.where(cand >= 0, gene_o & 1, 0)
+    return gene, orient, cand % md
+
+
 def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
-                   use_pallas: bool = False):
+                   sel=None, use_pallas: bool = False):
     """DP-score a dense [R, C] candidate grid -> cost [R, C], end [R, C].
 
     Windows come from the precomputed per-(gene, diag-bucket) byte-plane
     table: one contiguous row gather instead of [J, W] per-element gathers
     (the latter run at ~100M elem/s on TPU — 10x slower than the DP kernel
     itself at bench shapes).
+
+    `sel` [R, C] (optional) selects each candidate's oriented read row
+    from the `codes` pool (canonical seeding: per-candidate orientation);
+    without it row r of `codes` serves all of row r's candidates.
     """
     R, C = gene.shape
     rows = jnp.where(gene >= 0, gene * md + diag, 0).reshape(-1)
     wbytes = jnp.take(win, rows, axis=0)
-    rcodes = jnp.repeat(codes, C, axis=0)
+    if sel is None:
+        rcodes = jnp.repeat(codes, C, axis=0)
+    else:
+        rcodes = jnp.take(codes, sel.reshape(-1), axis=0)
     rlens = jnp.repeat(lens, C)
     if use_pallas:
         from ..ops.dp_pallas import bandedScorePallasBytes
@@ -192,6 +210,15 @@ def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
     w0 = diag * DIAG_BUCKET - DIAG_BUCKET
     end_abs = w0 + (rlens.reshape(R, C) - 1) + end_off.reshape(R, C)
     return cost, end_abs
+
+
+def _selRows(orient, R: int):
+    """Stream row per candidate: [2R, C] mate-stacked candidates ->
+    row in the [m1f, m1rc, m2f, m2rc] codes pool."""
+    ridx2 = jnp.arange(2 * R)[:, None]
+    mate = (ridx2 >= R).astype(jnp.int32)
+    r_local = ridx2 - mate * R
+    return (2 * mate + orient) * R + r_local
 
 
 def cohortStep(
@@ -216,45 +243,30 @@ def cohortStep(
     rc1/rc2 are the precomputed reverse-complements (host-side revcomp keeps
     the device program gather-free).
     """
-    p = arr.params
     md = arr.table.max_diag
     R = codes1.shape[0]
 
-    # --- seed all four (mate, orientation) streams
-    streams = [
-        (codes1, len1), (rc1, len1), (codes2, len2), (rc2, len2)
-    ]
-    cands = []
-    for c, l in streams:
-        cand, _ = _candidatesFor(arr, c, top_c, stride, max_postings, min_votes)
-        cands.append(cand)
+    # --- canonical seeding: only the two FORWARD streams; orientation is
+    # folded into each candidate (query_flip ^ posting_flip)
+    codes_fwd = jnp.concatenate([codes1, codes2], axis=0)      # [2R, RL]
+    lens_fwd = jnp.concatenate([len1, len2]).astype(jnp.int32)
+    cand, _ = _candidatesFor(
+        arr, codes_fwd, lens_fwd, top_c, stride, max_postings, min_votes
+    )
+    gene, orient, diag = decodeCandidates(cand, md)
 
-    # --- dense scoring per stream
-    costs, ends, genes, diags = [], [], [], []
-    for (c, l), cand in zip(streams, cands):
-        gene = jnp.where(cand >= 0, cand // md, -1)
-        diag = cand % md
-        cost, end = scoreDenseGrid(
-            arr.win, arr.table.max_diag, arr.params, c, l, gene, diag,
-            use_pallas=use_pallas,
-        )
-        costs.append(cost)
-        ends.append(end)
-        genes.append(gene)
-        diags.append(diag)
-
-    # --- FR pairing + pileup + reductions (shared with the split driver)
-    m1c = jnp.stack(costs[0:2], axis=1)   # [R, 2, C]
-    m2c = jnp.stack(costs[2:4], axis=1)
-    m1g = jnp.stack(genes[0:2], axis=1)
-    m2g = jnp.stack(genes[2:4], axis=1)
-    m1d = jnp.stack(diags[0:2], axis=1)
-    m2d = jnp.stack(diags[2:4], axis=1)
-    m1e = jnp.stack(ends[0:2], axis=1)
-    m2e = jnp.stack(ends[2:4], axis=1)
+    # --- ONE dense scoring pass over [2R, C]; each candidate reads its
+    # oriented codes row from the 4-stream pool
     codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
+    sel = _selRows(orient, R)
+    cost, end = scoreDenseGrid(
+        arr.win, md, arr.params, codes_all, lens_fwd, gene, diag,
+        sel=sel, use_pallas=use_pallas,
+    )
+
     return _pairAndReduce(
-        arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes_all,
+        arr, cost[:R], cost[R:], gene[:R], gene[R:], diag[:R], diag[R:],
+        end[:R], end[R:], orient[:R], orient[R:], len1, len2, codes_all,
         axis_name=axis_name, cn_bins=cn_bins,
     )
 
@@ -280,40 +292,33 @@ class SplitCohortStep:
         max_post = min(16, arr.table.max_post)
 
         @jax.jit
-        def seed(codes1, rc1, codes2, rc2):
-            codes = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
-            cand, _ = _candidatesFor(arr, codes, top_c, 8, max_post, 2)
-            gene = jnp.where(cand >= 0, cand // md, -1)
-            diag = cand % md
-            return codes, gene, diag
+        def seed(codes1, codes2, len1, len2):
+            codes = jnp.concatenate([codes1, codes2], axis=0)   # [2R, RL]
+            lens = jnp.concatenate([len1, len2]).astype(jnp.int32)
+            cand, _ = _candidatesFor(arr, codes, lens, top_c, 8, max_post, 2)
+            gene, orient, diag = decodeCandidates(cand, md)
+            return gene, orient, diag
 
         @jax.jit
-        def score(codes, len1, len2, gene, diag):
-            lens = jnp.concatenate([len1, len1, len2, len2], axis=0)
+        def score(codes1, rc1, codes2, rc2, len1, len2, gene, orient, diag):
+            codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
+            lens = jnp.concatenate([len1, len2]).astype(jnp.int32)
+            R = codes1.shape[0]
             cost, end = scoreDenseGrid(
-                arr.win, arr.table.max_diag, arr.params, codes, lens, gene,
-                diag, use_pallas=use_pallas,
+                arr.win, md, arr.params, codes_all, lens, gene,
+                diag, sel=_selRows(orient, R), use_pallas=use_pallas,
             )
             return cost, end
 
         @jax.jit
-        def finalize(cost, gene, diag, end, len1, len2, codes_all):
-            R = codes_all.shape[0] // 4
-
-            def perStream(x):
-                s = x.reshape(4, R, -1)
-                return (
-                    jnp.stack([s[0], s[1]], axis=1),
-                    jnp.stack([s[2], s[3]], axis=1),
-                )
-
-            m1c, m2c = perStream(cost)
-            m1g, m2g = perStream(gene)
-            m1d, m2d = perStream(diag)
-            m1e, m2e = perStream(end)
+        def finalize(cost, gene, orient, diag, end, len1, len2,
+                     codes1, rc1, codes2, rc2):
+            R = codes1.shape[0]
+            codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
             return _pairAndReduce(
-                arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2,
-                codes_all, axis_name=None,
+                arr, cost[:R], cost[R:], gene[:R], gene[R:], diag[:R],
+                diag[R:], end[:R], end[R:], orient[:R], orient[R:],
+                len1, len2, codes_all, axis_name=None,
             )
 
         self._seed = seed
@@ -329,16 +334,21 @@ class SplitCohortStep:
         import time as _t
 
         t0 = _t.time()
-        codes_all, gene, diag = self._seed(codes1, rc1, codes2, rc2)  # [4R, C]
+        gene, orient, diag = self._seed(codes1, codes2, len1, len2)  # [2R, C]
         if timings is not None:
             jax.block_until_ready(gene)
         t1 = _t.time()
-        cost, end = self._score(codes_all, len1, len2, gene, diag)
+        cost, end = self._score(
+            codes1, rc1, codes2, rc2, len1, len2, gene, orient, diag
+        )
         if timings is not None:
             jax.block_until_ready(cost)
         t2 = _t.time()
 
-        out = self._finalize(cost, gene, diag, end, len1, len2, codes_all)
+        out = self._finalize(
+            cost, gene, orient, diag, end, len1, len2,
+            codes1, rc1, codes2, rc2,
+        )
         if timings is not None:
             jax.block_until_ready(out)
         t3 = _t.time()
@@ -350,13 +360,13 @@ class SplitCohortStep:
 
 
 def _pairAndReduce(
-    arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, len1, len2, codes_all,
-    axis_name=None, cn_bins: int = 128,
+    arr, m1c, m2c, m1g, m2g, m1d, m2d, m1e, m2e, m1o, m2o,
+    len1, len2, codes_all, axis_name=None, cn_bins: int = 128,
 ):
     """FR pairing + base pileup + depth + CN histogram + SNP-evidence
-    likelihood.  Inputs are [R, 2, C] per-mate stream stacks (orientation
-    axis, unreversed) and codes_all [4R, RL] in stream order
-    [m1 fwd, m1 rc, m2 fwd, m2 rc].
+    likelihood.  Inputs are [R, C] per-mate candidate grids with a
+    per-candidate orientation (canonical seeding) and codes_all [4R, RL]
+    in stream order [m1 fwd, m1 rc, m2 fwd, m2 rc].
 
     Evidence is accumulated as a (gene, position, base) pileup scatter of
     ~R*RL elements, then read back at the V catalogued SNP positions —
@@ -365,39 +375,38 @@ def _pairAndReduce(
     (per-element gathers run ~100M elem/s on TPU; V*R is 30x R*RL here).
     Both mates contribute, in their winning orientation.
     """
-    R = m1c.shape[0]
+    R, C = m1c.shape
     RL = codes_all.shape[1]
-    m2c, m2g, m2d, m2e = (x[:, ::-1] for x in (m2c, m2g, m2d, m2e))
 
-    pc = m1c[:, :, :, None] + m2c[:, :, None, :]
-    ok = (m1g[:, :, :, None] == m2g[:, :, None, :]) & (m1g[:, :, :, None] >= 0)
-    ok &= jnp.abs(m1d[:, :, :, None] - m2d[:, :, None, :]) <= 70
+    pc = m1c[:, :, None] + m2c[:, None, :]
+    ok = (m1g[:, :, None] == m2g[:, None, :]) & (m1g[:, :, None] >= 0)
+    ok &= m1o[:, :, None] != m2o[:, None, :]   # FR: opposite orientations
+    ok &= jnp.abs(m1d[:, :, None] - m2d[:, None, :]) <= 70
     pair_cost = jnp.where(ok, pc, 1e9).reshape(R, -1)
     best = pair_cost.min(axis=1)
     combo = pair_cost.argmin(axis=1)
     mapped = best < 8.0
 
-    C = m1c.shape[2]
-    bo = combo // (C * C)             # winning mate-1 orientation [R]
-    bc1 = (combo // C) % C
+    bc1 = combo // C
     bc2 = combo % C
     ridx = jnp.arange(R)
-    gene_best = jnp.where(mapped, m1g[ridx, bo, bc1], 0)
+    bo = m1o[ridx, bc1]               # winning mate-1 orientation [R]
+    o2 = m2o[ridx, bc2]
+    gene_best = jnp.where(mapped, m1g[ridx, bc1], 0)
     # pseudo-reference placements remap to the parent gene: columns past
     # the splice point shift by the excised deletion length, so junction-
     # spanning evidence lands on true coordinates (exact-path parity)
     dpos = arr.remap_pos[gene_best][:, None]
     dlen = arr.remap_shift[gene_best][:, None]
     gene_true = jnp.where(mapped, arr.remap_gene[gene_best], 0)
-    end1 = m1e[ridx, bo, bc1]
-    end2 = m2e[ridx, bo, bc2]
+    end1 = m1e[ridx, bc1]
+    end2 = m2e[ridx, bc2]
     start1 = end1 - len1 + 1
     start2 = end2 - len2 + 1
 
-    # mate bases in the orientation that actually aligned (m2 orientation
-    # axis was reversed above: m2 stack index bo == stream orientation 1-bo)
+    # mate bases in the orientation that actually aligned
     c1 = codes_all[bo * R + ridx]
-    c2 = codes_all[(3 - bo) * R + ridx]
+    c2 = codes_all[(2 + o2) * R + ridx]
 
     G, Lp = arr.n_genes, arr.Lmax
     col_j = jnp.arange(RL)[None, :]

@@ -53,7 +53,7 @@ def test_alt_and_del_masks(synth_index):
 
 
 def test_kmer_table_finds_allele_kmers(synth_genes, synth_index):
-    from kir_graph_tpu.index.build import hashKmerWindows
+    from kir_graph_tpu.index.build import canonHashKmerWindows
 
     idx = synth_index
     k = idx.kmer
@@ -65,11 +65,17 @@ def test_kmer_table_finds_allele_kmers(synth_genes, synth_index):
     ungapped = gapped.replace("-", "")
     # take a k-mer from the middle of the allele and look it up
     window = encodeSeq(ungapped[1000 : 1000 + k])[None, :]
-    key = hashKmerWindows(window)[0]
-    i = np.searchsorted(idx.kmer_keys, key)
-    assert idx.kmer_keys[i] == key
+    key, flip = canonHashKmerWindows(window)
+    i = np.searchsorted(idx.kmer_keys, key[0])
+    assert idx.kmer_keys[i] == key[0]
     genes = idx.kmer_gene[idx.kmer_start[i] : idx.kmer_start[i + 1]]
     assert gi in genes
+    # canonical hashing: the revcomp window hits the SAME key with the
+    # opposite flip
+    rc = (3 - window)[:, ::-1]
+    key_rc, flip_rc = canonHashKmerWindows(rc)
+    assert key_rc[0] == key[0]
+    assert bool(flip_rc[0]) != bool(flip[0])
 
 
 def test_index_save_load_roundtrip(tmp_path, synth_index):
