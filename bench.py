@@ -122,9 +122,11 @@ def main() -> None:
         u = unpackCodes2bit(packed, RL)
         return u, revCompDevice(u, lens)
 
-    if os.environ.get("BENCH_MONO"):
-        # single-dispatch monolith: the whole chunk is ONE jitted program
-        # (no inter-stage dispatch); per-stage timing unavailable
+    if not os.environ.get("BENCH_SPLIT"):
+        # single-dispatch monolith (default): the whole chunk is ONE
+        # jitted program — no inter-stage dispatch RTTs (~50ms each on
+        # tunneled TPUs; measured +6% over the split driver).  Set
+        # BENCH_SPLIT=1 for the 3-stage driver with per-stage timing.
         @jax.jit
         def mono(c1, l1, c2, l2, r1, r2):
             return cohortStep(arr, c1, l1, c2, l2, r1, r2,
