@@ -399,7 +399,6 @@ class GraphAligner:
         RL = self.p.read_len
         md = self.table.max_diag
         C = self.top_c
-        S = 4 * C
 
         # --- device: ONE canonical seed dispatch over the two forward
         # streams (orientation folded per candidate) + ONE dense score
