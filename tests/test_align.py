@@ -130,3 +130,35 @@ def test_end_to_end_typing_cn2(synth_genes, synth_index, aligner):
     t = TypingWithPosNegAllele(reads_data=reads_data, top_n=100, variant_correction=True)
     alleles, _ = t.typing({g.name: 2})
     assert sorted(alleles) == sorted([g.alleles[a1], g.alleles[a2]])
+
+
+def test_canonical_seeding_orientation(synth_genes, synth_index):
+    """A read that IS a reference segment seeds with orient 0 at the
+    right diagonal; its reverse-complement seeds the SAME placement with
+    orient 1 (canonical k-mers fold orientation into the posting)."""
+    from kir_graph_tpu.align.encode import revCompCodes
+    from kir_graph_tpu.align.seeding import DIAG_BUCKET, SeedTable, findCandidates
+    from kir_graph_tpu.sim.synth_db import alleleUngappedSeq
+
+    gname = synth_index.gene_names[0]
+    gi = synth_index.gene_names.index(gname)
+    seq = synth_index.genes[gname].seq
+    start = 2000
+    frag = "".join("ACGTN"[c] for c in seq[start : start + 150])
+    codes, lens = encodeReads([frag])
+    rc = revCompCodes(codes, lens)
+    table = SeedTable.fromIndex(synth_index)
+    md = table.max_diag
+
+    def bestPlacement(c):
+        cand, votes = findCandidates(table, c, lens, top_c=2)
+        key = int(cand[0, 0])
+        assert key >= 0
+        return key // (2 * md), (key // md) % 2, (key % md) * DIAG_BUCKET
+
+    g_f, o_f, d_f = bestPlacement(codes)
+    assert (g_f, o_f) == (gi, 0)
+    assert abs(d_f - start) <= 2 * DIAG_BUCKET
+    g_r, o_r, d_r = bestPlacement(np.asarray(rc))
+    assert (g_r, o_r) == (gi, 1)
+    assert abs(d_r - start) <= 2 * DIAG_BUCKET
