@@ -290,35 +290,6 @@ def bandedTracebackGather(
     return cost, start_col, delta
 
 
-@partial(jax.jit, static_argnames=("p", "pad_l"))
-def linearCostGather(
-    backbone: jax.Array,   # [G, Lpad] int8
-    altdel: jax.Array,     # [G, Lpad] uint8 (bits 0-3 alts)
-    gene: jax.Array,       # [J] int32 (clipped valid)
-    w0: jax.Array,         # [J] int32 window start
-    off: jax.Array,        # [J] int32 band offset of the diagonal
-    reads: jax.Array,      # [J, RL] int8
-    read_len: jax.Array,   # [J] int32
-    p: AlignParams,
-    pad_l: int,
-) -> jax.Array:
-    """Cost of the pure-diagonal (ungapped) path at band offset `off`:
-    sum of substitution costs where read base i consumes window column
-    i + off.  When this equals the banded-DP optimum, the optimal
-    alignment IS ungapped and the traceback can be synthesized without
-    the pointer DP (the common case: most reads carry no indel)."""
-    J, RL = reads.shape
-    idx = (w0 + pad_l + off)[:, None] + jnp.arange(RL)[None, :]
-    g = gene[:, None]
-    wb = backbone[g, idx]
-    wa = altdel[g, idx] & 0xF
-    rb_ok = reads < 4
-    is_alt = ((wa >> jnp.clip(reads, 0, 3).astype(jnp.uint8)) & 1).astype(bool)
-    sub = jnp.where((reads == wb) & rb_ok | (is_alt & rb_ok), 0.0, p.mismatch)
-    in_len = jnp.arange(RL)[None, :] < read_len[:, None]
-    return jnp.sum(jnp.where(in_len, sub, 0.0), axis=1)
-
-
 def decodeDeltas(start_col: np.ndarray, delta: np.ndarray) -> np.ndarray:
     """Host-side inverse of the delta encoding -> cols [J, RL] (abs window
     coords; -1 pad, -2 insertion).  int32 throughout: max cumulative step

@@ -135,6 +135,7 @@ class GraphAligner:
         map_cap = jnp.float32(4.0 * (self.annot_editdist + 1))
         pair_span = jnp.int32(self.max_pair_buckets * DIAG_BUCKET)
         band = self.p.band
+        assert band <= 128, "winner end offsets travel as int8"
 
         @jax.jit
         def pairSelect(cost_d, gene_d, orient_d, diag_d, end_d,
@@ -348,21 +349,23 @@ class GraphAligner:
     ) -> AlignResult:
         N0 = len(codes1)
         if N0 > self.CHUNK_PAIRS:
-            parts = [
-                self.alignPairs(
+            # copy each chunk's fields BEFORE the next chunk runs: chunk
+            # results are views of the aligner's persistent scratch and
+            # the next call overwrites them
+            out: dict[str, np.ndarray] = {}
+            for s in range(0, N0, self.CHUNK_PAIRS):
+                part = self.alignPairs(
                     codes1[s : s + self.CHUNK_PAIRS],
                     len1[s : s + self.CHUNK_PAIRS],
                     codes2[s : s + self.CHUNK_PAIRS],
                     len2[s : s + self.CHUNK_PAIRS],
                 )
-                for s in range(0, N0, self.CHUNK_PAIRS)
-            ]
-            return AlignResult(
-                **{
-                    k: np.concatenate([getattr(pt, k) for pt in parts])
-                    for k in AlignResult.__dataclass_fields__
-                }
-            )
+                for k in AlignResult.__dataclass_fields__:
+                    v = getattr(part, k)
+                    if k not in out:
+                        out[k] = np.empty((N0,) + v.shape[1:], v.dtype)
+                    out[k][s : s + len(v)] = v
+            return AlignResult(**out)
         # bucket the pair count so XLA shapes repeat across batches
         Nb = self._bucket(N0, self.CHUNK_PAIRS)
         if Nb > N0:

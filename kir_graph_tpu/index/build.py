@@ -494,6 +494,11 @@ def loadIndex(prefix: str) -> KirIndex:
     if "kmer_flip" in data:
         index.kmer_flip = data["kmer_flip"]
     else:
-        # pre-canonical save: rebuild the k-mer table in the new scheme
-        index.buildKmerTable()
+        # pre-canonical save: rebuilding here would index only backbones
+        # (allele_seq_gapped is not persisted), silently dropping allele
+        # and pseudo-reference junction seeds — demand a real rebuild
+        raise ValueError(
+            f"{prefix}: index predates canonical k-mer seeding; rebuild it "
+            "from the MSA (--msa-prefix or --ipd-db) instead of loading"
+        )
     return index

@@ -229,16 +229,19 @@ def main(args: argparse.Namespace) -> dict:
         }
         logger.info(f"[Real] allele eval:\n{overall}")
     if args.cn_truth:
-        from ..eval.compare_cn import compareCNCohort, readCNFile
+        from ..eval.compare_cn import compareCNCohort
 
         ans_df = pd.read_csv(args.cn_truth, sep="\t", index_col=0)
         cohort_ans = {
             str(c): dict(ans_df[c].dropna().astype(int)) for c in ans_df.columns
         }
         pred_df = pd.read_csv(cohort_prefix + ".cn.tsv", sep="\t", index_col=0)
+        # mergeCN's pivot columns are the per-sample cn FILE PATHS (sorted
+        # lexicographically) — map each id through its own file, not by
+        # column order
         cohort_pred = {
-            sid: dict(pred_df[c].astype(int))
-            for sid, c in zip(ids, pred_df.columns)
+            sid: dict(pred_df[f].astype(int))
+            for sid, f in zip(ids, cn_files)
         }
         diffs = compareCNCohort(cohort_ans, cohort_pred)
         diffs.to_csv(cohort_prefix + ".cn_eval.tsv", sep="\t", index=False)

@@ -235,13 +235,20 @@ def showPlot(
     dash on 8051, plot.py:131-138).  Returns the server; non-blocking by
     default so pipelines can continue."""
     import http.server
+    import os
     import tempfile
     import threading
 
-    path = tempfile.mktemp(suffix=".html")
-    savePlot(path, figs)
-    with open(path, "rb") as f:
-        payload = f.read()
+    with tempfile.NamedTemporaryFile(
+        suffix=".html", delete=False
+    ) as tf:
+        path = tf.name
+    try:
+        savePlot(path, figs)
+        with open(path, "rb") as f:
+            payload = f.read()
+    finally:
+        os.unlink(path)
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib handler contract)

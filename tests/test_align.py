@@ -162,3 +162,22 @@ def test_canonical_seeding_orientation(synth_genes, synth_index):
     g_r, o_r, d_r = bestPlacement(np.asarray(rc))
     assert (g_r, o_r) == (gi, 1)
     assert abs(d_r - start) <= 2 * DIAG_BUCKET
+
+
+def test_chunked_align_results_stable(synth_genes, synth_index, monkeypatch):
+    """Chunked alignPairs must COPY each chunk out of the persistent
+    scratch before the next chunk overwrites it (regression: all chunks
+    used to return views of the same buffers)."""
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(list(synth_genes)[0], 0),
+                                   (list(synth_genes)[1], 1)],
+        depth=4, seed=9,
+    )
+    aligner = GraphAligner(synth_index)
+    whole = aligner.alignPairs(c1, l1, c2, l2)
+    whole_cols = whole.cols_l.copy()
+    whole_gene = whole.gene.copy()
+    monkeypatch.setattr(GraphAligner, "CHUNK_PAIRS", 64)
+    chunked = aligner.alignPairs(c1, l1, c2, l2)
+    np.testing.assert_array_equal(chunked.gene, whole_gene)
+    np.testing.assert_array_equal(chunked.cols_l, whole_cols)
