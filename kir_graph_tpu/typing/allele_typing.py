@@ -18,12 +18,7 @@ import numpy as np
 from ..index.variants import Variant
 from ..utils import logger
 from .homo import isHomozygous
-from .kernels import (
-    bestPerRead,
-    fractionOfReads,
-    logProbsFromCounts,
-    pairMaxScores,
-)
+from .kernels import beamExtend, fractionOfReads, logProbsFromCounts
 from .pairread import PairRead
 
 
@@ -38,9 +33,15 @@ class TypingResult:
     allele_id: np.ndarray           # [top_n, n]
     allele_name: list[list[str]]
     allele_prob: np.ndarray         # [reads, top_n] per-read best in set
+    #   (may be a device array: the beam keeps it resident and only
+    #   downstream numpy consumers force a download)
     fraction: np.ndarray            # [top_n, n]
     fraction_uniq: np.ndarray       # [top_n, n]
     allele_name_group: list[list[list[str]]] = field(default_factory=list)
+    # commutative multiset hashes of each row's allele set (device-side
+    # dedup in the next beam step); absent on terminal/merged results
+    set_h1: np.ndarray | None = None
+    set_h2: np.ndarray | None = None
 
     def isFail(self) -> bool:
         return not len(self.value)
@@ -76,15 +77,19 @@ class TypingResult:
             preserve_topn = self.value.shape[0]
         order = rankScore(self.value, self.value_sum_indv, self.fraction)
         k = preserve_topn
+        keep = np.asarray(order[:k])
         return TypingResult(
             n=self.n,
-            value=self.value[order][:k],
-            value_sum_indv=self.value_sum_indv[order][:k],
-            allele_id=self.allele_id[order][:k],
-            allele_name=[self.allele_name[i] for i in order][:k],
-            allele_prob=self.allele_prob[:, order][:, :k],
-            fraction=self.fraction[order][:k],
-            fraction_uniq=self.fraction_uniq[order][:k],
+            value=self.value[keep],
+            value_sum_indv=self.value_sum_indv[keep],
+            allele_id=self.allele_id[keep],
+            allele_name=[self.allele_name[i] for i in keep],
+            # fancy-index keeps device arrays device-resident
+            allele_prob=self.allele_prob[:, keep],
+            fraction=self.fraction[keep],
+            fraction_uniq=self.fraction_uniq[keep],
+            set_h1=None if self.set_h1 is None else self.set_h1[keep],
+            set_h2=None if self.set_h2 is None else self.set_h2[keep],
         )
 
     def topRank(self, threshold: float = 0.9) -> Iterable[int]:
@@ -172,6 +177,17 @@ class AlleleTyping:
             else np.zeros(len(allele_names), dtype=np.float32)
         )
         self.probs = np.power(10.0, self.log_probs) if self.log_probs.size else self.log_probs
+        # per-allele random hashes: a candidate SET's hash is the wrapping
+        # uint32 sum of its members' hashes (commutative, multiset-aware),
+        # so the beam dedups unordered sets on device without sorting ids
+        hash_rng = np.random.Generator(np.random.Philox(0xBEA7))
+        n_alleles = len(allele_names)
+        self._ah1 = hash_rng.integers(
+            0, 1 << 32, n_alleles, dtype=np.uint32
+        )
+        self._ah2 = hash_rng.integers(
+            0, 1 << 32, n_alleles, dtype=np.uint32
+        )
         self.result: list[TypingResult] = []
 
     # ------------------------------------------------------------------
@@ -340,49 +356,45 @@ class AlleleTyping:
                     value_sum_indv=scores[order][:, None],
                     allele_id=top_id,
                     allele_name=self.mapAlleleIDs(top_id),
-                    allele_prob=self.log_probs[:, top_id.ravel()],
+                    # stays device-resident across beam steps
+                    allele_prob=self._log_probs_dev[:, top_id.ravel()],
                     fraction=np.ones(top_id.shape),
                     fraction_uniq=np.ones(top_id.shape),
+                    set_h1=self._ah1[top_id.ravel()],
+                    set_h2=self._ah2[top_id.ravel()],
                 )
             )
             return self.result[-1]
 
         prev = self.result[-1]
-        prev_prob = prev.allele_prob            # [R, T]
         prev_id = prev.allele_id                # [T, n-1]
         T = prev_id.shape[0]
+        A = len(allele_index)
 
-        # device reduction: score[t, a] = sum_r max(L[r, a], P[r, t])
-        scores = np.asarray(
-            pairMaxScores(
-                self._log_probs_dev[:, allele_index], jnp.asarray(prev_prob)
-            )
-        )                                       # [T, A_sel]
-
-        new_id = np.hstack(
-            [
-                np.repeat(prev_id, len(allele_index), axis=0),
-                np.tile(allele_index, T)[:, None],
-            ]
-        )                                       # [T*A_sel, n]
-        flat_scores = scores.reshape(-1)
-
-        keep = self.uniqueAllele(new_id)
-        new_id = new_id[keep]
-        flat_scores = flat_scores[keep]
-
-        top_k = max(self.top_n, len(flat_scores) // 5)
-        order = np.argsort(flat_scores)[::-1][:top_k]
-        top_id = new_id[order]                  # [K, n]
-        top_value = flat_scores[order]
-
-        top_prob = np.asarray(
-            bestPerRead(self._log_probs_dev, jnp.asarray(top_id))
-        )                                       # [R, K]
+        # device step: score all T*A extensions, dedup unordered multisets
+        # (commutative two-hash), top-k — only two [k] vectors download;
+        # the per-read prob matrices never leave the device
+        k = int(min(max(self.top_n, (T * A) // 5), T * A))
+        value_d, idx_d, new_prob = beamExtend(
+            self._log_probs_dev[:, allele_index],
+            jnp.asarray(prev.allele_prob),
+            jnp.asarray(prev.set_h1), jnp.asarray(prev.set_h2),
+            jnp.asarray(self._ah1[allele_index]),
+            jnp.asarray(self._ah2[allele_index]),
+            k,
+        )
+        top_value = np.asarray(value_d)
+        idx = np.asarray(idx_d)
+        valid = np.nonzero(top_value > -1e30)[0]
+        top_value = top_value[valid]
+        t_sel = idx[valid] // A
+        a_sel = allele_index[idx[valid] % A]
+        top_id = np.hstack([prev_id[t_sel], a_sel[:, None]])
+        top_prob = new_prob[:, valid]           # device [R, K]
         top_sum = self._allele_col_sum[top_id]  # [K, n]
         top_frac = np.asarray(
             fractionOfReads(
-                self._log_probs_dev, jnp.asarray(top_id), jnp.asarray(top_prob)
+                self._log_probs_dev, jnp.asarray(top_id), top_prob
             )
         )
 
@@ -396,6 +408,8 @@ class AlleleTyping:
                 allele_prob=top_prob,
                 fraction=top_frac,
                 fraction_uniq=np.ones_like(top_frac),
+                set_h1=prev.set_h1[t_sel] + self._ah1[a_sel],
+                set_h2=prev.set_h2[t_sel] + self._ah2[a_sel],
             ).sortByScoreAndEveness(preserve_topn=self.top_n)
         )
         return self.result[-1]

@@ -89,3 +89,46 @@ def fractionOfReads(
     belong = (sel == top_prob[:, :, None]).astype(jnp.float32)
     belong = belong / belong.sum(axis=2, keepdims=True)
     return belong.sum(axis=0) / log_probs.shape[0]            # [T, n]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def beamExtend(
+    log_probs: jax.Array,   # [R, A] (already column-selected)
+    prev_prob: jax.Array,   # [R, T]
+    prev_h1: jax.Array,     # [T] uint32 commutative multiset hash
+    prev_h2: jax.Array,     # [T] uint32 (independent second hash)
+    ah1: jax.Array,         # [A] uint32 per-allele hash
+    ah2: jax.Array,         # [A] uint32
+    k: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One beam-search CN step fully on device: score all T*A set
+    extensions, drop duplicate multisets (commutative two-hash dedup,
+    first flat occurrence kept), take the top k, and produce the kept
+    sets' per-read best vector.
+
+    Returns (value [k] f32 desc, flat_idx [k] i32 with t = idx // A and
+    a = idx % A, new_prob [R, k]).  Masked/duplicate slots carry -inf.
+    Only the two [k] vectors need downloading per step — prev/new prob
+    matrices stay device-resident across the whole beam.
+    """
+    R, A = log_probs.shape
+    T = prev_prob.shape[1]
+    scores = pairMaxScores(log_probs, prev_prob)              # [T, A]
+    flat = scores.reshape(-1)
+    h1 = (prev_h1[:, None] + ah1[None, :]).reshape(-1)
+    h2 = (prev_h2[:, None] + ah2[None, :]).reshape(-1)
+    idx0 = jnp.arange(T * A, dtype=jnp.int32)
+    sh1, sh2, sidx = jax.lax.sort((h1, h2, idx0), num_keys=3)
+    is_first = jnp.concatenate(
+        [
+            jnp.ones(1, bool),
+            (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1]),
+        ]
+    )
+    keep = jnp.zeros(T * A, bool).at[sidx].set(is_first)
+    masked = jnp.where(keep, flat, -jnp.inf)
+    value, idx = jax.lax.top_k(masked, k)
+    t_sel = idx // A
+    a_sel = idx % A
+    new_prob = jnp.maximum(prev_prob[:, t_sel], log_probs[:, a_sel])
+    return value, idx, new_prob
