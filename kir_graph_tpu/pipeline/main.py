@@ -28,6 +28,12 @@ def createParser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--thread", default=1, help="Host worker threads")
     parser.add_argument(
+        "--engine", default="local",
+        choices=["local", "docker", "podman", "singularity"],
+        help="Execution engine for external tools (MUSCLE/ClustalO during "
+        "--ipd-db builds; reference main.py:272)",
+    )
+    parser.add_argument(
         "--log-level", default="INFO", choices=list(logging._nameToLevel)
     )
 
@@ -148,6 +154,10 @@ def main(args: argparse.Namespace) -> None:
     setThreads(int(args.thread))
     logging.basicConfig(level=args.log_level)
     logger.setLevel(args.log_level)
+    if getattr(args, "engine", "local") != "local":
+        from ..exec_tools import setEngine
+
+        setEngine(args.engine)
 
     # ---- inputs
     cn_files: list[str] = []
