@@ -148,3 +148,58 @@ def test_multiple_mapped_removed(gene):
     )
     # only NH==1 reads enter typing
     assert len(t._gene_reads[gene.name]) == 50
+
+
+def test_beam_extend_matches_bruteforce():
+    """beamExtend's on-device dedup + top-k reproduces the host logic:
+    score all T*A multiset extensions, drop duplicate unordered sets
+    (first flat occurrence kept), take the best k."""
+    import jax.numpy as jnp
+
+    from kir_graph_tpu.typing.kernels import beamExtend
+
+    rng = np.random.Generator(np.random.Philox(3))
+    R, A, T, n_prev = 40, 6, 5, 2
+    log_probs = rng.normal(size=(R, A)).astype(np.float32)
+    prev_id = rng.integers(0, A, size=(T, n_prev))
+    prev_prob = np.max(log_probs[:, prev_id], axis=2).astype(np.float32)
+    h1 = rng.integers(0, 1 << 32, A, dtype=np.uint32)
+    h2 = rng.integers(0, 1 << 32, A, dtype=np.uint32)
+    ph1 = h1[prev_id].sum(axis=1, dtype=np.uint32)
+    ph2 = h2[prev_id].sum(axis=1, dtype=np.uint32)
+
+    k = 8
+    value, idx, new_prob = beamExtend(
+        jnp.asarray(log_probs), jnp.asarray(prev_prob),
+        jnp.asarray(ph1), jnp.asarray(ph2),
+        jnp.asarray(h1), jnp.asarray(h2), k,
+    )
+    value, idx, new_prob = map(np.asarray, (value, idx, new_prob))
+
+    # brute force: scores + set-dedup (first flat occurrence) + sort
+    scores = np.array(
+        [
+            [np.maximum(log_probs[:, a], prev_prob[:, t]).sum()
+             for a in range(A)]
+            for t in range(T)
+        ],
+        dtype=np.float32,
+    ).reshape(-1)
+    seen = set()
+    keep = np.zeros(T * A, dtype=bool)
+    for f in range(T * A):
+        key = tuple(sorted(list(prev_id[f // A]) + [f % A]))
+        if key not in seen:
+            seen.add(key)
+            keep[f] = True
+    valid = value > -1e30
+    want = np.sort(scores[keep])[::-1][: valid.sum()]
+    np.testing.assert_allclose(np.sort(value[valid])[::-1], want, rtol=1e-5)
+    # new_prob rows are the kept sets' per-read maxima
+    for j in np.nonzero(valid)[0]:
+        t, a = idx[j] // A, idx[j] % A
+        np.testing.assert_allclose(
+            new_prob[:, j],
+            np.maximum(prev_prob[:, t], log_probs[:, a]),
+            rtol=1e-6,
+        )
