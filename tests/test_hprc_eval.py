@@ -66,3 +66,28 @@ def test_read_truth_format(tmp_path):
         f.write("HG002\t1+2\tKIR2DL1*0030218_KIR2DL3*00101$\tHG002\n")
     truth = readHprcTruth(fn)
     assert truth == {"HG002": ["KIR2DL1*0030218", "KIR2DL3*00101$"]}
+
+
+def test_real_hprc_truth_file():
+    """The evaluator parses the reference's REAL HPRC truth table
+    (47 samples, $/+ symbol grammar) and self-evaluation is ~perfect."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/research/groundtruth/hprc_summary_v1_2_e.tsv"
+    if not os.path.exists(path):
+        pytest.skip("reference truth file not present")
+    from kir_graph_tpu.eval.hprc import evaluateHprc, readHprcTruth
+
+    truth = readHprcTruth(path)
+    assert len(truth) == 47
+    assert "HG002" in truth and len(truth["HG002"]) == 25
+    pred = {
+        k: [a.replace("$", "").replace("+", "") for a in v]
+        for k, v in truth.items()
+    }
+    table = evaluateHprc(truth, pred)
+    overall = table[table["gene"] == "ALL"].set_index("digits")
+    assert overall.loc[7, "f1"] == 1.0
+    assert overall.loc[3, "f1"] > 0.99
