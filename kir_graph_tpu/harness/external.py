@@ -212,6 +212,82 @@ class PingTool(ContainerTool):
                     for s in df["sample"]]
         return df.drop(columns=["sample"])
 
+    @staticmethod
+    def calcThreshold(ans_values: list[float],
+                      ping_values: list[float]) -> list[float]:
+        """Cut CN thresholds on PING's gene-depth ratios from known answers.
+
+        Both lists are sorted ascending by the PING ratio; ``ans_values``
+        are the true half-CN values (CN/2 with 3DL3 diploid).  Walking the
+        samples, each CN step gets a threshold at the midpoint between the
+        last ratio of the lower class and the first ratio of the higher
+        one (reference research/other_kir.py:414-436).
+        """
+        ans_count = [int(round(v * 2)) for v in ans_values]
+        now_cn = 0
+        prev_ratio = 0.0
+        threshold: list[float] = []
+        for ratio, cn in zip(ping_values, ans_count):
+            while cn != now_cn:
+                now_cn += 1
+                threshold.append((prev_ratio + ratio) / 2)
+            prev_ratio = ratio
+        threshold.append(prev_ratio + 0.5)
+        return threshold
+
+    @staticmethod
+    def readAnswerGeneCN(answer_tsv: str) -> pd.DataFrame:
+        """True per-gene half-CN table from a cohort answer file
+        (reference research/other_kir.py:332-350: CN relative to diploid
+        3DL3, 2DL5A/B pooled by the 7-char gene prefix)."""
+        from ..eval.compare import readAnswerAllele
+
+        rows = []
+        for sid, alleles in readAnswerAllele(answer_tsv).items():
+            counts: dict[str, float] = {}
+            for allele in alleles:
+                gene = allele[:7]
+                counts[gene] = counts.get(gene, 0.0) + 0.5
+            rows.append({**counts, "id": sid, "method": "ANS"})
+        return pd.DataFrame(rows).fillna(0)
+
+    def predictCNByAnswer(self, folder_out: str, answer_tsv: str,
+                          save: bool = True) -> pd.DataFrame:
+        """Auto-derive manualCopyThresholds.csv from a truth cohort so
+        PING's interactive CN review step can be skipped (reference
+        research/other_kir.py:282-330)."""
+        df_ping = self.readGeneDepthRatio(
+            os.path.join(folder_out, "locusRatioFrame.csv"))
+        df_ans = self.readAnswerGeneCN(answer_tsv)
+        df = pd.concat([df_ping, df_ans], ignore_index=True)
+        df = df.melt(["id", "method"], var_name="gene").dropna()
+        df = df.sort_values(["method", "value"], ascending=[False, True])
+        shared = set(df[df["method"] == "PING"]["id"]) & set(
+            df[df["method"] == "ANS"]["id"])
+        skipped = set(df["id"]) - shared
+        if skipped:
+            logger.warning("[ping] no answer/ratio for samples %s", skipped)
+        df = df[df["id"].isin(shared)]
+
+        rows = []
+        for gene in sorted(set(df["gene"])):
+            part = df[df["gene"] == gene]
+            ans = part[part["method"] == "ANS"]
+            ping = part[part["method"] == "PING"]
+            if not len(ans) or not len(ping):
+                continue
+            cuts = self.calcThreshold(list(ans["value"]), list(ping["value"]))
+            rows.append({"gene": gene,
+                         **{f"{i}-{i + 1}": c for i, c in enumerate(cuts)}})
+        out = pd.DataFrame(rows)
+        out = out[out["gene"] != "KIR3DL3"]
+        out = out.reindex(columns=["gene"] + [f"{i}-{i + 1}" for i in range(6)])
+        out = out.fillna("NA")
+        if save:
+            out.to_csv(os.path.join(folder_out, "manualCopyThresholds.csv"),
+                       index=False)
+        return out
+
     def runAll(self, input_name: str) -> str:
         index = self.download()
         folder = self.migrateSample(input_name)

@@ -234,3 +234,44 @@ def test_ping_migrate_and_depth_ratio(tmp_path, monkeypatch):
     df = PingTool.readGeneDepthRatio("locusRatioFrame.csv")
     assert list(df["id"]) == ["00", "01"]
     assert "KIR2DL1" in df.columns
+
+
+def test_ping_calc_threshold():
+    """Rank-paired CN cuts (reference research/other_kir.py:414-436
+    docstring example, traced through the exact midpoint rule)."""
+    cuts = PingTool.calcThreshold(
+        [0, 0.5, 0.5, 1.5, 1.5], [0.1, 0.2, 0.21, 0.4, 0.5])
+    assert cuts == pytest.approx([0.15, 0.305, 0.305, 1.0])
+    # all-zero gene: single cut past the last ratio
+    assert PingTool.calcThreshold([0, 0], [0.0, 0.01]) == pytest.approx([0.51])
+
+
+def test_ping_predict_cn_by_answer(tmp_path):
+    """Answer cohort + locusRatioFrame -> manualCopyThresholds.csv with
+    3DL3 dropped and per-CN-step columns."""
+    folder = tmp_path / "res"
+    folder.mkdir()
+    pd.DataFrame({
+        "Unnamed: 0": ["id.00", "id.01", "id.02"],
+        "KIR2DL1": [0.24, 0.52, 0.55],
+        "KIR3DL3": [1.0, 1.0, 1.0],
+    }).to_csv(folder / "locusRatioFrame.csv", index=False)
+    answer = tmp_path / "answer.tsv"
+    pd.DataFrame([
+        # 3DL3 always diploid; 2DL1 CN = 1, 2, 2
+        {"id": "00", "alleles": "KIR3DL3*001_KIR3DL3*001_KIR2DL1*001"},
+        {"id": "01", "alleles": "KIR3DL3*001_KIR3DL3*001_KIR2DL1*001_KIR2DL1*002"},
+        {"id": "02", "alleles": "KIR3DL3*001_KIR3DL3*001_KIR2DL1*001_KIR2DL1*003"},
+    ]).to_csv(answer, index=False, sep="\t")
+
+    tool = PingTool()
+    df = tool.predictCNByAnswer(str(folder), str(answer))
+    assert list(df["gene"]) == ["KIR2DL1"]
+    row = df.iloc[0]
+    # CN0->1 cut never seen (min CN is 1): first cut is 0-1 at ratio/2
+    assert float(row["0-1"]) == pytest.approx(0.12)
+    assert float(row["1-2"]) == pytest.approx((0.24 + 0.52) / 2)
+    assert float(row["2-3"]) == pytest.approx(1.05)
+    assert row["3-4"] == "NA"
+    out = pd.read_csv(folder / "manualCopyThresholds.csv")
+    assert "KIR3DL3" not in set(out["gene"])
