@@ -200,3 +200,83 @@ def truthTotalsFromNames(names: Iterable[str]) -> dict[str, int]:
     for n in names:
         totals[truthGeneOfQname(n)] += 1
     return dict(totals)
+
+
+# ---------------------------------------------------------------------------
+# Gene from->to migration (reference kg_eval_mapping.py:653-787 calc layer)
+
+def isGeneCorrect(to_gene: str, truth_gene: str) -> bool:
+    """Merged-backbone-aware gene comparison
+    (reference isGeneCorrect, kg_eval_mapping.py:653-665)."""
+    if to_gene == "KIR2DL5":
+        return to_gene in truth_gene  # KIR2DL5A / KIR2DL5B
+    if to_gene == "KIR2DL1S1":
+        return truth_gene in ("KIR2DL1", "KIR2DS1")
+    if to_gene == "KIR2DL5AB":
+        return truth_gene.startswith("KIR2DL5")
+    return to_gene == truth_gene
+
+
+def calcFromTo(reads, truth_names: list[str]) -> list[dict]:
+    """Per mapped pair: the gene it was simulated from vs the backbone it
+    landed on (reference calcFromToPerSample, kg_eval_mapping.py:667-684).
+    ``reads`` are PairRead records whose ``pair_index`` points into
+    ``truth_names`` (the aligner batch's qnames)."""
+    rows = []
+    for read in reads:
+        qname = (read.l_sam.split("\t")[0] if read.l_sam
+                 else truth_names[read.pair_index])
+        to_gene = getGeneName(read.backbone)
+        truth_gene = truthGeneOfQname(qname)
+        rows.append({
+            "from_allele": truthAlleleOfQname(qname),
+            "from": truth_gene,
+            "to": to_gene,
+            "correct": isGeneCorrect(to_gene, truth_gene),
+            "is_multi": read.multiple > 1,
+            "multi": read.multiple,
+        })
+    return rows
+
+
+def fromToStat(rows: list[dict], allow_multi: bool = True,
+               method: str = "") -> list[dict]:
+    """Per landing-gene specificity: correct reads / all reads on the gene
+    (reference calcFromToStat, kg_eval_mapping.py:725-739)."""
+    if not allow_multi:
+        rows = [r for r in rows if not r["is_multi"]]
+    per_gene: dict[str, list[bool]] = defaultdict(list)
+    for r in rows:
+        per_gene[r["to"]].append(r["correct"])
+    return [
+        {
+            "to": gene,
+            "acc": sum(oks) / len(oks),
+            "method": method,
+            "multi": allow_multi,
+        }
+        for gene, oks in sorted(per_gene.items())
+    ]
+
+
+def rocPoints(precision_rows: list[dict], method: str = "") -> list[dict]:
+    """Aggregate genePrecision rows into (FDR, recall) points per
+    precision type — per gene and overall (reference customRocPlot data
+    prep, kg_eval_mapping.py:375-383)."""
+    acc: dict[tuple, list[dict]] = defaultdict(list)
+    for r in precision_rows:
+        acc[(r["type"], r["gene"])].append(r)
+    points = []
+    overall: dict[str, list[dict]] = defaultdict(list)
+    for (ptype, gene), rs in sorted(acc.items()):
+        p = sum(r["precision"] for r in rs) / len(rs)
+        rec = sum(r["recall"] for r in rs) / len(rs)
+        points.append({"method": method, "type": ptype, "gene": gene,
+                       "FDR": 1 - p, "recall": rec})
+        overall[ptype].extend(rs)
+    for ptype, rs in sorted(overall.items()):
+        p = sum(r["precision"] for r in rs) / len(rs)
+        rec = sum(r["recall"] for r in rs) / len(rs)
+        points.append({"method": method, "type": ptype, "gene": "*",
+                       "FDR": 1 - p, "recall": rec})
+    return points

@@ -95,3 +95,50 @@ def test_index_qa_detects_corruption(synth_genes, synth_index):
     report = runIndexQA(index, synth_genes)
     assert not report["ok"]
     assert any("out of backbone" in p for p in report["catalog"])
+
+
+def test_from_to_and_roc():
+    """Gene-migration rows, specificity aggregation and ROC points
+    (reference kg_eval_mapping.py:653-787, 375-383 calc layers)."""
+    from kir_graph_tpu.eval.sam_mapping import (
+        calcFromTo,
+        fromToStat,
+        genePrecision,
+        isGeneCorrect,
+        rocPoints,
+    )
+    from kir_graph_tpu.typing.pairread import PairRead
+
+    # merged-backbone comparisons
+    assert isGeneCorrect("KIR2DL5", "KIR2DL5A")
+    assert isGeneCorrect("KIR2DL1S1", "KIR2DS1")
+    assert not isGeneCorrect("KIR2DL1S1", "KIR2DL2")
+    assert isGeneCorrect("KIR3DL3", "KIR3DL3")
+
+    names = ["s:KIR2DL1*001:0", "s:KIR2DS1*002:1", "s:KIR3DL3*001:2"]
+    reads = [
+        PairRead(backbone="KIR2DL1S1*BACKBONE", multiple=1, pair_index=0),
+        PairRead(backbone="KIR2DL1S1*BACKBONE", multiple=2, pair_index=1),
+        PairRead(backbone="KIR2DL2*BACKBONE", multiple=1, pair_index=2),
+    ]
+    rows = calcFromTo(reads, names)
+    assert [r["correct"] for r in rows] == [True, True, False]
+    assert rows[1]["is_multi"]
+
+    stat = fromToStat(rows, allow_multi=True, method="tpu")
+    by_gene = {r["to"]: r["acc"] for r in stat}
+    assert by_gene["KIR2DL1S1"] == 1.0 and by_gene["KIR2DL2"] == 0.0
+    # multi-excluded: the 2DS1 read drops out
+    stat_uniq = fromToStat(rows, allow_multi=False)
+    assert {r["to"]: r["acc"] for r in stat_uniq} == {
+        "KIR2DL1S1": 1.0, "KIR2DL2": 0.0}
+
+    prec = [
+        {"gene": "A", "type": "all", "precision": 0.9, "recall": 0.8},
+        {"gene": "B", "type": "all", "precision": 0.7, "recall": 0.6},
+    ]
+    pts = rocPoints(prec, method="tpu")
+    overall = [p for p in pts if p["gene"] == "*"]
+    assert len(overall) == 1
+    assert overall[0]["FDR"] == pytest.approx(1 - 0.8)
+    assert overall[0]["recall"] == pytest.approx(0.7)
