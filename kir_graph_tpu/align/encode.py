@@ -40,6 +40,22 @@ def packCodes2bit(codes: np.ndarray) -> np.ndarray:
     return (c << shifts).sum(axis=2).astype(np.uint8)
 
 
+def packCodes4bit(codes: np.ndarray) -> np.ndarray:
+    """[N, L] int8 codes -> [N, ceil(L/2)] uint8 nibbles, LOSSLESS for
+    codes 0..15 (unlike packCodes2bit, N/pad code 4 survives).
+
+    Used by the exact aligner to halve+halve the host->device read upload
+    without changing N-base or pad semantics; unpack with
+    parallel.cohort.unpackCodes4bit.
+    """
+    n, L = codes.shape
+    Lp = -(-L // 2) * 2
+    c = np.zeros((n, Lp), dtype=np.uint8)
+    c[:, :L] = codes.astype(np.uint8)
+    c = c.reshape(n, Lp // 2, 2)
+    return (c[:, :, 0] | (c[:, :, 1] << 4)).astype(np.uint8)
+
+
 def revCompCodes(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Reverse-complement of padded code rows (pad stays at the tail)."""
     n, m = codes.shape

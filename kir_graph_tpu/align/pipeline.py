@@ -22,10 +22,41 @@ import numpy as np
 from ..index.build import BASE_PAD, KirIndex
 from ..utils import logger
 from .dp import AlignParams, bandedTracebackGather, decodeDeltas
-from .encode import revCompCodes
+from .encode import packCodes4bit, revCompCodes
 from .seeding import DIAG_BUCKET, SeedTable
 
 PAD_L = 64  # front padding of window coordinate space
+
+
+def _prepStreams(packed: jnp.ndarray, lens: jnp.ndarray, L: int):
+    """Nibble-packed forward mates -> the aligner's 4-stream code pool
+    [c1, rc1, c2, rc2] plus the 2-stream forward pool, all on device.
+
+    Reads cross the (slow, tunneled) host->device link packed 2 codes per
+    byte; unpack, pad-masking and reverse-complement happen on device in
+    one fused dispatch.  Nibbles are lossless for code 4 (N base), so
+    scoring/N-exclusion semantics are identical to an int8 upload."""
+    from ..parallel.cohort import revCompDevice, unpackCodes4bit
+
+    fwd = unpackCodes4bit(packed, L)
+    col = jnp.arange(L)[None, :]
+    fwd = jnp.where(col < lens[:, None], fwd, BASE_PAD).astype(jnp.int8)
+    n = fwd.shape[0] // 2
+    rc = revCompDevice(fwd, lens)
+    codes_all = jnp.concatenate([fwd[:n], rc[:n], fwd[n:], rc[n:]], axis=0)
+    return codes_all, fwd
+
+
+_prepStreamsJit = None
+
+
+def prepStreamsJit():
+    global _prepStreamsJit
+    if _prepStreamsJit is None:
+        import jax
+
+        _prepStreamsJit = jax.jit(_prepStreams, static_argnums=(2,))
+    return _prepStreamsJit
 
 
 @dataclass
@@ -406,20 +437,23 @@ class GraphAligner:
         # --- device: ONE canonical seed dispatch over the two forward
         # streams (orientation folded per candidate) + ONE dense score
         # dispatch on the [2N, C] grid with per-candidate oriented codes
-        # from the 4-stream pool; invalid slots cost >= 1e9.
-        rc1 = revCompCodes(codes1, len1)
-        rc2 = revCompCodes(codes2, len2)
-        codes_all = np.concatenate([codes1, rc1, codes2, rc2], axis=0)
+        # from the 4-stream pool; invalid slots cost >= 1e9.  The upload
+        # is nibble-packed forward mates only; the reverse-complement
+        # streams are derived on device (4x fewer bytes across the link).
         lens_fwd = np.concatenate([len1, len2]).astype(np.int32)
+        packed = packCodes4bit(np.concatenate([codes1, codes2], axis=0))
 
         from ..parallel.cohort import _selRows, decodeCandidates, scoreDenseGrid
         from .seeding import _findCandidates
 
-        codes_dev = jnp.asarray(codes_all)
         lens_dev = jnp.asarray(lens_fwd)
-        codes_fwd = jnp.concatenate(
-            [codes_dev[:N], codes_dev[2 * N : 3 * N]], axis=0
+        codes_dev, codes_fwd = prepStreamsJit()(
+            jnp.asarray(packed), lens_dev, RL
         )
+        # host-side reverse complements for the annotator's oriented-read
+        # buffers; overlaps with the async device dispatches above
+        rc1 = revCompCodes(codes1, len1)
+        rc2 = revCompCodes(codes2, len2)
         cand_d, _ = _findCandidates(
             codes_fwd, lens_dev, self.table.bkeys, self.table.padded,
             self.table.lut, self.table.k, self.stride, self.max_postings, C,

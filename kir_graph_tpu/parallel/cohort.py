@@ -139,6 +139,15 @@ def unpackCodes2bit(packed: jax.Array, L: int) -> jax.Array:
     return ((byte >> shift) & 3).astype(jnp.int8)
 
 
+def unpackCodes4bit(packed: jax.Array, L: int) -> jax.Array:
+    """[N, ceil(L/2)] uint8 -> [N, L] int8 (inverse of
+    encode.packCodes4bit; keeps N/pad code 4 intact)."""
+    j = jnp.arange(L)
+    byte = packed[:, j // 2]
+    shift = (4 * (j % 2)).astype(jnp.uint8)
+    return ((byte >> shift) & 15).astype(jnp.int8)
+
+
 def revCompDevice(codes: jax.Array, lengths: jax.Array) -> jax.Array:
     """Device-side reverse complement of padded code rows."""
     N, L = codes.shape

@@ -48,18 +48,37 @@ def main():
     aligner.alignPairs(c1, l1, c2, l2)
     print(f"warm alignPairs (incl compile): {time.time() - t0:.1f}s", flush=True)
 
-    # instrument
-    aligner._scoreJobs = timed("scoreJobs", aligner._scoreJobs)
+    # instrument (round-2 structure: one seed + one dense-score dispatch,
+    # device pair-select, sliced traceback jobs); block on device outputs
+    # inside each wrapper so the wall time lands on the right phase
+    from kir_graph_tpu.parallel import cohort as co
+
+    def timedSync(name, fn):
+        def wrap(*a, **k):
+            t0 = time.time()
+            out = fn(*a, **k)
+            jax.block_until_ready(out)
+            TIMES[name] = TIMES.get(name, 0.0) + (time.time() - t0)
+            return out
+
+        return wrap
+
+    co._findCandidates = timedSync("seed", co._findCandidates)
+    co.scoreDenseGrid = timedSync("scoreDense", co.scoreDenseGrid)
+    aligner._pair_select = timedSync("pairSelect", aligner._pair_select)
     aligner._tracebackJobs = timed("tracebackJobs", aligner._tracebackJobs)
-    pl.findCandidates = timed("findCandidates", pl.findCandidates)
-    pl.revCompCodes = timed("revComp", pl.revCompCodes)
+    pl.revCompCodes = timed("hostRevComp", pl.revCompCodes)
 
     t0 = time.time()
     result = aligner.alignPairs(c1, l1, c2, l2)
     total = time.time() - t0
     t0 = time.time()
     annotator.annotate(result)
+    t_ann_cold = time.time() - t0
+    t0 = time.time()
+    annotator.annotate(result)
     t_ann = time.time() - t0
+    print(f"annotate cold: {t_ann_cold:.2f}s, warm: {t_ann:.2f}s")
 
     n_reads = 2 * len(c1)
     print(f"alignPairs total: {total:.2f}s ({n_reads/total:,.0f} reads/s)")

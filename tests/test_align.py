@@ -181,3 +181,18 @@ def test_chunked_align_results_stable(synth_genes, synth_index, monkeypatch):
     chunked = aligner.alignPairs(c1, l1, c2, l2)
     np.testing.assert_array_equal(chunked.gene, whole_gene)
     np.testing.assert_array_equal(chunked.cols_l, whole_cols)
+
+
+def test_pack4bit_roundtrip():
+    """Nibble packing is lossless for codes 0..4 (N base included) at odd
+    and even row widths."""
+    import numpy as np
+
+    from kir_graph_tpu.align.encode import packCodes4bit
+    from kir_graph_tpu.parallel.cohort import unpackCodes4bit
+
+    rng = np.random.default_rng(0)
+    for L in (150, 160, 151):
+        codes = rng.integers(0, 5, size=(7, L)).astype(np.int8)
+        out = np.asarray(unpackCodes4bit(packCodes4bit(codes), L))
+        assert (out == codes).all()
