@@ -450,10 +450,6 @@ class GraphAligner:
         codes_dev, codes_fwd = prepStreamsJit()(
             jnp.asarray(packed), lens_dev, RL
         )
-        # host-side reverse complements for the annotator's oriented-read
-        # buffers; overlaps with the async device dispatches above
-        rc1 = revCompCodes(codes1, len1)
-        rc2 = revCompCodes(codes2, len2)
         cand_d, _ = _findCandidates(
             codes_fwd, lens_dev, self.table.bkeys, self.table.padded,
             self.table.lut, self.table.k, self.stride, self.max_postings, C,
@@ -491,12 +487,17 @@ class GraphAligner:
             f"[Align] {N} pairs -> {int(mapped.sum())} concordant"
         )
 
+        # oriented-read buffers for the annotator: reverse-complement only
+        # the rows whose winner is the rc stream (host rc of the full
+        # batch would double the work for nothing)
         oc1 = self._hostBuf("oc1", (N, RL), np.int8)
         oc2 = self._hostBuf("oc2", (N, RL), np.int8)
         np.copyto(oc1, codes1)
-        oc1[isrc1] = rc1[isrc1]
+        if isrc1.any():
+            oc1[isrc1] = revCompCodes(codes1[isrc1], len1[isrc1])
         np.copyto(oc2, codes2)
-        oc2[isrc2] = rc2[isrc2]
+        if isrc2.any():
+            oc2[isrc2] = revCompCodes(codes2[isrc2], len2[isrc2])
         l1, l2 = len1.astype(np.int32), len2.astype(np.int32)
 
         midx = np.nonzero(mapped)[0]
