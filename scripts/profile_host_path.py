@@ -63,7 +63,10 @@ def main():
 
         return wrap
 
-    co._findCandidates = timedSync("seed", co._findCandidates)
+    from kir_graph_tpu.align import seeding as se
+
+    # the exact path imports _findCandidates from align.seeding
+    se._findCandidates = timedSync("seed", se._findCandidates)
     co.scoreDenseGrid = timedSync("scoreDense", co.scoreDenseGrid)
     aligner._pair_select = timedSync("pairSelect", aligner._pair_select)
     aligner._tracebackJobs = timed("tracebackJobs", aligner._tracebackJobs)
