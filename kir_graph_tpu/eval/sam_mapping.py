@@ -224,8 +224,15 @@ def calcFromTo(reads, truth_names: list[str]) -> list[dict]:
     ``truth_names`` (the aligner batch's qnames)."""
     rows = []
     for read in reads:
-        qname = (read.l_sam.split("\t")[0] if read.l_sam
-                 else truth_names[read.pair_index])
+        if read.l_sam:
+            qname = read.l_sam.split("\t")[0]
+        elif read.pair_index >= 0:
+            qname = truth_names[read.pair_index]
+        else:
+            raise ValueError(
+                "PairRead has neither l_sam nor pair_index; cannot "
+                "recover the truth read name for from->to eval"
+            )
         to_gene = getGeneName(read.backbone)
         truth_gene = truthGeneOfQname(qname)
         rows.append({

@@ -217,18 +217,22 @@ class PingTool(ContainerTool):
                       ping_values: list[float]) -> list[float]:
         """Cut CN thresholds on PING's gene-depth ratios from known answers.
 
-        Both lists are sorted ascending by the PING ratio; ``ans_values``
-        are the true half-CN values (CN/2 with 3DL3 diploid).  Walking the
-        samples, each CN step gets a threshold at the midpoint between the
-        last ratio of the lower class and the first ratio of the higher
-        one (reference research/other_kir.py:414-436).
+        EACH list is sorted ascending independently (rank pairing):
+        ``ans_values`` are the true half-CN values (CN/2 with 3DL3
+        diploid), ``ping_values`` the measured depth ratios.  Each CN step
+        gets a threshold at the midpoint between the last ratio of the
+        lower class and the first ratio of the higher one (reference
+        research/other_kir.py:414-436).  Lists are sorted here too, so a
+        caller passing sample-paired (unsorted, hence possibly
+        non-monotonic) values gets rank pairing rather than a hang.
         """
-        ans_count = [int(round(v * 2)) for v in ans_values]
+        ans_count = sorted(int(round(v * 2)) for v in ans_values)
+        ping_sorted = sorted(ping_values)
         now_cn = 0
         prev_ratio = 0.0
         threshold: list[float] = []
-        for ratio, cn in zip(ping_values, ans_count):
-            while cn != now_cn:
+        for ratio, cn in zip(ping_sorted, ans_count):
+            while now_cn < cn:
                 now_cn += 1
                 threshold.append((prev_ratio + ratio) / 2)
             prev_ratio = ratio
@@ -274,11 +278,22 @@ class PingTool(ContainerTool):
             part = df[df["gene"] == gene]
             ans = part[part["method"] == "ANS"]
             ping = part[part["method"] == "PING"]
-            if not len(ans) or not len(ping):
+            # rank pairing needs the SAME sample set on both sides: a
+            # per-gene NaN (PING failed the locus) must drop the sample
+            # from both lists, not shift every rank after it
+            ids = set(ans["id"]) & set(ping["id"])
+            ans = ans[ans["id"].isin(ids)]
+            ping = ping[ping["id"].isin(ids)]
+            if not len(ans) or len(ans) != len(ping):
                 continue
             cuts = self.calcThreshold(list(ans["value"]), list(ping["value"]))
             rows.append({"gene": gene,
                          **{f"{i}-{i + 1}": c for i, c in enumerate(cuts)}})
+        if not rows:
+            logger.warning("[ping] no gene had answer+ratio data; "
+                           "empty threshold table")
+            return pd.DataFrame(
+                columns=["gene"] + [f"{i}-{i + 1}" for i in range(6)])
         out = pd.DataFrame(rows)
         out = out[out["gene"] != "KIR3DL3"]
         out = out.reindex(columns=["gene"] + [f"{i}-{i + 1}" for i in range(6)])

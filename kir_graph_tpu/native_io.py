@@ -49,6 +49,11 @@ def _loadLib():
         return _lib
     if not any(os.path.exists(p) for p in _LIB_PATHS):
         _buildLib()
+    return _tryLoadPaths(rebuild_on_error=True)
+
+
+def _tryLoadPaths(rebuild_on_error: bool = False):
+    global _lib
     for p in _LIB_PATHS:
         if os.path.exists(p):
             try:
@@ -76,6 +81,16 @@ def _loadLib():
                 return lib
             except OSError as e:  # pragma: no cover
                 logger.warning(f"[IO] failed to load {p}: {e}")
+                if rebuild_on_error:
+                    # a stale/corrupt .so (e.g. from a killed build of an
+                    # older Makefile) should not disable the native path
+                    # forever: rebuild once and retry
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                    _buildLib()
+                    return _tryLoadPaths(rebuild_on_error=False)
     _lib = False
     return _lib
 

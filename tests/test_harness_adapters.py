@@ -275,3 +275,43 @@ def test_ping_predict_cn_by_answer(tmp_path):
     assert row["3-4"] == "NA"
     out = pd.read_csv(folder / "manualCopyThresholds.csv")
     assert "KIR3DL3" not in set(out["gene"])
+
+
+def test_ping_calc_threshold_unsorted_terminates():
+    """Non-monotonic (sample-paired) inputs are rank-paired internally
+    instead of hanging (review finding: the reference algorithm assumes
+    ascending answers)."""
+    cuts = PingTool.calcThreshold([1.0, 0.5], [0.4, 0.45])
+    # rank pairing: ans [1,2] halves -> [0.5, 1.0]; cn 1 cut at 0.2, cn 2
+    # cut at midpoint(0.4, 0.45), closing cut at 0.45+0.5
+    assert cuts == pytest.approx([0.2, 0.425, 0.95])
+
+
+def test_ping_predict_cn_handles_nan_and_disjoint(tmp_path):
+    """A per-gene NaN ratio drops the sample from both rank lists (not a
+    shifted zip); fully disjoint cohorts return an empty table."""
+    folder = tmp_path / "res"
+    folder.mkdir()
+    pd.DataFrame({
+        "Unnamed: 0": ["id.00", "id.01", "id.02"],
+        "KIR2DL1": [0.24, float("nan"), 0.55],
+    }).to_csv(folder / "locusRatioFrame.csv", index=False)
+    answer = tmp_path / "answer.tsv"
+    pd.DataFrame([
+        {"id": "00", "alleles": "KIR2DL1*001"},
+        {"id": "01", "alleles": "KIR2DL1*001_KIR2DL1*002"},
+        {"id": "02", "alleles": "KIR2DL1*001_KIR2DL1*003"},
+    ]).to_csv(answer, index=False, sep="\t")
+    tool = PingTool()
+    df = tool.predictCNByAnswer(str(folder), str(answer), save=False)
+    # sample 01 dropped on both sides: ans halves [0.5, 1.0] with ratios
+    # [0.24, 0.55] -> cuts 0.12 (0->1), 0.395 (1->2)
+    row = df.iloc[0]
+    assert float(row["0-1"]) == pytest.approx(0.12)
+    assert float(row["1-2"]) == pytest.approx((0.24 + 0.55) / 2)
+
+    pd.DataFrame([
+        {"id": "99", "alleles": "KIR2DL1*001"},
+    ]).to_csv(answer, index=False, sep="\t")
+    empty = tool.predictCNByAnswer(str(folder), str(answer), save=False)
+    assert len(empty) == 0 and "gene" in empty.columns
