@@ -246,6 +246,13 @@ def _findCandidates(
     # right-to-left min scan — two cheap scans instead of vmapped binary
     # searches (which compile pathologically on some TPU backends)
     M = vote.shape[1]
+    # the sort + the doubling scan below are memory-bound: use 16-bit
+    # keys/positions when the static ranges allow (they do for every
+    # real KIR index: 17 genes x 2 x ~1k diag buckets < 2^16), halving
+    # the bandwidth of the seed stage's hottest ops
+    key_dt = jnp.uint16 if SENTINEL < 65535 else jnp.int32
+    pos_dt = jnp.int16 if M < 32767 else jnp.int32
+    vote = vote.astype(key_dt)
     vote_sorted = jnp.sort(vote, axis=1)
     is_run_start = jnp.concatenate(
         [
@@ -254,29 +261,30 @@ def _findCandidates(
         ],
         axis=1,
     )
-    idx = jnp.broadcast_to(jnp.arange(M), (R, M))
-    start_or_inf = jnp.where(is_run_start, idx, M)
+    idx = jnp.broadcast_to(jnp.arange(M, dtype=pos_dt), (R, M))
+    start_or_inf = jnp.where(is_run_start, idx, pos_dt(M))
     # suffix-min (next run start after each position) via log-step
     # doubling shifts — associative_scan compiles pathologically on some
     # TPU backends at this width
     next_start = jnp.concatenate(
-        [start_or_inf[:, 1:], jnp.full((R, 1), M)], axis=1
+        [start_or_inf[:, 1:], jnp.full((R, 1), M, dtype=pos_dt)], axis=1
     )
     s = 1
     while s < M:
         shifted = jnp.concatenate(
-            [next_start[:, s:], jnp.full((R, s), M)], axis=1
+            [next_start[:, s:], jnp.full((R, s), M, dtype=pos_dt)], axis=1
         )
         next_start = jnp.minimum(next_start, shifted)
         s *= 2
-    counts = jnp.where(is_run_start, next_start - idx, 0)
+    counts = jnp.where(is_run_start, next_start - idx, pos_dt(0))
     counts = jnp.where(
-        (vote_sorted != SENTINEL) & (counts >= min_votes), counts, 0
-    )
+        (vote_sorted != key_dt(SENTINEL)) & (counts >= min_votes),
+        counts, pos_dt(0),
+    ).astype(jnp.int32)
     top_votes, top_idx = jax.lax.top_k(counts, top_c)
-    cand = jnp.take_along_axis(vote_sorted, top_idx, axis=1)
+    cand = jnp.take_along_axis(vote_sorted, top_idx, axis=1).astype(jnp.int32)
     cand = jnp.where(top_votes > 0, cand, -1)
-    return cand.astype(jnp.int32), top_votes.astype(jnp.int32)
+    return cand, top_votes.astype(jnp.int32)
 
 
 def findCandidates(
