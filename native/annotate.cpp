@@ -21,11 +21,43 @@
 // oracle bit-for-bit; tests/test_native_annotate.py asserts equality.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
 namespace {
+
+// Run fn(lo, hi) over [0, n) on worker threads.  Row work is fully
+// independent in the parallelised passes (every write goes to a
+// row-indexed slot), so plain range splitting is safe.  KGT_THREADS
+// overrides; small batches stay single-threaded (thread spawn ~50us).
+// KGT_MIN_ROWS lowers the small-batch cutoff so tests can force the
+// threaded path on fixture-sized inputs.
+template <typename F>
+void parallelRows(int64_t n, F fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (const char* env = std::getenv("KGT_THREADS")) {
+    long v = std::strtol(env, nullptr, 10);
+    if (v > 0) hw = (unsigned)v;
+  }
+  int64_t min_rows = 4096;
+  if (const char* env = std::getenv("KGT_MIN_ROWS")) {
+    long v = std::strtol(env, nullptr, 10);
+    if (v > 0) min_rows = (int64_t)v;
+  }
+  unsigned T = hw ? (hw > 16 ? 16 : hw) : 1;
+  if (T <= 1 || n < min_rows) { fn((int64_t)0, n); return; }
+  std::vector<std::thread> ts;
+  int64_t step = (n + T - 1) / T;
+  for (unsigned t = 0; t < T; ++t) {
+    int64_t lo = (int64_t)t * step, hi = lo + step < n ? lo + step : n;
+    if (lo >= hi) break;
+    ts.emplace_back(fn, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
 
 struct Scratch {
   // per-row variable-size collections, reused across calls
@@ -33,6 +65,8 @@ struct Scratch {
   std::vector<std::vector<int64_t>> dels;     // known deletion gidx
   std::vector<std::vector<int64_t>> novel;    // packed (col<<2)|base
   std::vector<std::vector<int32_t>> ncols;    // N-mismatch columns
+  std::vector<std::vector<int64_t>> pos_row;  // per-row emitted positives
+  std::vector<std::vector<int64_t>> neg_row;  // per-row emitted negatives
   std::vector<int32_t> nm, n_ins, left, right;
   std::vector<uint8_t> any_cons, overhang, ev_empty;
   std::unordered_map<int64_t, int64_t> novel_rank;
@@ -43,9 +77,11 @@ struct Scratch {
     if (known.size() < rows) {
       known.resize(rows); dels.resize(rows);
       novel.resize(rows); ncols.resize(rows);
+      pos_row.resize(rows); neg_row.resize(rows);
     }
     for (size_t r = 0; r < rows; ++r) {
       known[r].clear(); dels[r].clear(); novel[r].clear(); ncols[r].clear();
+      pos_row[r].clear(); neg_row[r].clear();
     }
     nm.assign(rows, 0); n_ins.assign(rows, 0);
     left.assign(rows, 0); right.assign(rows, 0);
@@ -147,8 +183,10 @@ long kgt_annotate(
     ec = S.ec_pileup.data();
   }
 
-  // --- pass A: per-mate classification
-  for (int64_t r = 0; r < rows; ++r) {
+  // --- pass A: per-mate classification (parallel: every write below is
+  // to a slot indexed by r)
+  parallelRows(rows, [&](int64_t r_lo, int64_t r_hi) {
+  for (int64_t r = r_lo; r < r_hi; ++r) {
     const int32_t* cp; const int8_t* bp; int32_t ln;
     rowPtr(r, &cp, &bp, &ln);
     const int64_t g = gene[map_pairs[r / 2]];
@@ -217,6 +255,7 @@ long kgt_annotate(
     S.ev_empty[r] = (ins > 0) || (novel_del_len > 0) || ovh;
     nm_out[r] = (int32_t)nm;
   }
+  });
   for (int64_t p = 0; p < n_mapped; ++p)
     pass_out[p] =
         (S.nm[2 * p] <= num_editdist) && (S.nm[2 * p + 1] <= num_editdist);
@@ -244,33 +283,32 @@ long kgt_annotate(
     std::memcpy(novel_keys_out, S.novel_keys.data(),
                 S.novel_keys.size() * sizeof(int64_t));
 
-  for (int64_t r = 0; r < rows; ++r) {
+  // phase 1 (parallel): build each row's pos/neg lists into row-indexed
+  // scratch (novel_rank is read-only from here on)
+  parallelRows(rows, [&](int64_t r_lo, int64_t r_hi) {
+  for (int64_t r = r_lo; r < r_hi; ++r) {
     bool pass_row = pass_out[r / 2] && !S.ev_empty[r];
+    auto& prow = S.pos_row[r];
+    auto& nrow = S.neg_row[r];
     // positives: known SNPs (col order), known dels, novel SNVs
-    int64_t c0 = pos_n;
     if (pass_row) {
       const int64_t g = gene[map_pairs[r / 2]];
       for (int64_t gi : S.known[r]) {
         if (exon_only && !g_in_exon[gi]) continue;
-        if (pos_n < pos_cap) pos_vals[pos_n] = gi;
-        ++pos_n;
+        prow.push_back(gi);
       }
       for (int64_t gi : S.dels[r]) {
         if (exon_only && !g_in_exon[gi]) continue;
-        if (pos_n < pos_cap) pos_vals[pos_n] = gi;
-        ++pos_n;
+        prow.push_back(gi);
       }
       if (!exon_only) {
         for (int64_t pk : S.novel[r]) {
           int64_t key = (g * Lmax + (pk >> 2)) * 4 + (pk & 3);
-          if (pos_n < pos_cap) pos_vals[pos_n] = Vtot + S.novel_rank[key];
-          ++pos_n;
+          prow.push_back(Vtot + S.novel_rank.find(key)->second);
         }
       }
     }
-    pos_cnt[r] = pos_n - c0;
     // negatives: catalog span minus positives (oracle annotate.py:424-467)
-    int64_t n0 = neg_n;
     if (pass_row && S.any_cons[r]) {
       const int64_t g = gene[map_pairs[r / 2]];
       int64_t li = S.left[r]; if (li < 0) li = 0; if (li > Lmax + 1) li = Lmax + 1;
@@ -293,11 +331,26 @@ long kgt_annotate(
           continue;
         }
         if (exon_only && !g_in_exon[gi]) continue;
-        if (neg_n < neg_cap) neg_vals[neg_n] = gi;
-        ++neg_n;
+        nrow.push_back(gi);
       }
     }
-    neg_cnt[r] = neg_n - n0;
+  }
+  });
+  // phase 2 (sequential): CSR counts + concatenation into the caller's
+  // capacity-checked buffers (same need/retry contract as before)
+  for (int64_t r = 0; r < rows; ++r) {
+    const auto& prow = S.pos_row[r];
+    const auto& nrow = S.neg_row[r];
+    pos_cnt[r] = (int64_t)prow.size();
+    neg_cnt[r] = (int64_t)nrow.size();
+    if (pos_n + (int64_t)prow.size() <= pos_cap)
+      std::memcpy(pos_vals + pos_n, prow.data(),
+                  prow.size() * sizeof(int64_t));
+    pos_n += (int64_t)prow.size();
+    if (neg_n + (int64_t)nrow.size() <= neg_cap)
+      std::memcpy(neg_vals + neg_n, nrow.data(),
+                  nrow.size() * sizeof(int64_t));
+    neg_n += (int64_t)nrow.size();
   }
   if (pos_n > pos_cap && pos_n > need) need = (long)pos_n;
   if (neg_n > neg_cap && neg_n > need) need = (long)neg_n;

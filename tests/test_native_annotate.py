@@ -91,3 +91,17 @@ def test_native_small_caps_regrow(batch, synth_index):
     got = ann.annotateArraysNative(batch)
     want = ann.annotateArrays(batch)
     _assertSame(got, want)
+
+
+def test_native_threaded_matches_oracle(batch, synth_index, monkeypatch):
+    """Force the threaded row-split path (KGT_MIN_ROWS=2) on the small
+    fixture and require bit-identical output, including across thread
+    counts (row splits must not affect CSR order)."""
+    ann = VariantAnnotator(synth_index)
+    if ann._nativeTables() is None:
+        pytest.skip("native lib not built")
+    want = ann.annotateArrays(batch)
+    monkeypatch.setenv("KGT_MIN_ROWS", "2")
+    for threads in ("3", "8"):
+        monkeypatch.setenv("KGT_THREADS", threads)
+        _assertSame(ann.annotateArraysNative(batch), want)
