@@ -14,6 +14,9 @@ readPair/filterRead 228-276/541-578).  Per batch:
 """
 from __future__ import annotations
 
+import contextlib
+import os
+import time
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -26,6 +29,23 @@ from .encode import packCodes4bit, revCompCodes
 from .seeding import DIAG_BUCKET, SeedTable
 
 PAD_L = 64  # front padding of window coordinate space
+
+# Fine-grained host-segment wall times, populated only when KGT_PROFILE
+# is set (scripts/profile_host_path.py reads this to attribute the
+# "host numpy/other" bucket).
+SEG_TIMES: dict[str, float] = {}
+
+
+@contextlib.contextmanager
+def _seg(name: str):
+    if not os.environ.get("KGT_PROFILE"):
+        yield
+        return
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        SEG_TIMES[name] = SEG_TIMES.get(name, 0.0) + (time.time() - t0)
 
 
 def _prepStreams(packed: jnp.ndarray, lens: jnp.ndarray, L: int):
@@ -302,42 +322,85 @@ class GraphAligner:
         return min(b, chunk)
 
     def _tracebackJobs(
-        self, gene, w0, codes, lens,
-        easy=None, end_off=None, chunk: int = 32768,
+        self, gene, w0, codes, lens, easy, end_off,
+        dest_row, dest_which, dst0, dst1, chunk: int = 32768,
     ):
-        """Traceback columns for winner jobs.
+        """Traceback columns for winner jobs, scattered into the
+        per-mate column buffers.
 
         `easy` marks jobs whose optimal alignment is the pure-diagonal
         path at `end_off` (decided on-device in pairSelect): their
         columns are synthesized on host, and the pointer-DP traceback
         runs only for the gapped minority (reads spanning catalogued
-        deletions or carrying novel indels)."""
+        deletions or carrying novel indels).
+
+        Job j's finalized columns (absolute backbone coords with the
+        pseudo-ref junction shift applied, -1 pad / -2 insertion /
+        -3 out-of-reference) are written to
+        ``(dst1 if dest_which[j] else dst0)[dest_row[j]]``.  Native path:
+        one threaded C call per group (native/annotate.cpp
+        kgt_finalize_cols); numpy fallback mirrors it bit-for-bit."""
+        from ..native_io import finalizeColsNative
+
         J = len(gene)
         RL = self.p.read_len
-        costs = self._hostBuf("tb_costs", (J,), np.float32)
-        cols = self._hostBuf("tb_cols", (J, RL), np.int32)
-        glen_all = np.asarray(self.index.lengths)
-        if easy is None:
-            easy = np.zeros(J, dtype=bool)
-        if J:
-            off = np.clip(end_off, 0, self.p.band - 1).astype(np.int32) \
-                if end_off is not None else np.zeros(J, np.int32)
-            if easy.any():
-                eidx = np.nonzero(easy)[0]
-                ne = len(eidx)
-                i = np.arange(RL, dtype=np.int32)[None, :]
-                abs_c = self._hostBuf("easy_cols", (ne, RL), np.int32)
-                np.add(
-                    (w0[eidx] + off[eidx])[:, None].astype(np.int32), i,
-                    out=abs_c,
+        glen_all = self._glenAll()
+        row_pos, row_len = self._row_pos, self._row_len
+        off = np.clip(end_off, 0, self.p.band - 1).astype(np.int32)
+
+        def finalize(idx, start_col, delta, all_easy):
+            """Finalize one job group (easy synthesis or decoded DP)."""
+            n = len(idx)
+            gi = np.ascontiguousarray(gene[idx].astype(np.int32))
+            wi = np.ascontiguousarray(w0[idx].astype(np.int32))
+            with _seg("finalize_cols"):
+                done = finalizeColsNative(
+                    np.full(n, 1 if all_easy else 0, np.uint8),
+                    gi, wi,
+                    np.ascontiguousarray(off[idx]),
+                    np.ascontiguousarray(lens[idx].astype(np.int32)),
+                    start_col, delta,
+                    glen_all, row_pos, row_len,
+                    np.ascontiguousarray(dest_row[idx].astype(np.int64)),
+                    np.ascontiguousarray(dest_which[idx]),
+                    dst0, dst1,
                 )
-                consumed = i < lens[eidx][:, None]
-                glen = glen_all[np.clip(gene[eidx], 0, None)]
-                oor = consumed & ((abs_c < 0) | (abs_c >= glen[:, None]))
-                abs_c[oor] = -3
-                abs_c[~consumed] = -1
-                cols[eidx] = abs_c
-                costs[eidx] = 0.0  # per-mate DP cost stays on device
+            if done:
+                return
+            with _seg("finalize_cols_np"):
+                if all_easy:
+                    i = np.arange(RL, dtype=np.int32)[None, :]
+                    abs_c = (wi + off[idx])[:, None].astype(np.int32) + i
+                    consumed = i < lens[idx][:, None]
+                    glen = glen_all[gi]
+                    oor = consumed & ((abs_c < 0) | (abs_c >= glen[:, None]))
+                    abs_c[oor] = -3
+                    abs_c[~consumed] = -1
+                else:
+                    col = decodeDeltas(start_col, delta)
+                    abs_c = np.where(col >= 0, col + wi[:, None], col)
+                    # consumed bases outside the reference (read overhangs
+                    # a gene boundary; window pad) -> -3 "out of reference"
+                    # sentinel, so they can't collide with the -1/-2
+                    # markers or index OOB
+                    glen = glen_all[gi]
+                    oor = (col >= 0) & ((abs_c < 0) | (abs_c >= glen[:, None]))
+                    abs_c = np.where(oor, -3, abs_c).astype(np.int32)
+                # pseudo-ref cols -> true backbone coords (the junction
+                # then shows as a catalogued-deletion gap to the annotator)
+                shift = ((abs_c >= row_pos[gi][:, None]) & (abs_c >= 0)) \
+                    * row_len[gi][:, None]
+                abs_c += shift.astype(np.int32)
+                for which, dst in ((0, dst0), (1, dst1)):
+                    m = dest_which[idx] == which
+                    if m.any():
+                        dst[dest_row[idx][m]] = abs_c[m]
+
+        costs = self._hostBuf("tb_costs", (J,), np.float32)
+        costs.fill(0.0)  # easy jobs: per-mate DP cost stays on device
+        eidx = np.nonzero(easy)[0]
+        if len(eidx):
+            finalize(eidx, None, None, all_easy=True)
         hard = np.nonzero(~easy)[0]
         for s in range(0, len(hard), chunk):
             hi = hard[s : s + chunk]
@@ -357,16 +420,22 @@ class GraphAligner:
             # download only the real rows (device-side slice): the
             # tunnel's device->host link is the budget
             costs[hi] = np.asarray(c[:n])
-            col = decodeDeltas(np.asarray(start_col[:n]), np.asarray(delta[:n]))
-            abs_col = np.where(col >= 0, col + ww[:n, None], col)
-            # consumed bases outside the reference (read overhangs a gene
-            # boundary; window pad) -> -3 "out of reference" sentinel, so
-            # they can't collide with the -1/-2 markers or index OOB
-            glen = glen_all[np.clip(wg[:n], 0, None)]
-            oor = (col >= 0) & ((abs_col < 0) | (abs_col >= glen[:, None]))
-            abs_col = np.where(oor, -3, abs_col)
-            cols[hi] = abs_col
-        return costs, cols
+            finalize(
+                hi,
+                np.ascontiguousarray(np.asarray(start_col[:n], np.int32)),
+                np.ascontiguousarray(np.asarray(delta[:n], np.int8)),
+                all_easy=False,
+            )
+        return costs
+
+    def _glenAll(self) -> np.ndarray:
+        g = getattr(self, "_glen_all", None)
+        if g is None:
+            g = np.ascontiguousarray(
+                np.asarray(self.index.lengths, dtype=np.int64)
+            )
+            self._glen_all = g
+        return g
 
     # ------------------------------------------------------------------
     CHUNK_PAIRS = 32768  # fixed upper shape: big batches stream in chunks
@@ -377,7 +446,17 @@ class GraphAligner:
         len1: np.ndarray,
         codes2: np.ndarray,
         len2: np.ndarray,
+        host_work=None,
     ) -> AlignResult:
+        """Align mate pairs.  `host_work`, when given, is invoked once at
+        the point where this batch's seed/score/pair-select kernels have
+        been dispatched but nothing has been downloaded yet — pure host
+        work runs there concurrently with the device kernels (the
+        streaming driver in align/stream.py annotates the previous chunk
+        in that window).  host_work must not touch this aligner's
+        persistent scratch buffers' current contents (the previous
+        AlignResult views are still safe: scratch writes happen after
+        host_work returns)."""
         N0 = len(codes1)
         if N0 > self.CHUNK_PAIRS:
             # copy each chunk's fields BEFORE the next chunk runs: chunk
@@ -440,8 +519,9 @@ class GraphAligner:
         # from the 4-stream pool; invalid slots cost >= 1e9.  The upload
         # is nibble-packed forward mates only; the reverse-complement
         # streams are derived on device (4x fewer bytes across the link).
-        lens_fwd = np.concatenate([len1, len2]).astype(np.int32)
-        packed = packCodes4bit(np.concatenate([codes1, codes2], axis=0))
+        with _seg("pack_upload"):
+            lens_fwd = np.concatenate([len1, len2]).astype(np.int32)
+            packed = packCodes4bit(np.concatenate([codes1, codes2], axis=0))
 
         from ..parallel.cohort import _selRows, decodeCandidates, scoreDenseGrid
         from .seeding import _findCandidates
@@ -467,9 +547,10 @@ class GraphAligner:
         i16_d, i8_d, best_d = self._pair_select(
             cost_d, gene_d, orient_d, diag_d, end_d, codes_dev, lens_dev
         )
-        i16 = np.asarray(i16_d).astype(np.int32)
-        i8 = np.asarray(i8_d)
-        best = np.asarray(best_d)
+        with _seg("download_winners"):
+            i16 = np.asarray(i16_d).astype(np.int32)
+            i8 = np.asarray(i8_d)
+            best = np.asarray(best_d)
         g1, g2, d1, d2 = i16
         (isrc1i, isrc2i, eoff1, eoff2, nh, mappedi, easy1, easy2) = i8
         w01 = d1 * DIAG_BUCKET - DIAG_BUCKET
@@ -480,9 +561,7 @@ class GraphAligner:
         isrc1 = isrc1i.astype(bool)
         isrc2 = isrc2i.astype(bool)
         mapped = mappedi.astype(bool)
-        row_true, row_pos, row_len = (
-            self._row_true, self._row_pos, self._row_len,
-        )
+        row_true = self._row_true
         logger.info(
             f"[Align] {N} pairs -> {int(mapped.sum())} concordant"
         )
@@ -490,25 +569,29 @@ class GraphAligner:
         # oriented-read buffers for the annotator: reverse-complement only
         # the rows whose winner is the rc stream (host rc of the full
         # batch would double the work for nothing)
-        oc1 = self._hostBuf("oc1", (N, RL), np.int8)
-        oc2 = self._hostBuf("oc2", (N, RL), np.int8)
-        np.copyto(oc1, codes1)
-        if isrc1.any():
-            oc1[isrc1] = revCompCodes(codes1[isrc1], len1[isrc1])
-        np.copyto(oc2, codes2)
-        if isrc2.any():
-            oc2[isrc2] = revCompCodes(codes2[isrc2], len2[isrc2])
+        with _seg("orient_bufs"):
+            oc1 = self._hostBuf("oc1", (N, RL), np.int8)
+            oc2 = self._hostBuf("oc2", (N, RL), np.int8)
+            np.copyto(oc1, codes1)
+            if isrc1.any():
+                oc1[isrc1] = revCompCodes(codes1[isrc1], len1[isrc1])
+            np.copyto(oc2, codes2)
+            if isrc2.any():
+                oc2[isrc2] = revCompCodes(codes2[isrc2], len2[isrc2])
         l1, l2 = len1.astype(np.int32), len2.astype(np.int32)
 
         midx = np.nonzero(mapped)[0]
-        cols_l = self._hostBuf("cols_l", (N, RL), np.int32)
-        cols_r = self._hostBuf("cols_r", (N, RL), np.int32)
-        cols_l.fill(-1)
-        cols_r.fill(-1)
+        with _seg("cols_fill"):
+            cols_l = self._hostBuf("cols_l", (N, RL), np.int32)
+            cols_r = self._hostBuf("cols_r", (N, RL), np.int32)
+            cols_l.fill(-1)
+            cols_r.fill(-1)
         if len(midx):
-            # both mates' winners in ONE traceback dispatch
+            # both mates' winners in ONE traceback dispatch; columns are
+            # finalized (junction shift applied) and scattered straight
+            # into cols_l/cols_r by mate
             nw = len(midx)
-            _, cw = self._tracebackJobs(
+            self._tracebackJobs(
                 np.concatenate([g1[midx], g2[midx]]),
                 np.concatenate([w01[midx], w02[midx]]),
                 np.concatenate([oc1[midx], oc2[midx]]),
@@ -517,15 +600,13 @@ class GraphAligner:
                     [easy1[midx], easy2[midx]]
                 ).astype(bool),
                 end_off=np.concatenate([eoff1[midx], eoff2[midx]]),
+                dest_row=np.concatenate([midx, midx]).astype(np.int64),
+                dest_which=np.concatenate(
+                    [np.zeros(nw, np.uint8), np.ones(nw, np.uint8)]
+                ),
+                dst0=cols_l,
+                dst1=cols_r,
             )
-            cl, cr = cw[:nw], cw[nw:]
-            # pseudo-ref cols -> true backbone coords (the junction then
-            # shows as a catalogued-deletion gap to the annotator)
-            for cols, gw in ((cl, g1[midx]), (cr, g2[midx])):
-                shift = ((cols >= row_pos[gw][:, None]) & (cols >= 0)) * row_len[gw][:, None]
-                cols += shift.astype(np.int32)
-            cols_l[midx] = cl
-            cols_r[midx] = cr
 
         return AlignResult(
             gene=np.where(mapped, row_true[g1], -1).astype(np.int32),

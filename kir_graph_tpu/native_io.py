@@ -127,6 +127,49 @@ def loadFastqEncoded(
     return codes, lens
 
 
+def finalizeColsNative(
+    easy: np.ndarray,       # [J] uint8
+    gene: np.ndarray,       # [J] int32 pseudo-row ids
+    w0: np.ndarray,         # [J] int32
+    off: np.ndarray,        # [J] int32
+    lens: np.ndarray,       # [J] int32
+    start_col,              # [J] int32 or None (all-easy call)
+    delta,                  # [J, RL] int8 or None
+    glen: np.ndarray,       # [G] int64
+    row_pos: np.ndarray,    # [G] int64
+    row_len: np.ndarray,    # [G] int64
+    dest_row: np.ndarray,   # [J] int64
+    dest_which: np.ndarray, # [J] uint8
+    dst0: np.ndarray,       # [N, RL] int32
+    dst1: np.ndarray,       # [N, RL] int32
+) -> bool:
+    """Threaded traceback-column finalize (native/annotate.cpp
+    kgt_finalize_cols).  Returns False when the native lib is absent or
+    disabled; the caller then runs its numpy fallback."""
+    lib = _loadLib()
+    if (
+        not lib
+        or not hasattr(lib, "kgt_finalize_cols")
+        or os.environ.get("KGT_NO_NATIVE")
+    ):
+        return False
+
+    def p(a, ct):
+        return None if a is None else a.ctypes.data_as(ctypes.POINTER(ct))
+
+    i8, i32, i64, u8 = (
+        ctypes.c_int8, ctypes.c_int32, ctypes.c_int64, ctypes.c_uint8,
+    )
+    lib.kgt_finalize_cols(
+        ctypes.c_int64(len(easy)), ctypes.c_int32(dst0.shape[1]),
+        p(easy, u8), p(gene, i32), p(w0, i32), p(off, i32), p(lens, i32),
+        p(start_col, i32), p(delta, i8),
+        p(glen, i64), p(row_pos, i64), p(row_len, i64),
+        p(dest_row, i64), p(dest_which, u8), p(dst0, i32), p(dst1, i32),
+    )
+    return True
+
+
 def packReadsNative(codes: np.ndarray) -> np.ndarray:
     """2-bit pack via the native library (fallback: encode.packCodes2bit)."""
     lib = _loadLib()

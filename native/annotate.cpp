@@ -29,14 +29,13 @@
 
 namespace {
 
-// Run fn(lo, hi) over [0, n) on worker threads.  Row work is fully
-// independent in the parallelised passes (every write goes to a
-// row-indexed slot), so plain range splitting is safe.  KGT_THREADS
-// overrides; small batches stay single-threaded (thread spawn ~50us).
-// KGT_MIN_ROWS lowers the small-batch cutoff so tests can force the
-// threaded path on fixture-sized inputs.
-template <typename F>
-void parallelRows(int64_t n, F fn) {
+// Worker-thread helpers.  Row work is fully independent in the
+// parallelised passes (every write goes to a row-indexed or
+// thread-indexed slot), so plain range splitting is safe.  KGT_THREADS
+// overrides the thread count; small batches stay single-threaded
+// (thread spawn ~50us).  KGT_MIN_ROWS lowers the small-batch cutoff so
+// tests can force the threaded path on fixture-sized inputs.
+unsigned threadCount(int64_t n) {
   unsigned hw = std::thread::hardware_concurrency();
   if (const char* env = std::getenv("KGT_THREADS")) {
     long v = std::strtol(env, nullptr, 10);
@@ -48,15 +47,27 @@ void parallelRows(int64_t n, F fn) {
     if (v > 0) min_rows = (int64_t)v;
   }
   unsigned T = hw ? (hw > 16 ? 16 : hw) : 1;
-  if (T <= 1 || n < min_rows) { fn((int64_t)0, n); return; }
+  return (T <= 1 || n < min_rows) ? 1 : T;
+}
+
+// Run fn(tid, lo, hi) over [0, n) split into T contiguous ranges.
+template <typename F>
+void runRanges(int64_t n, unsigned T, F fn) {
+  if (T <= 1) { fn(0u, (int64_t)0, n); return; }
   std::vector<std::thread> ts;
   int64_t step = (n + T - 1) / T;
   for (unsigned t = 0; t < T; ++t) {
     int64_t lo = (int64_t)t * step, hi = lo + step < n ? lo + step : n;
     if (lo >= hi) break;
-    ts.emplace_back(fn, lo, hi);
+    ts.emplace_back(fn, t, lo, hi);
   }
   for (auto& th : ts) th.join();
+}
+
+template <typename F>
+void parallelRows(int64_t n, F fn) {
+  runRanges(n, threadCount(n),
+            [&](unsigned, int64_t lo, int64_t hi) { fn(lo, hi); });
 }
 
 struct Scratch {
@@ -72,6 +83,7 @@ struct Scratch {
   std::unordered_map<int64_t, int64_t> novel_rank;
   std::vector<int64_t> novel_keys;
   std::vector<int32_t> ec_pileup;
+  std::vector<int32_t> pileup_tl;  // per-thread pileup histograms
 
   void reset(size_t rows) {
     if (known.size() < rows) {
@@ -168,17 +180,35 @@ long kgt_annotate(
   // oracle annotate.py:261-286)
   const int32_t* ec = nullptr;
   if (error_correction) {
-    S.ec_pileup.assign((size_t)Gt * Lmax * 5, 0);
-    for (int64_t r = 0; r < rows; ++r) {
-      const int32_t* cp; const int8_t* bp; int32_t ln;
-      rowPtr(r, &cp, &bp, &ln);
-      int64_t g = gene[map_pairs[r / 2]];
-      for (int32_t i = 0; i < ln; ++i) {
-        if (cp[i] >= 0) {
-          int8_t b = bp[i] < 4 ? bp[i] : 4;
-          ++S.ec_pileup[(g * Lmax + cp[i]) * 5 + b];
+    const int64_t HS = (int64_t)Gt * Lmax * 5;
+    S.ec_pileup.assign((size_t)HS, 0);
+    auto accum = [&](int64_t r_lo, int64_t r_hi, int32_t* hist) {
+      for (int64_t r = r_lo; r < r_hi; ++r) {
+        const int32_t* cp; const int8_t* bp; int32_t ln;
+        rowPtr(r, &cp, &bp, &ln);
+        int64_t g = gene[map_pairs[r / 2]];
+        for (int32_t i = 0; i < ln; ++i) {
+          if (cp[i] >= 0) {
+            int8_t b = bp[i] < 4 ? bp[i] : 4;
+            ++hist[(g * Lmax + cp[i]) * 5 + b];
+          }
         }
       }
+    };
+    unsigned T = threadCount(rows);
+    if (T <= 1) {
+      accum(0, rows, S.ec_pileup.data());
+    } else {
+      S.pileup_tl.assign((size_t)T * HS, 0);
+      runRanges(rows, T, [&](unsigned tid, int64_t lo, int64_t hi) {
+        accum(lo, hi, S.pileup_tl.data() + (int64_t)tid * HS);
+      });
+      runRanges(HS, T, [&](unsigned, int64_t lo, int64_t hi) {
+        for (unsigned t = 0; t < T; ++t) {
+          const int32_t* h = S.pileup_tl.data() + (int64_t)t * HS;
+          for (int64_t i = lo; i < hi; ++i) S.ec_pileup[i] += h[i];
+        }
+      });
     }
     ec = S.ec_pileup.data();
   }
@@ -356,21 +386,104 @@ long kgt_annotate(
   if (neg_n > neg_cap && neg_n > need) need = (long)neg_n;
 
   // --- depth/pileup over passing unique pairs (raw bases;
-  // oracle annotate.py:472-480)
-  for (int64_t p = 0; p < n_mapped; ++p) {
-    if (!pass_out[p] || nh[map_pairs[p]] != 1) continue;
-    const int64_t g = gene[map_pairs[p]];
-    for (int m = 0; m < 2; ++m) {
-      const int32_t* cp; const int8_t* bp; int32_t ln;
-      rowPtr(2 * p + m, &cp, &bp, &ln);
-      for (int32_t i = 0; i < ln; ++i)
-        if (cp[i] >= 0) {
-          int8_t b = bp[i] < 4 ? bp[i] : 4;
-          ++pileup_out[(g * Lmax + cp[i]) * 5 + b];
+  // oracle annotate.py:472-480).  Parallel via per-thread histograms
+  // (pair order never matters: counts are commutative), reduced in
+  // parallel over the histogram span.
+  {
+    const int64_t HS = (int64_t)Gt * Lmax * 5;
+    auto accum = [&](int64_t p_lo, int64_t p_hi, int32_t* hist) {
+      for (int64_t p = p_lo; p < p_hi; ++p) {
+        if (!pass_out[p] || nh[map_pairs[p]] != 1) continue;
+        const int64_t g = gene[map_pairs[p]];
+        for (int m = 0; m < 2; ++m) {
+          const int32_t* cp; const int8_t* bp; int32_t ln;
+          rowPtr(2 * p + m, &cp, &bp, &ln);
+          for (int32_t i = 0; i < ln; ++i)
+            if (cp[i] >= 0) {
+              int8_t b = bp[i] < 4 ? bp[i] : 4;
+              ++hist[(g * Lmax + cp[i]) * 5 + b];
+            }
         }
+      }
+    };
+    unsigned T = threadCount(2 * n_mapped);
+    if (T <= 1) {
+      accum(0, n_mapped, pileup_out);
+    } else {
+      S.pileup_tl.assign((size_t)T * HS, 0);
+      runRanges(n_mapped, T, [&](unsigned tid, int64_t lo, int64_t hi) {
+        accum(lo, hi, S.pileup_tl.data() + (int64_t)tid * HS);
+      });
+      runRanges(HS, T, [&](unsigned, int64_t lo, int64_t hi) {
+        for (unsigned t = 0; t < T; ++t) {
+          const int32_t* h = S.pileup_tl.data() + (int64_t)t * HS;
+          for (int64_t i = lo; i < hi; ++i) pileup_out[i] += h[i];
+        }
+      });
     }
   }
   return need;
+}
+
+// Finalize traceback columns for winner jobs, mirroring the numpy passes
+// in align/pipeline.py (easy-path synthesis, DP delta decode, the
+// out-of-reference -3 marking, the pseudo-ref -> true-backbone shift and
+// the scatter into the per-mate column buffers) in one threaded pass.
+//
+// Per job j: writes RL int32 columns into
+//   (dest_which[j] ? dst1 : dst0) + dest_row[j] * RL.
+// easy[j] != 0 -> pure-diagonal synthesis from w0+off; else decode the
+// delta stream (delta<0 -> -1 pad, 0 -> -2 insertion, >0 -> advance).
+// start_col/delta may be NULL when every job is easy.
+void kgt_finalize_cols(
+    int64_t n_jobs, int32_t RL,
+    const uint8_t* easy,       // [n_jobs]
+    const int32_t* gene,       // [n_jobs] pseudo-row ids (>= 0)
+    const int32_t* w0,         // [n_jobs] window origin
+    const int32_t* off,        // [n_jobs] diagonal end offset (easy path)
+    const int32_t* lens,       // [n_jobs]
+    const int32_t* start_col,  // [n_jobs] window coords (hard path)
+    const int8_t* delta,       // [n_jobs, RL] (hard path)
+    const int64_t* glen,       // [G_rows] pseudo-row reference lengths
+    const int64_t* row_pos,    // [G_rows] pseudo-ref junction position
+    const int64_t* row_len,    // [G_rows] junction shift amount
+    const int64_t* dest_row,   // [n_jobs]
+    const uint8_t* dest_which, // [n_jobs] 0 -> dst0, 1 -> dst1
+    int32_t* dst0, int32_t* dst1) {
+  parallelRows(n_jobs, [&](int64_t j_lo, int64_t j_hi) {
+    for (int64_t j = j_lo; j < j_hi; ++j) {
+      int32_t* out = (dest_which[j] ? dst1 : dst0) + dest_row[j] * RL;
+      const int64_t g = gene[j];
+      const int64_t gl = glen[g];
+      const int64_t rp = row_pos[g], shift = row_len[g];
+      const int32_t ln = lens[j];
+      if (easy[j]) {
+        const int64_t base = (int64_t)w0[j] + off[j];
+        for (int32_t i = 0; i < RL; ++i) {
+          if (i >= ln) { out[i] = -1; continue; }
+          int64_t c = base + i;
+          if (c < 0 || c >= gl) { out[i] = -3; continue; }
+          out[i] = (int32_t)(c >= rp ? c + shift : c);
+        }
+      } else {
+        const int8_t* d = delta + j * RL;
+        int64_t c = (int64_t)start_col[j] - 1;
+        for (int32_t i = 0; i < RL; ++i) {
+          const int8_t dv = d[i];
+          if (dv > 0) c += dv;
+          if (dv < 0) { out[i] = -1; continue; }
+          if (dv == 0) { out[i] = -2; continue; }
+          if (c < 0) {  // negative non-marker cols pass through unshifted
+            out[i] = (int32_t)c;
+            continue;
+          }
+          const int64_t a = c + w0[j];
+          if (a < 0 || a >= gl) { out[i] = -3; continue; }
+          out[i] = (int32_t)(a >= rp ? a + shift : a);
+        }
+      }
+    }
+  });
 }
 
 }  // extern "C"

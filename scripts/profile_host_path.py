@@ -72,6 +72,8 @@ def main():
     aligner._tracebackJobs = timed("tracebackJobs", aligner._tracebackJobs)
     pl.revCompCodes = timed("hostRevComp", pl.revCompCodes)
 
+    os.environ["KGT_PROFILE"] = "1"
+    pl.SEG_TIMES.clear()
     t0 = time.time()
     result = aligner.alignPairs(c1, l1, c2, l2)
     total = time.time() - t0
@@ -89,6 +91,10 @@ def main():
         print(f"  {k:>16}: {v:6.2f}s")
     other = total - sum(TIMES.values())
     print(f"  {'host numpy/other':>16}: {other:6.2f}s")
+    if pl.SEG_TIMES:
+        print("  host segments (KGT_PROFILE):")
+        for k, v in sorted(pl.SEG_TIMES.items(), key=lambda kv: -kv[1]):
+            print(f"    {k:>18}: {v:6.3f}s")
     print(f"annotate: {t_ann:.2f}s")
     print(f"product path: {n_reads/(total+t_ann):,.0f} reads/s")
 

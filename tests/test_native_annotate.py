@@ -105,3 +105,36 @@ def test_native_threaded_matches_oracle(batch, synth_index, monkeypatch):
     for threads in ("3", "8"):
         monkeypatch.setenv("KGT_THREADS", threads)
         _assertSame(ann.annotateArraysNative(batch), want)
+
+
+def test_native_finalize_cols_matches_numpy(synth_genes, synth_index,
+                                            monkeypatch):
+    """alignPairs' traceback-column finalize: the threaded native path
+    (kgt_finalize_cols) must produce bit-identical AlignResult arrays to
+    the numpy fallback."""
+    from kir_graph_tpu import native_io
+
+    if not native_io.nativeAvailable():
+        pytest.skip("native lib not built")
+    seqs = {}
+    for gname in synth_index.gene_names:
+        g = synth_index.genes[gname]
+        msa = synth_genes[gname.split("*")[0]]
+        for ai in (1, 2):
+            seqs[g.alleles[ai]] = alleleUngappedSeq(msa, g.alleles[ai])
+    sim = simulatePairedReads(seqs, depth=4, seed=23, error_rate=0.02)
+    c1, l1 = encodeReads(sim.r1)
+    c2, l2 = encodeReads(sim.r2)
+    aligner = GraphAligner(synth_index)
+    monkeypatch.setenv("KGT_MIN_ROWS", "2")
+    monkeypatch.setenv("KGT_THREADS", "3")
+    got = aligner.alignPairs(c1, l1, c2, l2)
+    # results are views of the aligner's persistent scratch: copy before
+    # the second call overwrites them
+    fields = list(type(got).__dataclass_fields__)
+    keep = {k: getattr(got, k).copy() for k in fields}
+    monkeypatch.setenv("KGT_NO_NATIVE", "1")
+    want = aligner.alignPairs(c1, l1, c2, l2)
+    assert keep["gene"].sum() and (keep["cols_l"] >= 0).any()
+    for k in fields:
+        np.testing.assert_array_equal(keep[k], getattr(want, k), err_msg=k)
