@@ -207,6 +207,8 @@ def main() -> None:
     from kir_graph_tpu.align.annotate import VariantAnnotator
     from kir_graph_tpu.align.pipeline import GraphAligner
 
+    from kir_graph_tpu.align.stream import alignAnnotateStream
+
     aligner = GraphAligner(index)
     annotator = VariantAnnotator(index)
     c1e, l1e = c1[:N], l1[:N]     # un-padded originals
@@ -234,6 +236,29 @@ def main() -> None:
         f"iters {[round(t, 2) for t, _ in exact_times]})"
     )
 
+    # big-batch product path (pipeline/run.py): batches beyond one
+    # 32768-pair chunk stream through align/stream.py — chunk k+1's
+    # kernels overlap chunk k's host annotation, bit-identical output
+    # (tests/test_stream.py).  Measured on a 2-chunk batch.
+    n_big = 2 * GraphAligner.CHUNK_PAIRS
+    reps = (n_big + N - 1) // N
+    cb1 = np.concatenate([c1e] * reps)[:n_big]
+    lb1 = np.concatenate([l1e] * reps)[:n_big]
+    cb2 = np.concatenate([c2e] * reps)[:n_big]
+    lb2 = np.concatenate([l2e] * reps)[:n_big]
+    stream_times = []
+    for _ in range(3):
+        t0 = time.time()
+        alignAnnotateStream(aligner, annotator, cb1, lb1, cb2, lb2)
+        stream_times.append(time.time() - t0)
+    dt_stream = min(stream_times)
+    stream_reads_per_s = 2 * n_big / dt_stream
+    log(
+        f"[bench] exact path streamed ({n_big} pairs, 2 chunks): "
+        f"{stream_reads_per_s:,.0f} reads/s "
+        f"(iters {[round(t, 2) for t in stream_times]})"
+    )
+
     print(
         json.dumps(
             {
@@ -245,6 +270,7 @@ def main() -> None:
                 "exact_path_vs_baseline": round(
                     exact_reads_per_s / HISAT2_BASELINE_READS_PER_S, 2
                 ),
+                "exact_streamed_reads_per_s": round(stream_reads_per_s, 1),
                 "baseline_reads_per_s": HISAT2_BASELINE_READS_PER_S,
             }
         )

@@ -704,23 +704,41 @@ class VariantAnnotator:
         )
         return ev, depth, pileup
 
+    def catalogVariants(self) -> list:
+        """Concatenated per-gene catalog Variant list (cached)."""
+        v = getattr(self, "_catalog_variants", None)
+        if v is None:
+            v = []
+            for t in self.tables:
+                v.extend(self.index.genes[t.name].variants)
+            self._catalog_variants = v
+        return list(v)
+
     def toPairReads(self, ev: EvidenceArrays) -> list[PairRead]:
-        """EvidenceArrays -> PairRead list (only at JSON/compat boundaries)."""
-        ids = ev.ids
-        pp, pi = ev.pos_indptr, ev.pos_idx
-        np_, ni = ev.neg_indptr, ev.neg_idx
+        """EvidenceArrays -> PairRead list (only at JSON/compat boundaries).
+
+        One vectorised id gather + bulk tolist() up front; the loop then
+        only slices Python lists (per-element numpy indexing here used to
+        cost ~0.3s per 30k-pair batch)."""
+        pos_ids = ev.ids[ev.pos_idx].tolist()
+        neg_ids = ev.ids[ev.neg_idx].tolist()
+        pp = ev.pos_indptr.tolist()
+        np_ = ev.neg_indptr.tolist()
+        gene_l = ev.gene.tolist()
+        nh_l = ev.nh.tolist()
+        names = [t.name for t in self.tables]
         reads = []
-        for n in np.nonzero(ev.pass_mask)[0]:
+        for n in np.nonzero(ev.pass_mask)[0].tolist():
             r0, r1 = 2 * n, 2 * n + 1
             reads.append(
                 PairRead(
-                    backbone=self.tables[ev.gene[n]].name,
-                    multiple=int(ev.nh[n]),
-                    lpv=[ids[i] for i in pi[pp[r0]:pp[r0 + 1]]],
-                    lnv=[ids[i] for i in ni[np_[r0]:np_[r0 + 1]]],
-                    rpv=[ids[i] for i in pi[pp[r1]:pp[r1 + 1]]],
-                    rnv=[ids[i] for i in ni[np_[r1]:np_[r1 + 1]]],
-                    pair_index=int(n),
+                    backbone=names[gene_l[n]],
+                    multiple=nh_l[n],
+                    lpv=pos_ids[pp[r0]:pp[r0 + 1]],
+                    lnv=neg_ids[np_[r0]:np_[r0 + 1]],
+                    rpv=pos_ids[pp[r1]:pp[r1 + 1]],
+                    rnv=neg_ids[np_[r1]:np_[r1 + 1]],
+                    pair_index=n,
                 )
             )
         return reads
@@ -743,10 +761,7 @@ class VariantAnnotator:
         ev, depth, pileup = impl(
             result, exon_only=exon_only, error_correction=error_correction
         )
-        variants: list[Variant] = []
-        for t in self.tables:
-            variants.extend(self.index.genes[t.name].variants)
-        variants.extend(ev.novel_variants)
+        variants = self.catalogVariants() + ev.novel_variants
         reads = self.toPairReads(ev)
         return (
             {"variants": variants, "reads": reads},

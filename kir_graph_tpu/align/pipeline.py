@@ -469,6 +469,7 @@ class GraphAligner:
                     len1[s : s + self.CHUNK_PAIRS],
                     codes2[s : s + self.CHUNK_PAIRS],
                     len2[s : s + self.CHUNK_PAIRS],
+                    host_work=host_work if s == 0 else None,
                 )
                 for k in AlignResult.__dataclass_fields__:
                     v = getattr(part, k)
@@ -491,7 +492,9 @@ class GraphAligner:
 
             codes1, codes2 = padc(codes1), padc(codes2)
             len1, len2 = padl(len1), padl(len2)
-        result = self._alignPairsInner(codes1, len1, codes2, len2)
+        result = self._alignPairsInner(
+            codes1, len1, codes2, len2, host_work=host_work
+        )
         if Nb > N0:
             result = AlignResult(
                 **{
@@ -507,6 +510,7 @@ class GraphAligner:
         len1: np.ndarray,
         codes2: np.ndarray,
         len2: np.ndarray,
+        host_work=None,
     ) -> AlignResult:
         N = len(codes1)
         RL = self.p.read_len
@@ -547,6 +551,13 @@ class GraphAligner:
         i16_d, i8_d, best_d = self._pair_select(
             cost_d, gene_d, orient_d, diag_d, end_d, codes_dev, lens_dev
         )
+        if host_work is not None:
+            # everything device-side for this batch is dispatched; run
+            # the caller's host work (e.g. annotation of the previous
+            # chunk) while the kernels execute.  No scratch buffer has
+            # been written yet, so previous AlignResult views stay valid
+            # until this returns.
+            host_work()
         with _seg("download_winners"):
             i16 = np.asarray(i16_d).astype(np.int32)
             i8 = np.asarray(i8_d)

@@ -1,0 +1,191 @@
+"""
+Pipelined align+annotate over chunked batches.
+
+The exact product path alternates device phases (seed/score/pair-select,
+traceback) with pure host phases (variant annotation).  Run one-shot,
+the device idles during annotation and the host idles during the
+kernels.  `alignAnnotateStream` overlaps them: while chunk k is being
+annotated on the host, chunk k+1's seed/score/pair-select kernels are
+already executing on the device (via GraphAligner.alignPairs'
+`host_work` hook, which fires after dispatch and before the first
+blocking download).
+
+Output is bit-identical to `annotator.annotate(aligner.alignPairs(...))`
+on the whole batch: per-chunk EvidenceArrays are merged with the novel
+SNV registry rebuilt in global first-occurrence order (the one-shot
+order, since chunks are processed in row order).
+
+The reference's analogue is hisat2's own reader/aligner thread pipeline
+feeding a downstream typing process (hisat2.py:68-92 drives the
+subprocess; the OS pipeline overlaps them).  Here the overlap is
+explicit and in-process.
+
+Error-correction mode falls back to one-shot: its minority-base pileup
+is batch-global (annotate.py oracle), so chunk-local pileups would
+change results.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..index.variants import IdAllocator, Variant
+from .annotate import EvidenceArrays, VariantAnnotator
+from .pipeline import GraphAligner
+
+
+def mergeEvidence(
+    annotator: VariantAnnotator, chunks: list[EvidenceArrays]
+) -> EvidenceArrays:
+    """Concatenate per-chunk EvidenceArrays into one batch-wide object.
+
+    Novel SNVs are re-registered in global first-occurrence order and
+    chunk-local indices [Vtot, Vtot+U_k) remapped, so the result equals
+    a single annotate call over the concatenated batch.
+    """
+    if len(chunks) == 1:
+        return chunks[0]
+    Vtot = chunks[0].n_catalog
+    alloc = IdAllocator()
+    rank: dict[tuple, int] = {}
+    merged_novel: list[Variant] = []
+    pos_parts, neg_parts = [], []
+    for ev in chunks:
+        remap = np.empty(len(ev.novel_variants), dtype=np.int64)
+        for u, v in enumerate(ev.novel_variants):
+            key = (v.ref, v.pos, v.val)
+            r = rank.get(key)
+            if r is None:
+                r = rank[key] = len(merged_novel)
+                merged_novel.append(
+                    Variant(
+                        pos=v.pos, typ=v.typ, ref=v.ref, val=v.val,
+                        id=alloc.nextNovel(),
+                    )
+                )
+            remap[u] = Vtot + r
+        for src, parts in ((ev.pos_idx, pos_parts), (ev.neg_idx, neg_parts)):
+            out = src
+            if len(remap):
+                novel_rows = src >= Vtot
+                if novel_rows.any():
+                    out = src.copy()
+                    out[novel_rows] = remap[src[novel_rows] - Vtot]
+            parts.append(out)
+
+    def catIndptr(get):
+        parts, base = [np.zeros(1, dtype=np.int64)], 0
+        for ev in chunks:
+            parts.append(get(ev)[1:].astype(np.int64) + base)
+            base += int(get(ev)[-1])
+        return np.concatenate(parts)
+
+    ids_all = np.concatenate(
+        [
+            chunks[0].ids[:Vtot],
+            np.array([str(v.id) for v in merged_novel], dtype=object),
+        ]
+    )
+    return EvidenceArrays(
+        gene=np.concatenate([ev.gene for ev in chunks]),
+        nh=np.concatenate([ev.nh for ev in chunks]),
+        nm=np.concatenate([ev.nm for ev in chunks], axis=1),
+        pass_mask=np.concatenate([ev.pass_mask for ev in chunks]),
+        pos_indptr=catIndptr(lambda e: e.pos_indptr),
+        pos_idx=np.concatenate(pos_parts),
+        neg_indptr=catIndptr(lambda e: e.neg_indptr),
+        neg_idx=np.concatenate(neg_parts),
+        ids=ids_all,
+        novel_variants=merged_novel,
+        n_catalog=Vtot,
+    )
+
+
+def alignAnnotateStream(
+    aligner: GraphAligner,
+    annotator: VariantAnnotator,
+    codes1: np.ndarray,
+    len1: np.ndarray,
+    codes2: np.ndarray,
+    len2: np.ndarray,
+    chunk: int | None = None,
+    exon_only: bool = False,
+    error_correction: bool = False,
+    chunk_hook=None,
+) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
+    """Pipelined exact product path; same contract as
+    `VariantAnnotator.annotate` (reads+variants dict, depth, pileup,
+    pass mask), bit-identical to the one-shot path.
+
+    `chunk` defaults to the aligner's CHUNK_PAIRS (32768): batches that
+    size or smaller run exactly one-shot, and bigger batches — which
+    alignPairs would split into CHUNK_PAIRS chunks anyway — get the
+    annotation overlap for free, with no extra dispatches.  Smaller
+    chunks buy more overlap per boundary but add per-chunk dispatch +
+    download latency; on a remote/tunneled device that latency dominates
+    (measured: scripts/profile_stream.py), so only lower this on a
+    locally attached chip.  Use one of the aligner's pad buckets (256,
+    1024, 4096, 16384, 32768) — other sizes just pad up to the next
+    bucket.
+
+    `chunk_hook(offset, result, pass_mask)`, when given, fires once per
+    chunk while that chunk's AlignResult scratch views are still valid —
+    use it to capture per-pair placements (`pipeline/run.py` saves the
+    passing rows for novel discovery).  `offset` is the chunk's first
+    pair index in the full batch.
+    """
+    if chunk is None:
+        chunk = aligner.CHUNK_PAIRS
+    N = len(codes1)
+    if error_correction or N <= chunk:
+        result = aligner.alignPairs(codes1, len1, codes2, len2)
+        out = annotator.annotate(
+            result, exon_only=exon_only, error_correction=error_correction
+        )
+        if chunk_hook is not None:
+            chunk_hook(0, result, out[3])
+        return out
+    chunk = min(chunk, aligner.CHUNK_PAIRS)
+    impl = (
+        annotator.annotateArraysNative
+        if annotator._nativeTables() is not None
+        and not os.environ.get("KGT_NO_NATIVE")
+        else annotator.annotateArrays
+    )
+
+    evs: list[EvidenceArrays] = []
+    depth_sum = pileup_sum = None
+    pending = None  # previous chunk's AlignResult (scratch views)
+
+    def annotatePending():
+        nonlocal pending, depth_sum, pileup_sum
+        if pending is None:
+            return
+        offset, result = pending
+        ev, depth, pileup = impl(result, exon_only=exon_only)
+        if chunk_hook is not None:
+            chunk_hook(offset, result, ev.pass_mask)
+        pending = None
+        evs.append(ev)
+        depth_sum = depth if depth_sum is None else depth_sum + depth
+        pileup_sum = pileup if pileup_sum is None else pileup_sum + pileup
+
+    for s in range(0, N, chunk):
+        result_next = aligner.alignPairs(
+            codes1[s : s + chunk], len1[s : s + chunk],
+            codes2[s : s + chunk], len2[s : s + chunk],
+            host_work=annotatePending,
+        )
+        pending = (s, result_next)
+    annotatePending()
+
+    ev = mergeEvidence(annotator, evs)
+    variants = annotator.catalogVariants() + ev.novel_variants
+    reads = annotator.toPairReads(ev)
+    return (
+        {"variants": variants, "reads": reads},
+        depth_sum,
+        pileup_sum,
+        ev.pass_mask,
+    )

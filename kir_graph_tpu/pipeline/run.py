@@ -16,6 +16,7 @@ import pandas as pd
 from ..align.annotate import VariantAnnotator
 from ..align.encode import encodeReads
 from ..align.pipeline import GraphAligner
+from ..align.stream import alignAnnotateStream
 from ..cn.predict import filterDepth, loadCN, predictSamplesCN
 from ..index.build import KirIndex
 from ..sim.reads import readFastq
@@ -54,10 +55,35 @@ class SamplePipeline:
             c1, l1 = loadFastqEncoded(fq1)
             c2, l2 = loadFastqEncoded(fq2)
             assert len(c1) == len(c2), "mate FASTQs must pair up"
-        with TIMER.stage("align.pairs"):
-            result = self.aligner.alignPairs(c1, l1, c2, l2)
-        with TIMER.stage("align.annotate"):
-            reads_data, depth, pileup, passed = self.annotator.annotate(result)
+        # pipelined align+annotate: chunk k+1's kernels execute on device
+        # while chunk k is annotated on host (align/stream.py; output is
+        # bit-identical to the one-shot path).  Placements for novel
+        # discovery are captured per chunk while the chunk's scratch
+        # views are still valid.
+        placements: list[dict] = []
+        map_stats = {"total": 0, "mapped": 0, "unique": 0}
+
+        def capturePlacements(offset, result, pass_mask):
+            map_stats["total"] += len(result.gene)
+            map_stats["mapped"] += int((result.gene >= 0).sum())
+            map_stats["unique"] += int((pass_mask & (result.nh == 1)).sum())
+            rows = np.nonzero(pass_mask)[0]
+            placements.append(
+                dict(
+                    pair_rows=(offset + rows).astype(np.int32),
+                    gene=result.gene[rows].astype(np.int32),
+                    cols_l=result.cols_l[rows].astype(np.int32),
+                    cols_r=result.cols_r[rows].astype(np.int32),
+                    bases_l=result.bases_l[rows].astype(np.int8),
+                    bases_r=result.bases_r[rows].astype(np.int8),
+                )
+            )
+
+        with TIMER.stage("align.stream"):
+            reads_data, depth, pileup, passed = alignAnnotateStream(
+                self.aligner, self.annotator, c1, l1, c2, l2,
+                chunk_hook=capturePlacements,
+            )
 
         with TIMER.stage("io.write_outputs"):
             writeReadsAndVariantsData(reads_data, out_prefix + ".json")
@@ -66,15 +92,12 @@ class SamplePipeline:
             # compact per-passing-pair placements: lets novel discovery
             # pileup the assigned read group only (the reference's
             # qname-filtered no_multi BAM pileup, novel_discover.py:237-264)
-            rows = np.nonzero(passed)[0]
             np.savez_compressed(
                 out_prefix + ".placements.npz",
-                pair_rows=rows.astype(np.int32),
-                gene=result.gene[rows].astype(np.int32),
-                cols_l=result.cols_l[rows].astype(np.int32),
-                cols_r=result.cols_r[rows].astype(np.int32),
-                bases_l=result.bases_l[rows].astype(np.int8),
-                bases_r=result.bases_r[rows].astype(np.int8),
+                **{
+                    k: np.concatenate([p[k] for p in placements])
+                    for k in placements[0]
+                },
             )
             # mapping stats (samtools-flagstat stand-in, reference
             # plot.py:44-68)
@@ -83,10 +106,10 @@ class SamplePipeline:
             with open(out_prefix + ".stat.json", "w") as f:
                 json.dump(
                     {
-                        "total": int(len(result.gene)) * 2,
-                        "mapped": int((result.gene >= 0).sum()) * 2,
+                        "total": map_stats["total"] * 2,
+                        "mapped": map_stats["mapped"] * 2,
                         "passed": int(passed.sum()) * 2,
-                        "unique": int((passed & (result.nh == 1)).sum()) * 2,
+                        "unique": map_stats["unique"] * 2,
                     },
                     f,
                 )
