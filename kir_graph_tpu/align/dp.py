@@ -290,6 +290,42 @@ def bandedTracebackGather(
     return cost, start_col, delta
 
 
+@partial(jax.jit, static_argnames=("p", "pad_l"))
+def bandedTracebackPacked(
+    backbone: jax.Array,
+    altdel: jax.Array,
+    gene: jax.Array,
+    w0: jax.Array,
+    reads: jax.Array,
+    read_len: jax.Array,
+    p: AlignParams,
+    pad_l: int,
+) -> jax.Array:
+    """bandedTracebackGather with the host-bound outputs fused into ONE
+    int8 array [J, RL+2]: columns [0, RL) = the delta stream, column RL =
+    start_col low byte, RL+1 = start_col high byte (start_col is
+    window-relative, < p.window << 2^15, so int16 always fits; -1 "no
+    consumed base" round-trips as lo=0xFF, hi=-1).  One device->host
+    transfer instead of three per traceback chunk — a tunneled link
+    charges per-transfer latency.  The per-mate DP cost stays on device
+    (the column finalize never reads it)."""
+    _, start_col, delta = bandedTracebackGather(
+        backbone, altdel, gene, w0, reads, read_len, p, pad_l
+    )
+    lo = (start_col & 0xFF).astype(jnp.int8)
+    hi = (start_col >> 8).astype(jnp.int8)
+    return jnp.concatenate([delta, lo[:, None], hi[:, None]], axis=1)
+
+
+def unpackTraceback(pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[J, RL+2] int8 (bandedTracebackPacked download) ->
+    (start_col [J] i32, delta [J, RL] i8 view with row stride RL+2)."""
+    RL = pk.shape[1] - 2
+    lo = pk[:, RL].view(np.uint8).astype(np.int32)
+    hi = pk[:, RL + 1].astype(np.int32)
+    return (hi << 8) | lo, pk[:, :RL]
+
+
 def decodeDeltas(start_col: np.ndarray, delta: np.ndarray) -> np.ndarray:
     """Host-side inverse of the delta encoding -> cols [J, RL] (abs window
     coords; -1 pad, -2 insertion).  int32 throughout: max cumulative step

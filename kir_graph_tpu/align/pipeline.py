@@ -19,12 +19,15 @@ import os
 import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..index.build import BASE_PAD, KirIndex
 from ..utils import logger
-from .dp import AlignParams, bandedTracebackGather, decodeDeltas
+from .dp import (
+    AlignParams, bandedTracebackPacked, decodeDeltas, unpackTraceback,
+)
 from .encode import packCodes4bit, revCompCodes
 from .seeding import DIAG_BUCKET, SeedTable
 
@@ -48,23 +51,31 @@ def _seg(name: str):
         SEG_TIMES[name] = SEG_TIMES.get(name, 0.0) + (time.time() - t0)
 
 
-def _prepStreams(packed: jnp.ndarray, lens: jnp.ndarray, L: int):
+def _prepStreams(buf: jnp.ndarray, L: int):
     """Nibble-packed forward mates -> the aligner's 4-stream code pool
-    [c1, rc1, c2, rc2] plus the 2-stream forward pool, all on device.
+    [c1, rc1, c2, rc2] plus the 2-stream forward pool and the device
+    lengths, all on device.
 
-    Reads cross the (slow, tunneled) host->device link packed 2 codes per
-    byte; unpack, pad-masking and reverse-complement happen on device in
-    one fused dispatch.  Nibbles are lossless for code 4 (N base), so
-    scoring/N-exclusion semantics are identical to an int8 upload."""
+    Reads cross the (slow, tunneled) host->device link as ONE buffer:
+    codes packed 2 per byte, plus a 2-byte per-read length trailer
+    (uploading lengths separately would cost a second per-transfer
+    round-trip).  Unpack, pad-masking and reverse-complement happen on
+    device in one fused dispatch.  Nibbles are lossless for code 4 (N
+    base), so scoring/N-exclusion semantics are identical to an int8
+    upload."""
     from ..parallel.cohort import revCompDevice, unpackCodes4bit
 
-    fwd = unpackCodes4bit(packed, L)
+    lens = (
+        buf[:, -2].astype(jnp.int32)
+        | (buf[:, -1].astype(jnp.int32) << 8)
+    )
+    fwd = unpackCodes4bit(buf[:, :-2], L)
     col = jnp.arange(L)[None, :]
     fwd = jnp.where(col < lens[:, None], fwd, BASE_PAD).astype(jnp.int8)
     n = fwd.shape[0] // 2
     rc = revCompDevice(fwd, lens)
     codes_all = jnp.concatenate([fwd[:n], rc[:n], fwd[n:], rc[n:]], axis=0)
-    return codes_all, fwd
+    return codes_all, fwd, lens
 
 
 _prepStreamsJit = None
@@ -75,7 +86,7 @@ def prepStreamsJit():
     if _prepStreamsJit is None:
         import jax
 
-        _prepStreamsJit = jax.jit(_prepStreams, static_argnums=(2,))
+        _prepStreamsJit = jax.jit(_prepStreams, static_argnums=(1,))
     return _prepStreamsJit
 
 
@@ -159,6 +170,49 @@ class GraphAligner:
         self._row_pos = row_pos
         self._row_len = row_len
         self._pair_select = self._buildPairSelect()
+        self._device_mono = self._buildDeviceMonolith()
+
+    def _buildDeviceMonolith(self):
+        """ONE jitted dispatch for the whole pre-traceback device phase:
+        upload-buffer decode -> canonical seeding -> candidate decode ->
+        dense DP scoring -> pair select.  A tunneled device charges
+        per-call latency on every dispatch; fusing the five stages also
+        lets XLA share layouts across stage boundaries.  Returns the
+        packed [9, N] winner array."""
+        from functools import partial
+
+        from ..parallel.cohort import _selRows, decodeCandidates, scoreDenseGrid
+        from .seeding import _findCandidates
+
+        table, p = self.table, self.p
+        md = table.max_diag
+        C = self.top_c
+        win = self.arr.win
+        use_pallas = self.use_pallas
+        stride = self.stride
+        max_postings = self.max_postings
+        min_votes = self.min_votes
+        n_genes = table.n_genes
+        pair_select = self._pair_select
+
+        @partial(jax.jit, static_argnums=(1,))
+        def mono(buf, RL):
+            codes_dev, codes_fwd, lens_dev = _prepStreams(buf, RL)
+            N = codes_fwd.shape[0] // 2
+            cand_d, _ = _findCandidates(
+                codes_fwd, lens_dev, table.bkeys, table.padded, table.lut,
+                table.k, stride, max_postings, C, n_genes, md, min_votes,
+            )
+            gene_d, orient_d, diag_d = decodeCandidates(cand_d, md)
+            cost_d, end_d = scoreDenseGrid(
+                win, md, p, codes_dev, lens_dev, gene_d, diag_d,
+                sel=_selRows(orient_d, N), use_pallas=use_pallas,
+            )
+            return pair_select(
+                cost_d, gene_d, orient_d, diag_d, end_d, codes_dev, lens_dev
+            )
+
+        return mono
 
     def _buildPairSelect(self):
         """Jitted concordant pairing + winner selection over the dense
@@ -280,18 +334,34 @@ class GraphAligner:
             g1, d1, isrc1, eoff1, easy1 = winner(bc1, 0, lens_fwd[:N])
             g2, d2, isrc2, eoff2, easy2 = winner(bc2, 1, lens_fwd[N:])
 
-            i16 = jnp.stack([g1, g2, d1, d2]).astype(jnp.int16)
-            i8 = jnp.stack(
+            # ONE packed [9, N] int16 download (the tunneled link charges
+            # per-transfer latency, so three separate arrays cost three
+            # round-trips): rows 0-3 = g1,g2,d1,d2; row 4 = best pair
+            # cost as bitcast f16 (costs are small multiples of del_eps
+            # = 1/64 — exactly representable); rows 5-8 = byte-packed
+            # small fields lo|hi<<8 (all values in [0,127])
+            def pack2(a, b):
+                return (
+                    a.astype(jnp.int32) | (b.astype(jnp.int32) << 8)
+                ).astype(jnp.int16)
+
+            return jnp.concatenate(
                 [
-                    isrc1, isrc2, eoff1, eoff2,
-                    jnp.clip(nh, 0, 127),
-                    mapped.astype(jnp.int32),
-                    easy1.astype(jnp.int32), easy2.astype(jnp.int32),
-                ]
-            ).astype(jnp.int8)
-            # f16: pair costs are small multiples of del_eps (1/64) —
-            # exactly representable; halves the float download
-            return i16, i8, best.astype(jnp.float16)
+                    jnp.stack([g1, g2, d1, d2]).astype(jnp.int16),
+                    jax.lax.bitcast_convert_type(
+                        best.astype(jnp.float16), jnp.int16
+                    )[None, :],
+                    jnp.stack(
+                        [
+                            pack2(isrc1, isrc2),
+                            pack2(eoff1, eoff2),
+                            pack2(jnp.clip(nh, 0, 127), mapped),
+                            pack2(easy1, easy2),
+                        ]
+                    ),
+                ],
+                axis=0,
+            )
 
         return pairSelect
 
@@ -396,8 +466,6 @@ class GraphAligner:
                     if m.any():
                         dst[dest_row[idx][m]] = abs_c[m]
 
-        costs = self._hostBuf("tb_costs", (J,), np.float32)
-        costs.fill(0.0)  # easy jobs: per-mate DP cost stays on device
         eidx = np.nonzero(easy)[0]
         if len(eidx):
             finalize(eidx, None, None, all_easy=True)
@@ -412,21 +480,16 @@ class GraphAligner:
                 [codes[hi], np.full((pad, codes.shape[1]), BASE_PAD, np.int8)]
             )
             rl = np.concatenate([lens[hi], np.full(pad, 1, np.int32)])
-            c, start_col, delta = bandedTracebackGather(
+            pk_d = bandedTracebackPacked(
                 self._backbone, self._altdel,
                 jnp.asarray(np.clip(wg, 0, None)), jnp.asarray(ww),
                 jnp.asarray(rc), jnp.asarray(rl), self.p, PAD_L,
             )
-            # download only the real rows (device-side slice): the
-            # tunnel's device->host link is the budget
-            costs[hi] = np.asarray(c[:n])
-            finalize(
-                hi,
-                np.ascontiguousarray(np.asarray(start_col[:n], np.int32)),
-                np.ascontiguousarray(np.asarray(delta[:n], np.int8)),
-                all_easy=False,
-            )
-        return costs
+            # download only the real rows (device-side slice), fused
+            # into ONE transfer: the tunnel's device->host link charges
+            # per-transfer latency on top of bandwidth
+            start_col, delta = unpackTraceback(np.asarray(pk_d[:n]))
+            finalize(hi, start_col, delta, all_easy=False)
 
     def _glenAll(self) -> np.ndarray:
         g = getattr(self, "_glen_all", None)
@@ -514,43 +577,36 @@ class GraphAligner:
     ) -> AlignResult:
         N = len(codes1)
         RL = self.p.read_len
-        md = self.table.max_diag
-        C = self.top_c
 
-        # --- device: ONE canonical seed dispatch over the two forward
-        # streams (orientation folded per candidate) + ONE dense score
-        # dispatch on the [2N, C] grid with per-candidate oriented codes
-        # from the 4-stream pool; invalid slots cost >= 1e9.  The upload
-        # is nibble-packed forward mates only; the reverse-complement
-        # streams are derived on device (4x fewer bytes across the link).
+        # --- host: build the ONE upload buffer — nibble-packed forward
+        # mates + a 2-byte length trailer per read; reverse-complement
+        # streams are derived on device (4x fewer bytes and one
+        # round-trip across the link).  Packing is one threaded native
+        # pass into persistent scratch (numpy fallback: concatenate +
+        # packCodes4bit).
+        from ..native_io import packUploadNative
+
         with _seg("pack_upload"):
-            lens_fwd = np.concatenate([len1, len2]).astype(np.int32)
-            packed = packCodes4bit(np.concatenate([codes1, codes2], axis=0))
+            W = -(-RL // 2) + 2
+            buf = self._hostBuf("upload_buf", (2 * N, W), np.uint8)
+            l1c = np.ascontiguousarray(len1, dtype=np.int32)
+            l2c = np.ascontiguousarray(len2, dtype=np.int32)
+            if not packUploadNative(
+                np.ascontiguousarray(codes1, dtype=np.int8),
+                np.ascontiguousarray(codes2, dtype=np.int8),
+                l1c, l2c, buf,
+            ):
+                lens_fwd = np.concatenate([l1c, l2c])
+                buf[:, :-2] = packCodes4bit(
+                    np.concatenate([codes1, codes2], axis=0)
+                )
+                buf[:, -2] = (lens_fwd & 0xFF).astype(np.uint8)
+                buf[:, -1] = (lens_fwd >> 8).astype(np.uint8)
 
-        from ..parallel.cohort import _selRows, decodeCandidates, scoreDenseGrid
-        from .seeding import _findCandidates
-
-        lens_dev = jnp.asarray(lens_fwd)
-        codes_dev, codes_fwd = prepStreamsJit()(
-            jnp.asarray(packed), lens_dev, RL
-        )
-        cand_d, _ = _findCandidates(
-            codes_fwd, lens_dev, self.table.bkeys, self.table.padded,
-            self.table.lut, self.table.k, self.stride, self.max_postings, C,
-            self.table.n_genes, md, self.min_votes,
-        )
-        gene_d, orient_d, diag_d = decodeCandidates(cand_d, md)
-        cost_d, end_d = scoreDenseGrid(
-            self.arr.win, md, self.p, codes_dev, lens_dev,
-            gene_d, diag_d, sel=_selRows(orient_d, N),
-            use_pallas=self.use_pallas,
-        )
-
-        # --- device: concordant pairing + winner selection + ungapped-
-        # shortcut decision; download three small packed arrays
-        i16_d, i8_d, best_d = self._pair_select(
-            cost_d, gene_d, orient_d, diag_d, end_d, codes_dev, lens_dev
-        )
+        # --- device: upload decode + seed + score + concordant pairing +
+        # winner selection + ungapped-shortcut decision, fused into ONE
+        # dispatch; download ONE packed array (one round-trip each way)
+        w_d = self._device_mono(jnp.asarray(buf), RL)
         if host_work is not None:
             # everything device-side for this batch is dispatched; run
             # the caller's host work (e.g. annotation of the previous
@@ -559,19 +615,17 @@ class GraphAligner:
             # until this returns.
             host_work()
         with _seg("download_winners"):
-            i16 = np.asarray(i16_d).astype(np.int32)
-            i8 = np.asarray(i8_d)
-            best = np.asarray(best_d)
-        g1, g2, d1, d2 = i16
-        (isrc1i, isrc2i, eoff1, eoff2, nh, mappedi, easy1, easy2) = i8
+            w = np.asarray(w_d)  # [9, N] int16
+        g1, g2, d1, d2 = w[0:4].astype(np.int32)
+        best = w[4].view(np.float16)
+        by = w[5:9].astype(np.int32)  # byte-packed lo|hi<<8, all in [0,127]
+        isrc1, isrc2 = (by[0] & 0xFF).astype(bool), (by[0] >> 8).astype(bool)
+        eoff1, eoff2 = by[1] & 0xFF, by[1] >> 8
+        nh, mapped = by[2] & 0xFF, (by[2] >> 8).astype(bool)
+        easy1, easy2 = (by[3] & 0xFF).astype(np.int8), \
+            (by[3] >> 8).astype(np.int8)
         w01 = d1 * DIAG_BUCKET - DIAG_BUCKET
         w02 = d2 * DIAG_BUCKET - DIAG_BUCKET
-        eoff1 = eoff1.astype(np.int32)
-        eoff2 = eoff2.astype(np.int32)
-        nh = nh.astype(np.int32)
-        isrc1 = isrc1i.astype(bool)
-        isrc2 = isrc2i.astype(bool)
-        mapped = mappedi.astype(bool)
         row_true = self._row_true
         logger.info(
             f"[Align] {N} pairs -> {int(mapped.sum())} concordant"

@@ -134,7 +134,8 @@ def finalizeColsNative(
     off: np.ndarray,        # [J] int32
     lens: np.ndarray,       # [J] int32
     start_col,              # [J] int32 or None (all-easy call)
-    delta,                  # [J, RL] int8 or None
+    delta,                  # [J, >=RL] int8 or None (row stride may
+    #                         exceed RL: packed traceback trailer bytes)
     glen: np.ndarray,       # [G] int64
     row_pos: np.ndarray,    # [G] int64
     row_len: np.ndarray,    # [G] int64
@@ -160,12 +161,54 @@ def finalizeColsNative(
     i8, i32, i64, u8 = (
         ctypes.c_int8, ctypes.c_int32, ctypes.c_int64, ctypes.c_uint8,
     )
+    if delta is not None:
+        if delta.strides[1] != delta.itemsize:
+            # some backends hand back non-C layouts from sliced downloads
+            delta = np.ascontiguousarray(delta)
+        dstride = delta.strides[0]
+    else:
+        dstride = dst0.shape[1]
     lib.kgt_finalize_cols(
         ctypes.c_int64(len(easy)), ctypes.c_int32(dst0.shape[1]),
+        ctypes.c_int64(dstride),
         p(easy, u8), p(gene, i32), p(w0, i32), p(off, i32), p(lens, i32),
         p(start_col, i32), p(delta, i8),
         p(glen, i64), p(row_pos, i64), p(row_len, i64),
         p(dest_row, i64), p(dest_which, u8), p(dst0, i32), p(dst1, i32),
+    )
+    return True
+
+
+def packUploadNative(
+    codes1: np.ndarray, codes2: np.ndarray,
+    len1: np.ndarray, len2: np.ndarray,
+    out: np.ndarray,
+) -> bool:
+    """Fill the aligner's fused upload buffer [2n, L/2+2] (nibble-packed
+    codes + 2-byte length trailer) in one threaded native pass.  Returns
+    False when the native lib is absent/disabled or L is odd."""
+    lib = _loadLib()
+    n, L = codes1.shape
+    if (
+        not lib
+        or not hasattr(lib, "kgt_pack_reads")
+        or os.environ.get("KGT_NO_NATIVE")
+        or L % 2
+    ):
+        return False
+    for a, dt in (
+        (codes1, np.int8), (codes2, np.int8),
+        (len1, np.int32), (len2, np.int32), (out, np.uint8),
+    ):
+        if a.dtype != dt or not a.flags.c_contiguous:
+            return False
+    lib.kgt_pack_reads(
+        ctypes.c_int64(n), ctypes.c_int32(L),
+        codes1.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        codes2.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        len1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return True
 

@@ -434,16 +434,18 @@ long kgt_annotate(
 //   (dest_which[j] ? dst1 : dst0) + dest_row[j] * RL.
 // easy[j] != 0 -> pure-diagonal synthesis from w0+off; else decode the
 // delta stream (delta<0 -> -1 pad, 0 -> -2 insertion, >0 -> advance).
-// start_col/delta may be NULL when every job is easy.
+// start_col/delta may be NULL when every job is easy.  delta rows are
+// delta_stride elements apart (>= RL: the packed traceback download
+// carries 2 trailer bytes per row).
 void kgt_finalize_cols(
-    int64_t n_jobs, int32_t RL,
+    int64_t n_jobs, int32_t RL, int64_t delta_stride,
     const uint8_t* easy,       // [n_jobs]
     const int32_t* gene,       // [n_jobs] pseudo-row ids (>= 0)
     const int32_t* w0,         // [n_jobs] window origin
     const int32_t* off,        // [n_jobs] diagonal end offset (easy path)
     const int32_t* lens,       // [n_jobs]
     const int32_t* start_col,  // [n_jobs] window coords (hard path)
-    const int8_t* delta,       // [n_jobs, RL] (hard path)
+    const int8_t* delta,       // [n_jobs, delta_stride] (hard path)
     const int64_t* glen,       // [G_rows] pseudo-row reference lengths
     const int64_t* row_pos,    // [G_rows] pseudo-ref junction position
     const int64_t* row_len,    // [G_rows] junction shift amount
@@ -466,7 +468,7 @@ void kgt_finalize_cols(
           out[i] = (int32_t)(c >= rp ? c + shift : c);
         }
       } else {
-        const int8_t* d = delta + j * RL;
+        const int8_t* d = delta + j * delta_stride;
         int64_t c = (int64_t)start_col[j] - 1;
         for (int32_t i = 0; i < RL; ++i) {
           const int8_t dv = d[i];
@@ -482,6 +484,30 @@ void kgt_finalize_cols(
           out[i] = (int32_t)(a >= rp ? a + shift : a);
         }
       }
+    }
+  });
+}
+
+// Build the aligner's fused upload buffer: both mates' codes nibble-
+// packed (2 codes/byte, lossless for 0..15) plus a 2-byte little-endian
+// length trailer per read — one threaded pass instead of numpy's
+// concatenate + zero-init + shift/or chain.  L must be even.
+// out is [2n, L/2 + 2] row-major: rows [0,n) = mate 1, [n,2n) = mate 2.
+void kgt_pack_reads(
+    int64_t n, int32_t L,
+    const int8_t* c1, const int8_t* c2,    // [n, L] each
+    const int32_t* l1, const int32_t* l2,  // [n] each
+    uint8_t* out) {
+  const int32_t H = L / 2, W = H + 2;
+  parallelRows(2 * n, [&](int64_t r_lo, int64_t r_hi) {
+    for (int64_t r = r_lo; r < r_hi; ++r) {
+      const int8_t* src = r < n ? c1 + r * L : c2 + (r - n) * L;
+      const int32_t len = r < n ? l1[r] : l2[r - n];
+      uint8_t* o = out + r * W;
+      for (int32_t i = 0; i < H; ++i)
+        o[i] = (uint8_t)src[2 * i] | ((uint8_t)src[2 * i + 1] << 4);
+      o[H] = (uint8_t)(len & 0xFF);
+      o[H + 1] = (uint8_t)((len >> 8) & 0xFF);
     }
   });
 }

@@ -48,11 +48,9 @@ def main():
     aligner.alignPairs(c1, l1, c2, l2)
     print(f"warm alignPairs (incl compile): {time.time() - t0:.1f}s", flush=True)
 
-    # instrument (round-2 structure: one seed + one dense-score dispatch,
-    # device pair-select, sliced traceback jobs); block on device outputs
-    # inside each wrapper so the wall time lands on the right phase
-    from kir_graph_tpu.parallel import cohort as co
-
+    # instrument (round-2 structure: one fused pre-traceback device
+    # dispatch, sliced traceback jobs); block on device outputs inside
+    # each wrapper so the wall time lands on the right phase
     def timedSync(name, fn):
         def wrap(*a, **k):
             t0 = time.time()
@@ -63,12 +61,8 @@ def main():
 
         return wrap
 
-    from kir_graph_tpu.align import seeding as se
-
-    # the exact path imports _findCandidates from align.seeding
-    se._findCandidates = timedSync("seed", se._findCandidates)
-    co.scoreDenseGrid = timedSync("scoreDense", co.scoreDenseGrid)
-    aligner._pair_select = timedSync("pairSelect", aligner._pair_select)
+    # the whole pre-traceback device phase is one fused dispatch
+    aligner._device_mono = timedSync("deviceMono", aligner._device_mono)
     aligner._tracebackJobs = timed("tracebackJobs", aligner._tracebackJobs)
     pl.revCompCodes = timed("hostRevComp", pl.revCompCodes)
 
