@@ -79,19 +79,26 @@ def bandedScore(
     reads: jax.Array,     # [J, RL] int8
     read_len: jax.Array,  # [J] int32
     p: AlignParams,
-) -> tuple[jax.Array, jax.Array]:
-    """-> (cost [J] f32, end_off [J] i32): best alignment cost and final
-    band offset (score-only pass, no pointers)."""
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (cost [J] f32, end_off [J] i32, lin_end [J] f32): best alignment
+    cost, final band offset, and the PURE-DIAGONAL substitution cost at
+    that offset (score-only pass, no pointers).
+
+    lin_end == cost iff the optimum is gapless at the winning offset —
+    the aligner's "easy" shortcut decision (its traceback can be
+    synthesized without the pointer DP); tracking it here costs one
+    accumulator row instead of a 2x[J, RL] window re-gather downstream."""
     J = wbase.shape[0]
     B = p.band
 
     def step(carry, i):
-        prev, best_cost, best_off = carry
+        prev, lin, best_cost, best_off, best_lin = carry
         wb = jax.lax.dynamic_slice(wbase, (0, i), (J, B))
         wa = jax.lax.dynamic_slice(walt, (0, i), (J, B))
         wd = jax.lax.dynamic_slice(wdel, (0, i), (J, B))
         sub = _subCost(reads[:, i], wb, wa, p)
         m = prev + sub
+        lin = lin + sub
         ins = jnp.concatenate(
             [prev[:, 1:], jnp.full((J, 1), p.big)], axis=1
         ) + p.ins_cost
@@ -102,19 +109,23 @@ def bandedScore(
         at_end = i == (read_len - 1)
         row_min = row.min(axis=1)
         row_arg = row.argmin(axis=1)
+        lin_at = jnp.take_along_axis(lin, row_arg[:, None], axis=1)[:, 0]
         best_cost = jnp.where(at_end, row_min, best_cost)
         best_off = jnp.where(at_end, row_arg, best_off)
-        return (row, best_cost, best_off), None
+        best_lin = jnp.where(at_end, lin_at, best_lin)
+        return (row, lin, best_cost, best_off, best_lin), None
 
     init = (
         jnp.zeros((J, B), dtype=jnp.float32),
+        jnp.zeros((J, B), dtype=jnp.float32),
         jnp.full((J,), p.big, dtype=jnp.float32),
         jnp.zeros((J,), dtype=jnp.int32),
+        jnp.full((J,), p.big, dtype=jnp.float32),
     )
-    (prev, best_cost, best_off), _ = jax.lax.scan(
+    (_, _, best_cost, best_off, best_lin), _ = jax.lax.scan(
         step, init, jnp.arange(p.read_len)
     )
-    return best_cost, best_off.astype(jnp.int32)
+    return best_cost, best_off.astype(jnp.int32), best_lin
 
 
 @partial(jax.jit, static_argnames=("p",))
@@ -123,7 +134,7 @@ def bandedScoreBytes(
     reads: jax.Array,     # [J, RL] int8
     read_len: jax.Array,  # [J] int32
     p: AlignParams,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """XLA fallback for the packed byte-plane window format
     (ops/dp_pallas.py:packWindowBytes)."""
     wb = (wbytes >> 5).astype(jnp.int8)
@@ -236,7 +247,7 @@ def bandedScoreGather(
     read_len: jax.Array,   # [J] int32
     p: AlignParams,
     pad_l: int,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     wb, wa, wd = _gatherWindowsPacked(backbone, altdel, gene, w0, pad_l, p.window, p)
     return bandedScore(wb, wa, wd, reads, read_len, p)
 

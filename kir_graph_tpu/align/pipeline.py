@@ -204,12 +204,12 @@ class GraphAligner:
                 table.k, stride, max_postings, C, n_genes, md, min_votes,
             )
             gene_d, orient_d, diag_d = decodeCandidates(cand_d, md)
-            cost_d, end_d = scoreDenseGrid(
+            cost_d, end_d, lin_d = scoreDenseGrid(
                 win, md, p, codes_dev, lens_dev, gene_d, diag_d,
                 sel=_selRows(orient_d, N), use_pallas=use_pallas,
             )
             return pair_select(
-                cost_d, gene_d, orient_d, diag_d, end_d, codes_dev, lens_dev
+                cost_d, gene_d, orient_d, diag_d, end_d, lin_d, lens_dev
             )
 
         return mono
@@ -224,11 +224,7 @@ class GraphAligner:
         import jax
 
         C = self.top_c
-        RL = self.p.read_len
         BIG = jnp.float32(1e9)
-        backbone = self._backbone
-        altdel = self._altdel
-        mismatch = jnp.float32(self.p.mismatch)
         row_true = jnp.asarray(self._row_true)
         # int32-safe remap tables (device default dtype): clamp the "no
         # pseudo split" sentinel below int32 max after the end-coordinate
@@ -243,8 +239,8 @@ class GraphAligner:
         assert band <= 128, "winner end offsets travel as int8"
 
         @jax.jit
-        def pairSelect(cost_d, gene_d, orient_d, diag_d, end_d,
-                       codes_dev, lens_fwd):
+        def pairSelect(cost_d, gene_d, orient_d, diag_d, end_d, lin_d,
+                       lens_fwd):
             # mate-stacked [2N, C] candidate grids (canonical seeding:
             # per-candidate orientation)
             N = gene_d.shape[0] // 2
@@ -315,19 +311,10 @@ class GraphAligner:
                 )
                 # ungapped shortcut decision: cost of the pure-diagonal
                 # path at the winning end offset == DP optimum -> the
-                # traceback is synthesizable on host from (w0, eoff)
-                oc = codes_dev[(2 * mate + is_rc) * N + rows]
-                idx = (w0 + PAD_L + eoff)[:, None] + jnp.arange(RL)[None, :]
-                gs = jnp.clip(g, 0, None)[:, None]
-                wb = backbone[gs, idx]
-                wa = altdel[gs, idx] & 0xF
-                ok = oc < 4
-                is_alt = (
-                    (wa >> jnp.clip(oc, 0, 3).astype(jnp.uint8)) & 1
-                ).astype(bool)
-                sub = jnp.where(((oc == wb) | is_alt) & ok, 0.0, mismatch)
-                in_len = jnp.arange(RL)[None, :] < lens[:, None]
-                lin = jnp.sum(jnp.where(in_len, sub, 0.0), axis=1)
+                # traceback is synthesizable on host from (w0, eoff).
+                # The diagonal cost comes straight from the DP kernel
+                # (lin_d), not a window re-gather.
+                lin = lin_d[mate * N + rows, bc]
                 easy = (lin <= dpc + 1e-4).astype(jnp.int8)
                 return g, d, is_rc, eoff, easy
 

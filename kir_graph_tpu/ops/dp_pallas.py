@@ -60,8 +60,9 @@ def _kernel(p: AlignParams):
     pre_shifts = [1 << s for s in range(int(np.ceil(np.log2(SLICE))))]
     assert RL % GROUP == 0
 
-    def kernel(wbytes_ref, reads_ref, len_ref, cost_ref, end_ref):
+    def kernel(wbytes_ref, reads_ref, len_ref, cost_ref, end_ref, lin_ref):
         lens = len_ref[0, :]
+        band_iota = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 0)
 
         def oneRow(i, wb, wa, dpre, rb, carry):
             """One DP row given in-register window slices [B, L].
@@ -70,12 +71,13 @@ def _kernel(p: AlignParams):
             differs from the band-local prefix by a constant, which cancels
             between the subtract and the add around the min-scan.
             """
-            prev, best_cost, best_off = carry
+            prev, lin, best_cost, best_off, best_lin = carry
             is_match = (rb == wb) & (rb < 4)
             is_alt = (((wa >> rb) & 1) > 0) & (rb < 4)
             sub = jnp.where(is_match | is_alt, 0.0, p.mismatch)
 
             m = prev + sub
+            lin = lin + sub  # pure-diagonal cost per band offset
             ins = (
                 jnp.concatenate(
                     [prev[1:, :], jnp.full((1, LANES), BIG, jnp.float32)], axis=0
@@ -93,15 +95,25 @@ def _kernel(p: AlignParams):
             at_end = (i == (lens - 1))[None, :]
 
             def reduceEnd(c):
-                bc, bo = c
+                bc, bo, bl = c
                 row_min = jnp.min(row, axis=0, keepdims=True)
                 row_arg = jnp.argmin(row, axis=0).astype(jnp.int32)[None, :]
-                return jnp.where(at_end, row_min, bc), jnp.where(at_end, row_arg, bo)
+                # lin at the winning offset: masked sum (no sublane gather)
+                lin_at = jnp.sum(
+                    jnp.where(band_iota == row_arg, lin, 0.0),
+                    axis=0, keepdims=True,
+                )
+                return (
+                    jnp.where(at_end, row_min, bc),
+                    jnp.where(at_end, row_arg, bo),
+                    jnp.where(at_end, lin_at, bl),
+                )
 
-            best_cost, best_off = jax.lax.cond(
-                jnp.any(at_end), reduceEnd, lambda c: c, (best_cost, best_off)
+            best_cost, best_off, best_lin = jax.lax.cond(
+                jnp.any(at_end), reduceEnd, lambda c: c,
+                (best_cost, best_off, best_lin),
             )
-            return row, best_cost, best_off
+            return row, lin, best_cost, best_off, best_lin
 
         def group(g, carry):
             base = pl.multiple_of(g * GROUP, GROUP)
@@ -131,12 +143,17 @@ def _kernel(p: AlignParams):
 
         init = (
             jnp.zeros((B, LANES), jnp.float32),
+            jnp.zeros((B, LANES), jnp.float32),
             jnp.full((1, LANES), BIG, jnp.float32),
             jnp.zeros((1, LANES), jnp.int32),
+            jnp.full((1, LANES), BIG, jnp.float32),
         )
-        _, best_cost, best_off = jax.lax.fori_loop(0, RL // GROUP, group, init)
+        _, _, best_cost, best_off, best_lin = jax.lax.fori_loop(
+            0, RL // GROUP, group, init
+        )
         cost_ref[:] = best_cost
         end_ref[:] = best_off
+        lin_ref[:] = best_lin
 
     return kernel
 
@@ -158,8 +175,9 @@ def bandedScorePallasBytes(
     read_len: jax.Array,  # [J] int32
     p: AlignParams,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Score pass over packed byte-plane windows (see packWindowBytes)."""
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Score pass over packed byte-plane windows (see packWindowBytes).
+    -> (cost, end_off, lin_end) as in align.dp.bandedScore."""
     assert _PALLAS, "pallas unavailable"
     J = wbytes.shape[0]
     Jp = -(-J // LANES) * LANES
@@ -170,8 +188,8 @@ def bandedScorePallasBytes(
         reads = jnp.pad(reads, ((0, pad), (0, 0)), constant_values=4)
         read_len = jnp.pad(read_len, (0, pad), constant_values=1)
 
-    cost, end = _pallasCall(wbytes, reads, read_len, p, interpret, Jp)
-    return cost[0, :J], end[0, :J]
+    cost, end, lin = _pallasCall(wbytes, reads, read_len, p, interpret, Jp)
+    return cost[0, :J], end[0, :J], lin[0, :J]
 
 
 @partial(jax.jit, static_argnames=("p", "interpret"))
@@ -183,7 +201,7 @@ def bandedScorePallas(
     read_len: jax.Array,  # [J] int32
     p: AlignParams,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for align.dp.bandedScore (score-only pass).
 
     Packs the three window planes into one byte plane in XLA (elementwise,
@@ -208,10 +226,12 @@ def _pallasCall(wbytes, reads, read_len, p, interpret, Jp):
         out_specs=(
             pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, Jp), jnp.float32),
             jax.ShapeDtypeStruct((1, Jp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Jp), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -230,7 +250,7 @@ def bandedScorePallasGather(
     p: AlignParams,
     pad_l: int,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Gather-inside-jit variant (drop-in for dp.bandedScoreGather)."""
     from ..align.dp import _gatherWindowsPacked
 

@@ -188,7 +188,9 @@ def decodeCandidates(cand, md: int):
 
 def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
                    sel=None, use_pallas: bool = False):
-    """DP-score a dense [R, C] candidate grid -> cost [R, C], end [R, C].
+    """DP-score a dense [R, C] candidate grid -> (cost [R, C], end [R, C],
+    lin [R, C]), lin being the pure-diagonal cost at each candidate's
+    winning end offset (the aligner's ungapped-shortcut decision).
 
     Windows come from the precomputed per-(gene, diag-bucket) byte-plane
     table: one contiguous row gather instead of [J, W] per-element gathers
@@ -210,15 +212,15 @@ def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
     if use_pallas:
         from ..ops.dp_pallas import bandedScorePallasBytes
 
-        cost, end_off = bandedScorePallasBytes(wbytes, rcodes, rlens, p)
+        cost, end_off, lin = bandedScorePallasBytes(wbytes, rcodes, rlens, p)
     else:
         from ..align.dp import bandedScoreBytes
 
-        cost, end_off = bandedScoreBytes(wbytes, rcodes, rlens, p)
+        cost, end_off, lin = bandedScoreBytes(wbytes, rcodes, rlens, p)
     cost = cost.reshape(R, C) + jnp.where(gene < 0, 1e9, 0.0)
     w0 = diag * DIAG_BUCKET - DIAG_BUCKET
     end_abs = w0 + (rlens.reshape(R, C) - 1) + end_off.reshape(R, C)
-    return cost, end_abs
+    return cost, end_abs, lin.reshape(R, C)
 
 
 def _selRows(orient, R: int):
@@ -268,7 +270,7 @@ def cohortStep(
     # oriented codes row from the 4-stream pool
     codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
     sel = _selRows(orient, R)
-    cost, end = scoreDenseGrid(
+    cost, end, _ = scoreDenseGrid(
         arr.win, md, arr.params, codes_all, lens_fwd, gene, diag,
         sel=sel, use_pallas=use_pallas,
     )
@@ -313,7 +315,7 @@ class SplitCohortStep:
             codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
             lens = jnp.concatenate([len1, len2]).astype(jnp.int32)
             R = codes1.shape[0]
-            cost, end = scoreDenseGrid(
+            cost, end, _ = scoreDenseGrid(
                 arr.win, md, arr.params, codes_all, lens, gene,
                 diag, sel=_selRows(orient, R), use_pallas=use_pallas,
             )

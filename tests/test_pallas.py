@@ -29,16 +29,25 @@ def test_pallas_matches_xla_scores():
         reads[j, errs] = (reads[j, errs] + 1) % 4
     read_len = np.full(J, 150, np.int32)
 
-    c_ref, o_ref = bandedScore(
+    c_ref, o_ref, l_ref = bandedScore(
         jnp.asarray(wbase), jnp.asarray(walt), jnp.asarray(wdel),
         jnp.asarray(reads), jnp.asarray(read_len), p,
     )
-    c_pal, o_pal = bandedScorePallas(
+    c_pal, o_pal, l_pal = bandedScorePallas(
         jnp.asarray(wbase), jnp.asarray(walt), jnp.asarray(wdel),
         jnp.asarray(reads), jnp.asarray(read_len), p,
         interpret=True,  # CPU tests run the interpreter; TPU compiles
     )
     np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref), atol=1e-4)
-    # end offsets agree wherever the best cost is unique
-    agree = (np.asarray(o_pal) == np.asarray(o_ref)).mean()
-    assert agree > 0.95
+    # end offsets (and the diagonal cost at them) agree wherever the best
+    # cost is unique
+    same_end = np.asarray(o_pal) == np.asarray(o_ref)
+    assert same_end.mean() > 0.95
+    np.testing.assert_allclose(
+        np.asarray(l_pal)[same_end], np.asarray(l_ref)[same_end], atol=1e-4
+    )
+    # the easy/gapless decision derived from (cost, lin) must agree even
+    # where ties pick different ends
+    easy_ref = np.asarray(l_ref) <= np.asarray(c_ref) + 1e-4
+    easy_pal = np.asarray(l_pal) <= np.asarray(c_pal) + 1e-4
+    assert (easy_ref == easy_pal)[same_end].all()
