@@ -49,7 +49,7 @@ def pallasAvailable() -> bool:
     return _PALLAS
 
 
-def _kernel(p: AlignParams):
+def _kernel(p: AlignParams, want_lin: bool = True):
     B = p.band
     RL = p.read_len
     scan_shifts = [1 << s for s in range(int(np.ceil(np.log2(max(B, 2)))))]
@@ -60,7 +60,8 @@ def _kernel(p: AlignParams):
     pre_shifts = [1 << s for s in range(int(np.ceil(np.log2(SLICE))))]
     assert RL % GROUP == 0
 
-    def kernel(wbytes_ref, reads_ref, len_ref, cost_ref, end_ref, lin_ref):
+    def kernel(wbytes_ref, reads_ref, len_ref, cost_ref, end_ref,
+               *maybe_lin_ref):
         lens = len_ref[0, :]
         band_iota = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 0)
 
@@ -77,7 +78,8 @@ def _kernel(p: AlignParams):
             sub = jnp.where(is_match | is_alt, 0.0, p.mismatch)
 
             m = prev + sub
-            lin = lin + sub  # pure-diagonal cost per band offset
+            if want_lin:  # pure-diagonal cost per band offset
+                lin = lin + sub
             ins = (
                 jnp.concatenate(
                     [prev[1:, :], jnp.full((1, LANES), BIG, jnp.float32)], axis=0
@@ -98,15 +100,18 @@ def _kernel(p: AlignParams):
                 bc, bo, bl = c
                 row_min = jnp.min(row, axis=0, keepdims=True)
                 row_arg = jnp.argmin(row, axis=0).astype(jnp.int32)[None, :]
-                # lin at the winning offset: masked sum (no sublane gather)
-                lin_at = jnp.sum(
-                    jnp.where(band_iota == row_arg, lin, 0.0),
-                    axis=0, keepdims=True,
-                )
+                if want_lin:
+                    # lin at the winning offset: masked sum (no sublane
+                    # gather)
+                    lin_at = jnp.sum(
+                        jnp.where(band_iota == row_arg, lin, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    bl = jnp.where(at_end, lin_at, bl)
                 return (
                     jnp.where(at_end, row_min, bc),
                     jnp.where(at_end, row_arg, bo),
-                    jnp.where(at_end, lin_at, bl),
+                    bl,
                 )
 
             best_cost, best_off, best_lin = jax.lax.cond(
@@ -153,7 +158,8 @@ def _kernel(p: AlignParams):
         )
         cost_ref[:] = best_cost
         end_ref[:] = best_off
-        lin_ref[:] = best_lin
+        if want_lin:
+            maybe_lin_ref[0][:] = best_lin
 
     return kernel
 
@@ -168,16 +174,19 @@ def packWindowBytes(wbase: jax.Array, walt: jax.Array, is_del: jax.Array) -> jax
     )
 
 
-@partial(jax.jit, static_argnames=("p", "interpret"))
+@partial(jax.jit, static_argnames=("p", "interpret", "want_lin"))
 def bandedScorePallasBytes(
     wbytes: jax.Array,    # [J, W] uint8 packed window plane
     reads: jax.Array,     # [J, RL] int8
     read_len: jax.Array,  # [J] int32
     p: AlignParams,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    want_lin: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array | None]:
     """Score pass over packed byte-plane windows (see packWindowBytes).
-    -> (cost, end_off, lin_end) as in align.dp.bandedScore."""
+    -> (cost, end_off, lin_end) as in align.dp.bandedScore; lin_end is
+    None when want_lin=False (skips the extra accumulator entirely —
+    the cohort device path never reads it)."""
     assert _PALLAS, "pallas unavailable"
     J = wbytes.shape[0]
     Jp = -(-J // LANES) * LANES
@@ -188,8 +197,12 @@ def bandedScorePallasBytes(
         reads = jnp.pad(reads, ((0, pad), (0, 0)), constant_values=4)
         read_len = jnp.pad(read_len, (0, pad), constant_values=1)
 
-    cost, end, lin = _pallasCall(wbytes, reads, read_len, p, interpret, Jp)
-    return cost[0, :J], end[0, :J], lin[0, :J]
+    out = _pallasCall(wbytes, reads, read_len, p, interpret, Jp, want_lin)
+    if want_lin:
+        cost, end, lin = out
+        return cost[0, :J], end[0, :J], lin[0, :J]
+    cost, end = out
+    return cost[0, :J], end[0, :J], None
 
 
 @partial(jax.jit, static_argnames=("p", "interpret"))
@@ -211,28 +224,24 @@ def bandedScorePallas(
     return bandedScorePallasBytes(wbytes, reads, read_len, p, interpret=interpret)
 
 
-def _pallasCall(wbytes, reads, read_len, p, interpret, Jp):
+def _pallasCall(wbytes, reads, read_len, p, interpret, Jp, want_lin=True):
     W = p.window
     RL = p.read_len
     grid = (Jp // LANES,)
+    spec = pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel(p),
+        _kernel(p, want_lin),
         grid=grid,
         in_specs=[
             pl.BlockSpec((W, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((RL, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ),
+        out_specs=(spec,) * (3 if want_lin else 2),
         out_shape=(
             jax.ShapeDtypeStruct((1, Jp), jnp.float32),
             jax.ShapeDtypeStruct((1, Jp), jnp.int32),
-            jax.ShapeDtypeStruct((1, Jp), jnp.float32),
-        ),
+        ) + ((jax.ShapeDtypeStruct((1, Jp), jnp.float32),) if want_lin else ()),
         interpret=interpret,
     )(
         wbytes.T, reads.T, read_len[None, :]

@@ -187,7 +187,8 @@ def decodeCandidates(cand, md: int):
 
 
 def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
-                   sel=None, use_pallas: bool = False):
+                   sel=None, use_pallas: bool = False,
+                   want_lin: bool = True):
     """DP-score a dense [R, C] candidate grid -> (cost [R, C], end [R, C],
     lin [R, C]), lin being the pure-diagonal cost at each candidate's
     winning end offset (the aligner's ungapped-shortcut decision).
@@ -212,7 +213,9 @@ def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
     if use_pallas:
         from ..ops.dp_pallas import bandedScorePallasBytes
 
-        cost, end_off, lin = bandedScorePallasBytes(wbytes, rcodes, rlens, p)
+        cost, end_off, lin = bandedScorePallasBytes(
+            wbytes, rcodes, rlens, p, want_lin=want_lin
+        )
     else:
         from ..align.dp import bandedScoreBytes
 
@@ -220,7 +223,7 @@ def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
     cost = cost.reshape(R, C) + jnp.where(gene < 0, 1e9, 0.0)
     w0 = diag * DIAG_BUCKET - DIAG_BUCKET
     end_abs = w0 + (rlens.reshape(R, C) - 1) + end_off.reshape(R, C)
-    return cost, end_abs, lin.reshape(R, C)
+    return cost, end_abs, lin.reshape(R, C) if lin is not None else None
 
 
 def _selRows(orient, R: int):
@@ -272,7 +275,7 @@ def cohortStep(
     sel = _selRows(orient, R)
     cost, end, _ = scoreDenseGrid(
         arr.win, md, arr.params, codes_all, lens_fwd, gene, diag,
-        sel=sel, use_pallas=use_pallas,
+        sel=sel, use_pallas=use_pallas, want_lin=False,
     )
 
     return _pairAndReduce(
@@ -318,6 +321,7 @@ class SplitCohortStep:
             cost, end, _ = scoreDenseGrid(
                 arr.win, md, arr.params, codes_all, lens, gene,
                 diag, sel=_selRows(orient, R), use_pallas=use_pallas,
+                want_lin=False,
             )
             return cost, end
 

@@ -33,8 +33,11 @@ RUNS = [
 
 def run() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "research_qa"
+    only = os.environ.get("KGT_QA_ONLY")  # substring filter over run names
     results = {}
     for name, samples, depth, novel, profile in RUNS:
+        if only and only not in name:
+            continue
         t0 = time.time()
         args = createParser().parse_args([
             "--out", os.path.join(base, name),

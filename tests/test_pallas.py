@@ -51,3 +51,32 @@ def test_pallas_matches_xla_scores():
     easy_ref = np.asarray(l_ref) <= np.asarray(c_ref) + 1e-4
     easy_pal = np.asarray(l_pal) <= np.asarray(c_pal) + 1e-4
     assert (easy_ref == easy_pal)[same_end].all()
+
+
+@pytest.mark.skipif(not pallasAvailable(), reason="pallas unavailable")
+def test_pallas_want_lin_false_same_cost_end():
+    """The want_lin=False kernel variant (cohort path) must produce the
+    same costs/ends as the full variant."""
+    from kir_graph_tpu.ops.dp_pallas import bandedScorePallasBytes, packWindowBytes
+
+    p = AlignParams()
+    rng = np.random.default_rng(11)
+    J, W, RL = 130, p.window, p.read_len
+    wbase = rng.integers(0, 4, (J, W)).astype(np.int8)
+    walt = rng.integers(0, 16, (J, W)).astype(np.uint8)
+    is_del = rng.random((J, W)) < 0.1
+    reads = rng.integers(0, 5, (J, RL)).astype(np.int8)
+    read_len = np.full(J, 150, np.int32)
+    wbytes = packWindowBytes(
+        jnp.asarray(wbase), jnp.asarray(walt), jnp.asarray(is_del)
+    )
+    c1, e1, l1 = bandedScorePallasBytes(
+        wbytes, jnp.asarray(reads), jnp.asarray(read_len), p, interpret=True
+    )
+    c0, e0, l0 = bandedScorePallasBytes(
+        wbytes, jnp.asarray(reads), jnp.asarray(read_len), p,
+        interpret=True, want_lin=False,
+    )
+    assert l0 is None and l1 is not None
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
