@@ -743,24 +743,25 @@ class VariantAnnotator:
             )
         return reads
 
-    def annotate(
-        self,
-        result: AlignResult,
-        exon_only: bool = False,
-        error_correction: bool = False,
-    ) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
-        """Product path; same contract as `annotateLoop`.  Uses the native
-        C++ core when built (KGT_NO_NATIVE=1 forces the numpy oracle)."""
+    def _impl(self):
+        """The active array-annotate implementation: the native C++ core
+        when built, else the numpy oracle (KGT_NO_NATIVE=1 forces it).
+        Shared with the streaming driver so both paths dispatch
+        identically."""
         import os
 
         use_native = (
             not os.environ.get("KGT_NO_NATIVE")
             and self._nativeTables() is not None
         )
-        impl = self.annotateArraysNative if use_native else self.annotateArrays
-        ev, depth, pileup = impl(
-            result, exon_only=exon_only, error_correction=error_correction
-        )
+        return self.annotateArraysNative if use_native else self.annotateArrays
+
+    def assembleReadsData(
+        self, ev: EvidenceArrays, depth, pileup
+    ) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
+        """EvidenceArrays -> the product contract (reads+variants dict,
+        depth, pileup, pass mask).  Shared by annotate() and the
+        streaming driver."""
         variants = self.catalogVariants() + ev.novel_variants
         reads = self.toPairReads(ev)
         return (
@@ -769,6 +770,19 @@ class VariantAnnotator:
             pileup,
             ev.pass_mask,
         )
+
+    def annotate(
+        self,
+        result: AlignResult,
+        exon_only: bool = False,
+        error_correction: bool = False,
+    ) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
+        """Product path; same contract as `annotateLoop`.  Uses the native
+        C++ core when built (KGT_NO_NATIVE=1 forces the numpy oracle)."""
+        ev, depth, pileup = self._impl()(
+            result, exon_only=exon_only, error_correction=error_correction
+        )
+        return self.assembleReadsData(ev, depth, pileup)
 
     # ------------------------------------------------------------------
     def annotateLoop(

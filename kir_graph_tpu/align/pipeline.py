@@ -78,18 +78,6 @@ def _prepStreams(buf: jnp.ndarray, L: int):
     return codes_all, fwd, lens
 
 
-_prepStreamsJit = None
-
-
-def prepStreamsJit():
-    global _prepStreamsJit
-    if _prepStreamsJit is None:
-        import jax
-
-        _prepStreamsJit = jax.jit(_prepStreams, static_argnums=(1,))
-    return _prepStreamsJit
-
-
 @dataclass
 class AlignResult:
     """Per-pair winning placements (host arrays).

@@ -26,8 +26,6 @@ change results.
 """
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from ..index.variants import IdAllocator, Variant
@@ -147,12 +145,7 @@ def alignAnnotateStream(
             chunk_hook(0, result, out[3])
         return out
     chunk = min(chunk, aligner.CHUNK_PAIRS)
-    impl = (
-        annotator.annotateArraysNative
-        if annotator._nativeTables() is not None
-        and not os.environ.get("KGT_NO_NATIVE")
-        else annotator.annotateArrays
-    )
+    impl = annotator._impl()
 
     evs: list[EvidenceArrays] = []
     depth_sum = pileup_sum = None
@@ -181,11 +174,4 @@ def alignAnnotateStream(
     annotatePending()
 
     ev = mergeEvidence(annotator, evs)
-    variants = annotator.catalogVariants() + ev.novel_variants
-    reads = annotator.toPairReads(ev)
-    return (
-        {"variants": variants, "reads": reads},
-        depth_sum,
-        pileup_sum,
-        ev.pass_mask,
-    )
+    return annotator.assembleReadsData(ev, depth_sum, pileup_sum)

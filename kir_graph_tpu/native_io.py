@@ -154,6 +154,17 @@ def finalizeColsNative(
         or os.environ.get("KGT_NO_NATIVE")
     ):
         return False
+    for a, dt in (
+        (easy, np.uint8), (gene, np.int32), (w0, np.int32),
+        (off, np.int32), (lens, np.int32), (start_col, np.int32),
+        (glen, np.int64), (row_pos, np.int64), (row_len, np.int64),
+        (dest_row, np.int64), (dest_which, np.uint8),
+        (dst0, np.int32), (dst1, np.int32),
+    ):
+        if a is not None and (a.dtype != dt or not a.flags.c_contiguous):
+            return False
+    if delta is not None and delta.dtype != np.int8:
+        return False
 
     def p(a, ct):
         return None if a is None else a.ctypes.data_as(ctypes.POINTER(ct))

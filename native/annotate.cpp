@@ -70,6 +70,20 @@ void parallelRows(int64_t n, F fn) {
             [&](unsigned, int64_t lo, int64_t hi) { fn(lo, hi); });
 }
 
+// Thread count for histogram passes: each extra thread costs a full
+// O(hist_size) zero + reduce, so never use more threads than the actual
+// increment work (~rows * RL) amortises.  KGT_MIN_ROWS (the test-only
+// small-batch override) also bypasses the cap so fixture-sized batches
+// exercise the threaded histogram path.
+unsigned histThreadCount(int64_t rows, int64_t work, int64_t hist_size) {
+  unsigned T = threadCount(rows);
+  if (std::getenv("KGT_MIN_ROWS")) return T;
+  int64_t cap = work / (hist_size > 0 ? hist_size : 1);
+  if (cap < 1) cap = 1;
+  if ((int64_t)T > cap) T = (unsigned)cap;
+  return T;
+}
+
 struct Scratch {
   // per-row variable-size collections, reused across calls
   std::vector<std::vector<int64_t>> known;    // known SNP gidx (col order)
@@ -195,7 +209,7 @@ long kgt_annotate(
         }
       }
     };
-    unsigned T = threadCount(rows);
+    unsigned T = histThreadCount(rows, rows * (int64_t)RL, HS);
     if (T <= 1) {
       accum(0, rows, S.ec_pileup.data());
     } else {
@@ -406,7 +420,8 @@ long kgt_annotate(
         }
       }
     };
-    unsigned T = threadCount(2 * n_mapped);
+    unsigned T = histThreadCount(
+        2 * n_mapped, 2 * n_mapped * (int64_t)RL, HS);
     if (T <= 1) {
       accum(0, n_mapped, pileup_out);
     } else {
@@ -455,7 +470,9 @@ void kgt_finalize_cols(
   parallelRows(n_jobs, [&](int64_t j_lo, int64_t j_hi) {
     for (int64_t j = j_lo; j < j_hi; ++j) {
       int32_t* out = (dest_which[j] ? dst1 : dst0) + dest_row[j] * RL;
-      const int64_t g = gene[j];
+      const int64_t g = gene[j] >= 0 ? gene[j] : 0;  // defensive clamp
+      //  (mapped winners always have gene >= 0; mirror the numpy
+      //  fallback's np.clip rather than read out of bounds)
       const int64_t gl = glen[g];
       const int64_t rp = row_pos[g], shift = row_len[g];
       const int32_t ln = lens[j];

@@ -93,18 +93,26 @@ def test_native_small_caps_regrow(batch, synth_index):
     _assertSame(got, want)
 
 
-def test_native_threaded_matches_oracle(batch, synth_index, monkeypatch):
+@pytest.mark.parametrize("error_correction", [False, True])
+def test_native_threaded_matches_oracle(batch, synth_index, monkeypatch,
+                                        error_correction):
     """Force the threaded row-split path (KGT_MIN_ROWS=2) on the small
     fixture and require bit-identical output, including across thread
-    counts (row splits must not affect CSR order)."""
+    counts (row splits must not affect CSR order) and with the
+    per-thread error-correction pileup histograms."""
     ann = VariantAnnotator(synth_index)
     if ann._nativeTables() is None:
         pytest.skip("native lib not built")
-    want = ann.annotateArrays(batch)
+    want = ann.annotateArrays(batch, error_correction=error_correction)
     monkeypatch.setenv("KGT_MIN_ROWS", "2")
     for threads in ("3", "8"):
         monkeypatch.setenv("KGT_THREADS", threads)
-        _assertSame(ann.annotateArraysNative(batch), want)
+        _assertSame(
+            ann.annotateArraysNative(
+                batch, error_correction=error_correction
+            ),
+            want,
+        )
 
 
 def test_native_finalize_cols_matches_numpy(synth_genes, synth_index,
