@@ -30,11 +30,12 @@ LUT_BITS = 18   # key-prefix LUT: top bits -> bucket range in the sorted keys
 class SeedTable:
     """Device-resident k-mer table + geometry constants."""
 
-    bkeys: jax.Array      # [2^LUT_BITS, W+1] uint32: each prefix bucket's
-    #                       keys as ONE row (last entry = bucket count), so
-    #                       key lookup is a single row gather + in-register
-    #                       compare — no binary search, no per-element
-    #                       gathers (which run ~100M elem/s on TPU)
+    bkeys: jax.Array      # [2^LUT_BITS, ceil(W/2)+1] uint32: each prefix
+    #                       bucket's keys as ONE row, two 16-bit key-low-
+    #                       halves per u32 (bucket members share the top
+    #                       LUT_BITS bits; last entry = bucket count) —
+    #                       key lookup is a single half-width row gather
+    #                       + in-register compare, no binary search
     padded: jax.Array     # [U, Pmax+1] uint32 posting rows
     #                       (gene<<POS_BITS|pos; last entry = list length),
     #                       fixed-width so the posting lookup is one
@@ -91,11 +92,23 @@ class SeedTable:
         widest = int((lut[1:] - lut[:-1]).max()) if len(index.kmer_keys) else 1
         U = len(index.kmer_keys)
         W = max(widest, 1)
-        bkeys = np.zeros(((1 << LUT_BITS), W + 1), dtype=np.uint32)
+        # keys within a bucket share the top LUT_BITS bits (the bucket
+        # index), so their low 32-LUT_BITS bits are fully distinguishing
+        # — store only the low 16 (LUT_BITS >= 16), TWO keys per u32.
+        # Halves the bucket-row gather, the hottest per-element gather in
+        # the seed stage.
+        assert LUT_BITS >= 16
+        Wp = -(-W // 2)
+        bkeys = np.zeros(((1 << LUT_BITS), Wp + 1), dtype=np.uint32)
         if U:
             slots = np.arange(U, dtype=np.int64) - lut[prefixes]
-            bkeys[prefixes, slots] = index.kmer_keys
-        bkeys[:, W] = (lut[1:] - lut[:-1]).astype(np.uint32)
+            low16 = (index.kmer_keys & np.uint32(0xFFFF)).astype(np.uint32)
+            np.bitwise_or.at(
+                bkeys,
+                (prefixes.astype(np.int64), slots >> 1),
+                low16 << ((slots & 1) * 16).astype(np.uint32),
+            )
+        bkeys[:, Wp] = (lut[1:] - lut[:-1]).astype(np.uint32)
 
         # pad every posting list to one fixed-width row (32-entry ceiling:
         # the round-robin gene order above means anything truncated beyond
@@ -202,14 +215,21 @@ def _findCandidates(
     # bucketed key rows: the whole lookup is one row gather + in-register
     # compare (slots >= the bucket's count are masked, so junk fill can
     # never shadow a real key), plus one per-element lut gather for the
-    # bucket's global start
+    # bucket's global start.  Rows carry two 16-bit key-low-halves per
+    # u32 (bucket members share the top LUT_BITS bits, so the low 16 are
+    # fully distinguishing) — half the gathered elements.
     U = table_padded.shape[0]
-    W = table_bkeys.shape[1] - 1
+    Wp = table_bkeys.shape[1] - 1
     pre = (keys >> jnp.uint32(32 - LUT_BITS)).astype(jnp.int32)
-    brow = jnp.take(table_bkeys, pre, axis=0)                  # [R, S, W+1]
-    cnt = brow[:, :, W].astype(jnp.int32)
-    m = (brow[:, :, :W] == keys[:, :, None]) & (
-        jnp.arange(W)[None, None, :] < cnt[:, :, None]
+    brow = jnp.take(table_bkeys, pre, axis=0)                  # [R, S, Wp+1]
+    cnt = brow[:, :, Wp].astype(jnp.int32)
+    pairs = brow[:, :, :Wp]
+    halves = jnp.stack(
+        [pairs & jnp.uint32(0xFFFF), pairs >> jnp.uint32(16)], axis=-1
+    ).reshape(*pairs.shape[:-1], 2 * Wp)                       # slot order
+    key16 = (keys & jnp.uint32(0xFFFF))[:, :, None]
+    m = (halves == key16) & (
+        jnp.arange(2 * Wp)[None, None, :] < cnt[:, :, None]
     )
     hit = valid & m.any(axis=-1)
     off = jnp.argmax(m, axis=-1).astype(jnp.int32)

@@ -41,7 +41,7 @@ try:  # pallas import is TPU/CPU-interpret friendly
 except Exception:  # pragma: no cover
     _PALLAS = False
 
-LANES = 128
+LANES = int(__import__("os").environ.get("KGT_DP_LANES", "128"))
 BIG = 1e9
 
 
@@ -73,8 +73,13 @@ def _kernel(p: AlignParams, want_lin: bool = True):
             between the subtract and the add around the min-scan.
             """
             prev, lin, best_cost, best_off, best_lin = carry
-            is_match = (rb == wb) & (rb < 4)
-            is_alt = (((wa >> rb) & 1) > 0) & (rb < 4)
+            ok = rb < 4
+            # variable shift once on the [1, L] read row, then a plain
+            # AND against the [B, L] alt mask (a [B, L] variable shift
+            # lowers poorly on the VPU)
+            rb_bit = jnp.where(ok, 1 << rb, 0)
+            is_match = (rb == wb) & ok
+            is_alt = (wa & rb_bit) > 0
             sub = jnp.where(is_match | is_alt, 0.0, p.mismatch)
 
             m = prev + sub

@@ -78,10 +78,24 @@ def main():
             sel=_selRows(orient, Nb), use_pallas=a.use_pallas,
         )
 
+    def stageScoreXla(b):
+        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
+        cand, _ = _findCandidates(
+            codes_fwd, lens_dev, table.bkeys, table.padded, table.lut,
+            table.k, a.stride, a.max_postings, C, table.n_genes, md,
+            a.min_votes,
+        )
+        gene, orient, diag = decodeCandidates(cand, md)
+        return scoreDenseGrid(
+            a.arr.win, md, p, codes_dev, lens_dev, gene, diag,
+            sel=_selRows(orient, Nb), use_pallas=False,
+        )
+
     stages = [
         ("prep", jax.jit(stagePrep, static_argnums=())),
         ("+seed", jax.jit(stageSeed)),
         ("+score", jax.jit(stageScore)),
+        ("+score (xla dp)", jax.jit(stageScoreXla)),
         ("+pairSelect (full mono)", lambda b: a._device_mono(b, RL)),
     ]
     for name, fn in stages:
