@@ -78,6 +78,52 @@ def main():
             sel=_selRows(orient, Nb), use_pallas=a.use_pallas,
         )
 
+    def stageSeedVotes(b):
+        """Seed WITHOUT the vote sort/count/top-k: stops at the raw vote
+        stream (isolates gather cost from sort cost)."""
+        from kir_graph_tpu.align.seeding import (
+            DIAG_BUCKET, LUT_BITS, POS_BITS, _packKmers,
+        )
+
+        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
+        keys, offsets, valid, qflip = _packKmers(codes_fwd, table.k, a.stride)
+        R, S = keys.shape
+        Wp = table.bkeys.shape[1] - 1
+        pre = (keys >> jnp.uint32(32 - LUT_BITS)).astype(jnp.int32)
+        brow = jnp.take(table.bkeys, pre, axis=0)
+        cnt = brow[:, :, Wp].astype(jnp.int32)
+        pairs = brow[:, :, :Wp]
+        halves = jnp.stack(
+            [pairs & jnp.uint32(0xFFFF), pairs >> jnp.uint32(16)], axis=-1
+        ).reshape(R, S, 2 * Wp)
+        key16 = (keys & jnp.uint32(0xFFFF))[:, :, None]
+        mm = (halves == key16) & (
+            jnp.arange(2 * Wp)[None, None, :] < cnt[:, :, None]
+        )
+        hit = valid & mm.any(axis=-1)
+        off = jnp.argmax(mm, axis=-1).astype(jnp.int32)
+        U = table.padded.shape[0]
+        idx = jnp.clip(table.lut[pre] + off, 0, max(U - 1, 0))
+        Pmax = table.padded.shape[1] - 1
+        P = min(a.max_postings, Pmax)
+        rows_p = jnp.take(table.padded, idx, axis=0)
+        packed_p = rows_p[:, :, :P]
+        p_len = rows_p[:, :, Pmax].astype(jnp.int32)
+        slot = jnp.arange(P)
+        p_ok = hit[:, :, None] & (slot[None, None, :] < p_len[:, :, None])
+        gene = (packed_p >> (POS_BITS + 1)).astype(jnp.int32)
+        pflip = ((packed_p >> POS_BITS) & 1).astype(jnp.int32)
+        pos = (packed_p & ((1 << POS_BITS) - 1)).astype(jnp.int32)
+        orient = pflip ^ qflip.astype(jnp.int32)[:, :, None]
+        off_fwd = offsets[None, :, None]
+        off_rc = lens_dev[:, None, None] - table.k - off_fwd
+        diag = jnp.maximum(
+            pos - jnp.where(orient == 1, off_rc, off_fwd), 0
+        )
+        vote = (gene * 2 + orient) * md + diag // DIAG_BUCKET
+        SENT = table.n_genes * 2 * md + 1
+        return jnp.where(p_ok, vote, SENT).reshape(R, S * P)
+
     def stageScoreXla(b):
         codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
         cand, _ = _findCandidates(
@@ -93,9 +139,9 @@ def main():
 
     stages = [
         ("prep", jax.jit(stagePrep, static_argnums=())),
+        ("seed votes (no sort)", jax.jit(stageSeedVotes)),
         ("+seed", jax.jit(stageSeed)),
         ("+score", jax.jit(stageScore)),
-        ("+score (xla dp)", jax.jit(stageScoreXla)),
         ("+pairSelect (full mono)", lambda b: a._device_mono(b, RL)),
     ]
     for name, fn in stages:
