@@ -25,6 +25,7 @@ kernel must produce identical costs (tests/test_pallas.py).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -41,7 +42,7 @@ try:  # pallas import is TPU/CPU-interpret friendly
 except Exception:  # pragma: no cover
     _PALLAS = False
 
-LANES = int(__import__("os").environ.get("KGT_DP_LANES", "128"))
+LANES = int(os.environ.get("KGT_DP_LANES", "128"))
 BIG = 1e9
 
 
@@ -65,22 +66,23 @@ def _kernel(p: AlignParams, want_lin: bool = True):
         lens = len_ref[0, :]
         band_iota = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 0)
 
-        def oneRow(i, wb, wa, dpre, rb, carry):
+        def oneRow(i, wa5, dpre, rb, carry):
             """One DP row given in-register window slices [B, L].
 
-            dpre is the skip-cost prefix over the *group* slice; per row it
-            differs from the band-local prefix by a constant, which cancels
-            between the subtract and the add around the min-scan.
+            wa5 is the per-column acceptance mask: alt bits 0-3 with the
+            backbone base's bit OR'd in (hoisted per group), so the whole
+            match-or-known-alt test is ONE AND against the read base's
+            bit — the kernel is instruction-issue bound, every per-row op
+            counts.  dpre is the skip-cost prefix over the *group* slice;
+            per row it differs from the band-local prefix by a constant,
+            which cancels between the subtract and the add around the
+            min-scan.
             """
             prev, lin, best_cost, best_off, best_lin = carry
-            ok = rb < 4
-            # variable shift once on the [1, L] read row, then a plain
-            # AND against the [B, L] alt mask (a [B, L] variable shift
-            # lowers poorly on the VPU)
-            rb_bit = jnp.where(ok, 1 << rb, 0)
-            is_match = (rb == wb) & ok
-            is_alt = (wa & rb_bit) > 0
-            sub = jnp.where(is_match | is_alt, 0.0, p.mismatch)
+            # variable shift once on the [1, L] read row; rb == 4 (N/pad)
+            # gets bit value 0 -> always a mismatch, like the oracle
+            rb_bit = jnp.where(rb < 4, 1 << rb, 0)
+            sub = jnp.where((wa5 & rb_bit) > 0, 0.0, p.mismatch)
 
             m = prev + sub
             if want_lin:  # pure-diagonal cost per band offset
@@ -128,8 +130,10 @@ def _kernel(p: AlignParams, want_lin: bool = True):
         def group(g, carry):
             base = pl.multiple_of(g * GROUP, GROUP)
             blk = wbytes_ref[pl.ds(base, SLICE), :].astype(jnp.int32)
-            wb_blk = blk >> 5
-            wa_blk = blk & 0xF
+            # acceptance mask: alt bits | backbone-base bit (wb in 0..7;
+            # values >= 4 — pad/N columns — set bits the read bit never
+            # tests, i.e. always mismatch)
+            wa5_blk = (blk & 0xF) | (1 << (blk >> 5))
             wd_blk = jnp.where(
                 ((blk >> 4) & 1) > 0, p.del_eps, p.del_cost
             ).astype(jnp.float32)
@@ -143,8 +147,7 @@ def _kernel(p: AlignParams, want_lin: bool = True):
             for k in range(GROUP):
                 carry = oneRow(
                     g * GROUP + k,
-                    wb_blk[k : k + B, :],
-                    wa_blk[k : k + B, :],
+                    wa5_blk[k : k + B, :],
                     dP[k : k + B, :],
                     rb_blk[k, :][None, :],
                     carry,
