@@ -199,8 +199,9 @@ def main() -> None:
         f"[bench] device path: {n_reads} reads in {dt:.2f}s/iter "
         f"({reads_per_s:,.0f} reads/s, covered positions {covered:,.0f})"
     )
-    log(f"[bench] stage seconds (one synced pass): "
-        + ", ".join(f"{k}={v:.2f}" for k, v in sorted(timings.items())))
+    if timings:  # split-stage mode only; the monolith is one dispatch
+        log(f"[bench] stage seconds (one synced pass): "
+            + ", ".join(f"{k}={v:.2f}" for k, v in sorted(timings.items())))
 
     # exact product path (annotation-grade output: the path that produces
     # .variant.json -> depth -> CN -> allele calls), measured by default

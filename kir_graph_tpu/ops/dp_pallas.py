@@ -55,8 +55,11 @@ def _kernel(p: AlignParams, want_lin: bool = True):
     RL = p.read_len
     scan_shifts = [1 << s for s in range(int(np.ceil(np.log2(max(B, 2)))))]
 
-    GROUP = 8  # Mosaic requires sublane slice starts provably 8-aligned:
-    #            slice B+GROUP rows at 8*group, then shift in registers
+    # Mosaic requires sublane slice starts provably 8-aligned: slice
+    # B+GROUP rows at GROUP*g, then shift in registers.  Env-tunable for
+    # per-generation tuning (must divide RL and be a multiple of 8).
+    GROUP = int(os.environ.get("KGT_DP_GROUP", "8"))
+    assert GROUP % 8 == 0
     SLICE = B + GROUP
     pre_shifts = [1 << s for s in range(int(np.ceil(np.log2(SLICE))))]
     assert RL % GROUP == 0
