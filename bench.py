@@ -240,8 +240,11 @@ def main() -> None:
     # big-batch product path (pipeline/run.py): batches beyond one
     # 32768-pair chunk stream through align/stream.py — chunk k+1's
     # kernels overlap chunk k's host annotation, bit-identical output
-    # (tests/test_stream.py).  Measured on a 2-chunk batch.
-    n_big = 2 * GraphAligner.CHUNK_PAIRS
+    # (tests/test_stream.py).  4 chunks: cohort-scale steady state (the
+    # first chunk's device phase has nothing to overlap, so short batches
+    # under-report the pipeline's throughput).
+    n_chunks = int(os.environ.get("BENCH_STREAM_CHUNKS", "4"))
+    n_big = n_chunks * GraphAligner.CHUNK_PAIRS
     reps = (n_big + N - 1) // N
     cb1 = np.concatenate([c1e] * reps)[:n_big]
     lb1 = np.concatenate([l1e] * reps)[:n_big]
@@ -255,7 +258,7 @@ def main() -> None:
     dt_stream = min(stream_times)
     stream_reads_per_s = 2 * n_big / dt_stream
     log(
-        f"[bench] exact path streamed ({n_big} pairs, 2 chunks): "
+        f"[bench] exact path streamed ({n_big} pairs, {n_chunks} chunks): "
         f"{stream_reads_per_s:,.0f} reads/s "
         f"(iters {[round(t, 2) for t in stream_times]})"
     )
