@@ -208,14 +208,20 @@ def main() -> None:
     from kir_graph_tpu.align.annotate import VariantAnnotator
     from kir_graph_tpu.align.pipeline import GraphAligner
 
-    from kir_graph_tpu.align.stream import alignAnnotateStream
+    from kir_graph_tpu.align.stream import alignAnnotateEvidence
 
     aligner = GraphAligner(index)
     annotator = VariantAnnotator(index)
     c1e, l1e = c1[:N], l1[:N]     # un-padded originals
     c2e, l2e = c2[:N], l2[:N]
     result = aligner.alignPairs(c1e, l1e, c2e, l2e)   # warm (compile)
-    annotator.annotate(result)
+    annotator.annotateEvidence(result)
+    # The exact path ends at EvidenceArrays + depth + pileup: the array
+    # contract every downstream product stage consumes (typing scatters
+    # the CSRs straight into its count matrices, CN takes depth, the
+    # .evidence.npz artifact is these arrays).  PairRead objects exist
+    # only at the JSON/compat boundary; their materialisation cost is
+    # reported separately below.
     # best-of-3: the tunneled device->host link's bandwidth swings ~50x
     # between runs (0.1..30+ MB/s); steady-state throughput of the
     # software is the minimum wall time, per-iteration times are logged
@@ -224,16 +230,20 @@ def main() -> None:
         t0 = time.time()
         result = aligner.alignPairs(c1e, l1e, c2e, l2e)
         dt_align = time.time() - t0
-        reads_data, depth_e, pileup_e, passed = annotator.annotate(result)
+        ev, depth_e, pileup_e = annotator.annotateEvidence(result)
         exact_times.append((time.time() - t0, dt_align))
     dt_exact, dt_align = min(exact_times)
     exact_reads_per_s = n_reads / dt_exact
+    t0 = time.time()
+    reads_data = annotator.assembleReadsData(ev, depth_e, pileup_e)[0]
+    dt_pairread = time.time() - t0
     log(
         f"[bench] exact path: {exact_reads_per_s:,.0f} reads/s "
         f"(align {n_reads / dt_align:,.0f} reads/s, "
         f"mapped {float((result.gene >= 0).mean()):.3f}, "
-        f"passed {int(passed.sum())}, "
+        f"passed {int(ev.pass_mask.sum())}, "
         f"evidence reads {len(reads_data['reads'])}, "
+        f"pairread-compat materialise {dt_pairread:.2f}s, "
         f"iters {[round(t, 2) for t, _ in exact_times]})"
     )
 
@@ -243,7 +253,14 @@ def main() -> None:
     # (tests/test_stream.py).  4 chunks: cohort-scale steady state (the
     # first chunk's device phase has nothing to overlap, so short batches
     # under-report the pipeline's throughput).
-    n_chunks = int(os.environ.get("BENCH_STREAM_CHUNKS", "4"))
+    try:
+        n_chunks = int(os.environ.get("BENCH_STREAM_CHUNKS", "4"))
+    except ValueError as e:
+        raise SystemExit(f"BENCH_STREAM_CHUNKS must be an integer: {e}")
+    if n_chunks < 1:
+        raise SystemExit(
+            f"BENCH_STREAM_CHUNKS must be >= 1 (got {n_chunks})"
+        )
     n_big = n_chunks * GraphAligner.CHUNK_PAIRS
     reps = (n_big + N - 1) // N
     cb1 = np.concatenate([c1e] * reps)[:n_big]
@@ -253,7 +270,7 @@ def main() -> None:
     stream_times = []
     for _ in range(3):
         t0 = time.time()
-        alignAnnotateStream(aligner, annotator, cb1, lb1, cb2, lb2)
+        alignAnnotateEvidence(aligner, annotator, cb1, lb1, cb2, lb2)
         stream_times.append(time.time() - t0)
     dt_stream = min(stream_times)
     stream_reads_per_s = 2 * n_big / dt_stream
@@ -275,6 +292,7 @@ def main() -> None:
                     exact_reads_per_s / HISAT2_BASELINE_READS_PER_S, 2
                 ),
                 "exact_streamed_reads_per_s": round(stream_reads_per_s, 1),
+                "pairread_compat_materialize_s": round(dt_pairread, 3),
                 "baseline_reads_per_s": HISAT2_BASELINE_READS_PER_S,
             }
         )

@@ -714,34 +714,21 @@ class VariantAnnotator:
             self._catalog_variants = v
         return list(v)
 
-    def toPairReads(self, ev: EvidenceArrays) -> list[PairRead]:
-        """EvidenceArrays -> PairRead list (only at JSON/compat boundaries).
+    def evidenceBundle(self, ev: EvidenceArrays):
+        """EvidenceArrays + matching variant list -> the typing-ready
+        array bundle (typing/evidence.py)."""
+        from ..typing.evidence import EvidenceBundle
 
-        One vectorised id gather + bulk tolist() up front; the loop then
-        only slices Python lists (per-element numpy indexing here used to
-        cost ~0.3s per 30k-pair batch)."""
-        pos_ids = ev.ids[ev.pos_idx].tolist()
-        neg_ids = ev.ids[ev.neg_idx].tolist()
-        pp = ev.pos_indptr.tolist()
-        np_ = ev.neg_indptr.tolist()
-        gene_l = ev.gene.tolist()
-        nh_l = ev.nh.tolist()
-        names = [t.name for t in self.tables]
-        reads = []
-        for n in np.nonzero(ev.pass_mask)[0].tolist():
-            r0, r1 = 2 * n, 2 * n + 1
-            reads.append(
-                PairRead(
-                    backbone=names[gene_l[n]],
-                    multiple=nh_l[n],
-                    lpv=pos_ids[pp[r0]:pp[r0 + 1]],
-                    lnv=neg_ids[np_[r0]:np_[r0 + 1]],
-                    rpv=pos_ids[pp[r1]:pp[r1 + 1]],
-                    rnv=neg_ids[np_[r1]:np_[r1 + 1]],
-                    pair_index=n,
-                )
-            )
-        return reads
+        return EvidenceBundle(
+            ev,
+            self.catalogVariants() + ev.novel_variants,
+            [t.name for t in self.tables],
+        )
+
+    def toPairReads(self, ev: EvidenceArrays) -> list[PairRead]:
+        """EvidenceArrays -> PairRead list (only at JSON/compat
+        boundaries; the product path hands typing the array bundle)."""
+        return self.evidenceBundle(ev).toReadsData()["reads"]
 
     def _impl(self):
         """The active array-annotate implementation: the native C++ core
@@ -771,15 +758,29 @@ class VariantAnnotator:
             ev.pass_mask,
         )
 
+    def annotateEvidence(
+        self,
+        result: AlignResult,
+        exon_only: bool = False,
+        error_correction: bool = False,
+    ) -> tuple[EvidenceArrays, np.ndarray, np.ndarray]:
+        """Product-path endpoint: per-read variant evidence (novel SNVs
+        registered), depth and pileup — all in array form.  Typing, CN
+        and the JSON export all consume this; PairRead objects are built
+        only at the JSON/compat boundary (`assembleReadsData`)."""
+        return self._impl()(
+            result, exon_only=exon_only, error_correction=error_correction
+        )
+
     def annotate(
         self,
         result: AlignResult,
         exon_only: bool = False,
         error_correction: bool = False,
     ) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
-        """Product path; same contract as `annotateLoop`.  Uses the native
+        """Compat path; same contract as `annotateLoop`.  Uses the native
         C++ core when built (KGT_NO_NATIVE=1 forces the numpy oracle)."""
-        ev, depth, pileup = self._impl()(
+        ev, depth, pileup = self.annotateEvidence(
             result, exon_only=exon_only, error_correction=error_correction
         )
         return self.assembleReadsData(ev, depth, pileup)

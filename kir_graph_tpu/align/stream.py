@@ -100,7 +100,7 @@ def mergeEvidence(
     )
 
 
-def alignAnnotateStream(
+def alignAnnotateEvidence(
     aligner: GraphAligner,
     annotator: VariantAnnotator,
     codes1: np.ndarray,
@@ -111,10 +111,10 @@ def alignAnnotateStream(
     exon_only: bool = False,
     error_correction: bool = False,
     chunk_hook=None,
-) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
-    """Pipelined exact product path; same contract as
-    `VariantAnnotator.annotate` (reads+variants dict, depth, pileup,
-    pass mask), bit-identical to the one-shot path.
+) -> tuple[EvidenceArrays, np.ndarray, np.ndarray]:
+    """Pipelined exact product path, array-form endpoint: returns
+    (EvidenceArrays, depth, pileup) bit-identical to the one-shot
+    `annotateEvidence(alignPairs(...))`.
 
     `chunk` defaults to the aligner's CHUNK_PAIRS (32768): batches that
     size or smaller run exactly one-shot, and bigger batches — which
@@ -138,12 +138,12 @@ def alignAnnotateStream(
     N = len(codes1)
     if error_correction or N <= chunk:
         result = aligner.alignPairs(codes1, len1, codes2, len2)
-        out = annotator.annotate(
+        ev, depth, pileup = annotator.annotateEvidence(
             result, exon_only=exon_only, error_correction=error_correction
         )
         if chunk_hook is not None:
-            chunk_hook(0, result, out[3])
-        return out
+            chunk_hook(0, result, ev.pass_mask)
+        return ev, depth, pileup
     chunk = min(chunk, aligner.CHUNK_PAIRS)
     impl = annotator._impl()
 
@@ -173,5 +173,27 @@ def alignAnnotateStream(
         pending = (s, result_next)
     annotatePending()
 
-    ev = mergeEvidence(annotator, evs)
-    return annotator.assembleReadsData(ev, depth_sum, pileup_sum)
+    return mergeEvidence(annotator, evs), depth_sum, pileup_sum
+
+
+def alignAnnotateStream(
+    aligner: GraphAligner,
+    annotator: VariantAnnotator,
+    codes1: np.ndarray,
+    len1: np.ndarray,
+    codes2: np.ndarray,
+    len2: np.ndarray,
+    chunk: int | None = None,
+    exon_only: bool = False,
+    error_correction: bool = False,
+    chunk_hook=None,
+) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
+    """`alignAnnotateEvidence` + PairRead materialisation; same contract
+    as `VariantAnnotator.annotate` (reads+variants dict, depth, pileup,
+    pass mask), bit-identical to the one-shot path."""
+    ev, depth, pileup = alignAnnotateEvidence(
+        aligner, annotator, codes1, len1, codes2, len2,
+        chunk=chunk, exon_only=exon_only,
+        error_correction=error_correction, chunk_hook=chunk_hook,
+    )
+    return annotator.assembleReadsData(ev, depth, pileup)

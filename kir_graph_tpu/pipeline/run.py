@@ -16,7 +16,7 @@ import pandas as pd
 from ..align.annotate import VariantAnnotator
 from ..align.encode import encodeReads
 from ..align.pipeline import GraphAligner
-from ..align.stream import alignAnnotateStream
+from ..align.stream import alignAnnotateEvidence
 from ..cn.predict import filterDepth, loadCN, predictSamplesCN
 from ..index.build import KirIndex
 from ..sim.reads import readFastq
@@ -80,13 +80,20 @@ class SamplePipeline:
             )
 
         with TIMER.stage("align.stream"):
-            reads_data, depth, pileup, passed = alignAnnotateStream(
+            ev, depth, pileup = alignAnnotateEvidence(
                 self.aligner, self.annotator, c1, l1, c2, l2,
                 chunk_hook=capturePlacements,
             )
+            passed = ev.pass_mask
 
         with TIMER.stage("io.write_outputs"):
-            writeReadsAndVariantsData(reads_data, out_prefix + ".json")
+            from ..typing.evidence import saveEvidence
+
+            bundle = self.annotator.evidenceBundle(ev)
+            # typing-ready array artifact (product path) + the
+            # reference-compatible .variant.json (interop/compat)
+            saveEvidence(bundle, out_prefix + ".evidence.npz")
+            writeReadsAndVariantsData(bundle.toReadsData(), out_prefix + ".json")
             self.writeDepthTsv(depth, depth_tsv)
             np.save(out_prefix + ".pileup.npy", pileup)
             # compact per-passing-pair placements: lets novel discovery
@@ -188,9 +195,30 @@ class SamplePipeline:
         if os.path.exists(name + ".tsv"):
             return name + ".tsv"
 
-        t = selectKirTypingModel(
-            method, processed + ".json", top_n=top_n, variant_correction=True
-        )
+        # prefer the typing-ready array artifact; the JSON path remains
+        # for artifacts produced elsewhere (or by older runs)
+        evid_path = processed + ".evidence.npz"
+        t = None
+        if os.path.exists(evid_path):
+            from ..typing.evidence import loadEvidence
+
+            try:
+                bundle = loadEvidence(
+                    evid_path,
+                    self.annotator.catalogVariants(),
+                    [tb.name for tb in self.annotator.tables],
+                )
+                t = selectKirTypingModel(
+                    method, evidence=bundle, top_n=top_n,
+                    variant_correction=True,
+                )
+            except ValueError as e:
+                logger.warning(f"[Allele] {e}; falling back to JSON")
+        if t is None:
+            t = selectKirTypingModel(
+                method, processed + ".json", top_n=top_n,
+                variant_correction=True,
+            )
         cn = loadCN(cn_file)
         called_alleles, warning_genes = t.typing(cn)
         logger.info(f"[Allele] {called_alleles} ({processed})")

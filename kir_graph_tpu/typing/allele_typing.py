@@ -17,7 +17,8 @@ import numpy as np
 
 from ..index.variants import Variant
 from ..utils import logger
-from .homo import isHomozygous
+from .evidence import GeneEvidence, csrMaskValues, csrSelectRows
+from .homo import isHomozygous, isHomozygousFromCounts
 from .kernels import beamExtend, fractionOfReads, logProbsFromCounts
 from .pairread import PairRead
 
@@ -168,8 +169,14 @@ class AlleleTyping:
         if no_empty:
             reads = self.removeEmptyReads(reads)
         self.reads = reads
+        self._isHomo = lambda cn: isHomozygous(self.reads, self.variants, cn)
 
-        self.log_probs = self._buildLogProbs(reads)  # np.float32 [R, A]
+        self._finishInit(self._buildLogProbs(reads), allele_names)
+
+    def _finishInit(
+        self, log_probs: np.ndarray, allele_names: list[str]
+    ) -> None:
+        self.log_probs = log_probs  # np.float32 [R, A]
         self._log_probs_dev = jnp.asarray(self.log_probs)
         self._allele_col_sum = (
             self.log_probs.sum(axis=0)
@@ -189,6 +196,89 @@ class AlleleTyping:
             0, 1 << 32, n_alleles, dtype=np.uint32
         )
         self.result: list[TypingResult] = []
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def fromEvidence(
+        cls,
+        gev: GeneEvidence,
+        variants: list[Variant],
+        force_homo: bool | None = None,
+        top_n: int = 300,
+        no_empty: bool = True,
+        variant_correction: bool = True,
+    ) -> "AlleleTyping":
+        """Array-native constructor: builds the count matrices straight
+        from the gene's evidence CSR — no PairRead objects.  Produces
+        bit-identical typing to the list path (tests/test_typing_evidence
+        asserts it): the count matrices, correction masks and
+        homozygosity record aggregate the same instances in the same
+        arithmetic."""
+        self = cls.__new__(cls)
+        self.top_n = top_n
+        self._no_empty = no_empty
+        self.force_homo = force_homo
+        self.variants = {str(v.id): v for v in variants}
+        allele_names = sorted({a for v in variants for a in v.allele})
+        self.id_to_allele = dict(enumerate(allele_names))
+        self.allele_to_id = {n: i for i, n in enumerate(allele_names)}
+
+        V = len(variants)
+        pp, pi = gev.pos_indptr, gev.pos_idx
+        nn, ni = gev.neg_indptr, gev.neg_idx
+        if variant_correction and V:
+            # reference typing_mulit_allele.py:302-338: drop variants with
+            # < 3 observations or < 20% minority evidence
+            cnt_p = np.bincount(pi, minlength=V).astype(np.int64)
+            cnt_n = np.bincount(ni, minlength=V).astype(np.int64)
+            tot = cnt_p + cnt_n
+            safe = np.maximum(tot, 1)
+            excl_p = (tot < 3) | (cnt_p / safe < 0.2)
+            excl_n = (tot < 3) | (cnt_n / safe < 0.2)
+            pp, pi = csrMaskValues(pp, pi, ~excl_p[pi])
+            nn, ni = csrMaskValues(nn, ni, ~excl_n[ni])
+        R = gev.n_pairs
+        if no_empty and R:
+            mate_tot = np.diff(pp) + np.diff(nn)
+            keep = (mate_tot[0::2] + mate_tot[1::2]) > 0
+            rows = np.nonzero(keep)[0]
+            mrows = np.empty(2 * len(rows), dtype=np.int64)
+            mrows[0::2] = 2 * rows
+            mrows[1::2] = 2 * rows + 1
+            pp, pi = csrSelectRows(pp, pi, mrows)
+            nn, ni = csrSelectRows(nn, ni, mrows)
+            R = len(rows)
+        self.reads = None  # array path: PairReads never materialised
+        pos_inst = np.bincount(pi, minlength=V).astype(np.int64)
+        neg_inst = np.bincount(ni, minlength=V).astype(np.int64)
+        self._isHomo = lambda cn: isHomozygousFromCounts(
+            pos_inst, neg_inst, variants, cn
+        )
+
+        A = len(allele_names)
+        if R == 0 or V == 0:
+            log_probs = np.zeros((0, A), dtype=np.float32)
+        else:
+            membership = self._membershipMatrix(variants, self.allele_to_id)
+            count_diff = np.zeros((R, V), dtype=np.float32)
+            prow_p = np.repeat(
+                np.arange(2 * R, dtype=np.int64) // 2, np.diff(pp)
+            )
+            prow_n = np.repeat(
+                np.arange(2 * R, dtype=np.int64) // 2, np.diff(nn)
+            )
+            np.add.at(count_diff, (prow_p, pi), 1.0)
+            np.add.at(count_diff, (prow_n, ni), -1.0)
+            n_pos = np.bincount(prow_p, minlength=R).astype(np.float32)
+            n_neg = np.bincount(prow_n, minlength=R).astype(np.float32)
+            log_probs = np.asarray(
+                logProbsFromCounts(
+                    jnp.asarray(count_diff), jnp.asarray(n_pos),
+                    jnp.asarray(n_neg), jnp.asarray(membership),
+                )
+            )
+        self._finishInit(log_probs, allele_names)
+        return self
 
     # ------------------------------------------------------------------
     def getReadsNum(self) -> int:
@@ -230,6 +320,18 @@ class AlleleTyping:
             read.rnv = [v for v in read.rnv if v not in excl_neg]
         return reads
 
+    @staticmethod
+    def _membershipMatrix(
+        variants: list[Variant], allele_to_id: dict[str, int]
+    ) -> np.ndarray:
+        membership = np.zeros((len(variants), len(allele_to_id)), np.float32)
+        for row, v in enumerate(variants):
+            for a in v.allele:
+                ai = allele_to_id.get(a)
+                if ai is not None:
+                    membership[row, ai] = 1.0
+        return membership
+
     def _buildLogProbs(self, reads: list[PairRead]) -> np.ndarray:
         """Assemble count matrices on host, run the matmul kernel."""
         A = len(self.allele_to_id)
@@ -238,13 +340,9 @@ class AlleleTyping:
         if R == 0 or V == 0:
             return np.zeros((0, A), dtype=np.float32)
         vid_index = {vid: i for i, vid in enumerate(self.variants)}
-        membership = np.zeros((V, A), dtype=np.float32)
-        for vid, v in self.variants.items():
-            row = vid_index[vid]
-            for a in v.allele:
-                ai = self.allele_to_id.get(a)
-                if ai is not None:
-                    membership[row, ai] = 1.0
+        membership = self._membershipMatrix(
+            list(self.variants.values()), self.allele_to_id
+        )
 
         count_diff = np.zeros((R, V), dtype=np.float32)
         n_pos = np.zeros(R, dtype=np.float32)
@@ -271,7 +369,7 @@ class AlleleTyping:
         if cn < 1:
             raise ValueError(f"CN should be >= 1, got {cn}")
         if self.force_homo is None:
-            homo = isHomozygous(self.reads, self.variants, cn)
+            homo = self._isHomo(cn)
         else:
             homo = self.force_homo
 

@@ -10,6 +10,7 @@ from typing import Any
 from ..utils import NumpyEncoder, logger
 from .allele_typing import AlleleTyping
 from .em import hisat2TypingPerGene, preprocessHisatReads, printHisatTyping
+from .evidence import EvidenceBundle
 from .exonfirst import AlleleTypingExonFirst
 from .homo import isHetrozygous
 from .pairread import (
@@ -59,6 +60,7 @@ class TypingWithPosNegAllele(Typing):
         self,
         filename_variant_json: str = "",
         reads_data: ReadsAndVariantsData | None = None,
+        evidence: EvidenceBundle | None = None,
         top_n: int = 300,
         multiple: bool = False,
         exon_first: bool = False,
@@ -67,13 +69,22 @@ class TypingWithPosNegAllele(Typing):
         variant_correction: bool = False,
     ):
         super().__init__()
-        if reads_data is None:
-            reads_data = loadReadsAndVariantsData(filename_variant_json)
-        if not multiple:
-            reads_data = removeMultipleMapped(reads_data)
+        self._gene_evidence = None
+        if evidence is not None:
+            # array-native product path: per-gene evidence CSRs, no
+            # PairRead materialisation (except inside exonfirst)
+            self._gene_evidence, self._gene_variants = evidence.splitByGene(
+                multiple=multiple
+            )
+            self._gene_reads = None
+        else:
+            if reads_data is None:
+                reads_data = loadReadsAndVariantsData(filename_variant_json)
+            if not multiple:
+                reads_data = removeMultipleMapped(reads_data)
+            self._gene_reads = groupReads(reads_data["reads"])
+            self._gene_variants = groupVariants(reads_data["variants"])
         self._top_n = top_n
-        self._gene_reads = groupReads(reads_data["reads"])
-        self._gene_variants = groupVariants(reads_data["variants"])
         self._exon_first = exon_first
         self._exon_only = exon_only
         self._exon_candidate_threshold = exon_candidate_threshold
@@ -86,22 +97,45 @@ class TypingWithPosNegAllele(Typing):
         # CN>0 but no unique passing reads (e.g. provided-CN path): the
         # reference's defaultdicts yield empty reads+variants -> zero alleles
         # -> "fail" -> GENE* (kir_typing.py:126-131). Short-circuit that.
-        if not self._gene_reads.get(gene) or not self._gene_variants.get(gene):
+        gene_src = (
+            self._gene_evidence
+            if self._gene_evidence is not None
+            else self._gene_reads
+        )
+        if not gene_src.get(gene) or not self._gene_variants.get(gene):
             logger.warning(f"[Allele] {gene} has no reads; returning fail")
             pure_gene = gene.split("*")[0]
             return [f"{pure_gene}*"] * cn, 0
 
         if not self._exon_first and not self._exon_only:
-            typ: AlleleTyping = AlleleTyping(
-                self._gene_reads[gene],
-                self._gene_variants[gene],
-                force_homo=force_homo,
-                top_n=self._top_n,
-                variant_correction=self._variant_correction,
-            )
+            if self._gene_evidence is not None:
+                typ: AlleleTyping = AlleleTyping.fromEvidence(
+                    self._gene_evidence[gene],
+                    self._gene_variants[gene],
+                    force_homo=force_homo,
+                    top_n=self._top_n,
+                    variant_correction=self._variant_correction,
+                )
+            else:
+                typ = AlleleTyping(
+                    self._gene_reads[gene],
+                    self._gene_variants[gene],
+                    force_homo=force_homo,
+                    top_n=self._top_n,
+                    variant_correction=self._variant_correction,
+                )
         else:
+            if self._gene_evidence is not None:
+                # exonfirst works on PairRead lists; materialise this
+                # gene's subset only (the array-native exonfirst rewrite
+                # is future work — this path is already off the hot loop)
+                gene_reads = self._gene_evidence[gene].toPairReads(
+                    [str(v.id) for v in self._gene_variants[gene]]
+                )
+            else:
+                gene_reads = self._gene_reads[gene]
             typ = AlleleTypingExonFirst(
-                self._gene_reads[gene],
+                gene_reads,
                 self._gene_variants[gene],
                 force_homo=force_homo,
                 top_n=self._top_n,
@@ -135,10 +169,14 @@ class TypingWithReport(Typing):
         self,
         filename_variant_json: str = "",
         reads_data: ReadsAndVariantsData | None = None,
+        evidence: EvidenceBundle | None = None,
     ):
         super().__init__()
         if reads_data is None:
-            reads_data = loadReadsAndVariantsData(filename_variant_json)
+            if evidence is not None:
+                reads_data = evidence.toReadsData()
+            else:
+                reads_data = loadReadsAndVariantsData(filename_variant_json)
         reads_data = removeMultipleMapped(reads_data)
         self._gene_reads = preprocessHisatReads(reads_data)
 

@@ -41,6 +41,28 @@ def isHomozygous(
                 key = f"*{v.val}"
                 v_record[v.pos][key] = v_record[v.pos].get(key, 0) + 1
 
+    return homoHits(v_record, cn) == 0
+
+
+def isHomozygousFromCounts(
+    pos_inst, neg_inst, variants: list[Variant], cn: int
+) -> bool:
+    """`isHomozygous` from per-variant instance counts (the array path:
+    identical v_record, aggregated instead of accumulated per read)."""
+    if cn <= 1:
+        return False
+    v_record: dict[int, dict[str, int]] = {}
+    for i, v in enumerate(variants):
+        if v.typ == "deletion":
+            continue
+        if pos_inst[i]:
+            v_record.setdefault(v.pos, {})[str(v.val)] = int(pos_inst[i])
+        if neg_inst[i]:
+            v_record.setdefault(v.pos, {})[f"*{v.val}"] = int(neg_inst[i])
+    return homoHits(v_record, cn) == 0
+
+
+def homoHits(v_record: dict[int, dict[str, int]], cn: int) -> int:
     hits = 0
     for val in v_record.values():
         if len(val) <= 1:
@@ -57,4 +79,4 @@ def isHomozygous(
             continue
         if strong[1] > 1 / (cn * 2):
             hits += 1
-    return hits == 0
+    return hits
