@@ -183,7 +183,6 @@ class GraphAligner:
         n_genes = table.n_genes
         pair_select = self._pair_select
 
-        @partial(jax.jit, static_argnums=(1,))
         def mono(buf, RL):
             codes_dev, codes_fwd, lens_dev = _prepStreams(buf, RL)
             N = codes_fwd.shape[0] // 2
@@ -200,7 +199,10 @@ class GraphAligner:
                 cost_d, gene_d, orient_d, diag_d, end_d, lin_d, lens_dev
             )
 
-        return mono
+        # unjitted body kept for the sharded exact path (parallel/exact.py
+        # wraps it in shard_map over a device mesh)
+        self._mono_fn = mono
+        return partial(jax.jit, static_argnums=(1,))(mono)
 
     def _buildPairSelect(self):
         """Jitted concordant pairing + winner selection over the dense

@@ -136,6 +136,21 @@ def alignAnnotateEvidence(
     if chunk is None:
         chunk = aligner.CHUNK_PAIRS
     N = len(codes1)
+    # fused device classification (align/device_annotate.py): per-base
+    # evidence never crosses the link; only packed per-mate summaries do.
+    # Placements capture (chunk_hook), error correction and exon-only
+    # use the host path.
+    if not error_correction and not exon_only and chunk_hook is None:
+        from .device_annotate import getDeviceAnnotator
+
+        da = getDeviceAnnotator(aligner, annotator)
+        if da is not None:
+            out = _deviceAnnotateDriver(
+                da, aligner, annotator, codes1, len1, codes2, len2,
+                min(chunk, aligner.CHUNK_PAIRS),
+            )
+            if out is not None:
+                return out
     if error_correction or N <= chunk:
         result = aligner.alignPairs(codes1, len1, codes2, len2)
         ev, depth, pileup = annotator.annotateEvidence(
@@ -174,6 +189,64 @@ def alignAnnotateEvidence(
     annotatePending()
 
     return mergeEvidence(annotator, evs), depth_sum, pileup_sum
+
+
+def _deviceAnnotateDriver(
+    da, aligner, annotator, codes1, len1, codes2, len2, chunk
+):
+    """Drive the fused device-annotate path chunk by chunk.
+
+    Chunk k's evidence download + host assembly runs inside chunk k+1's
+    `host_work` window (after the monolith dispatch, before its blocking
+    winner download) — the same overlap the host path uses.  A chunk
+    whose runtime caps overflow is re-run through the host path; if the
+    FIRST chunk overflows we return None so the caller's host path
+    handles everything (cheaper than re-dispatching every chunk).
+    """
+    N = len(codes1)
+    evs: list[EvidenceArrays] = []
+    sums = {"depth": None, "pileup": None}
+    pending: list = []  # [finish] of the previous chunk
+
+    def hostChunk(s):
+        result = aligner.alignPairs(
+            codes1[s: s + chunk], len1[s: s + chunk],
+            codes2[s: s + chunk], len2[s: s + chunk],
+        )
+        return annotator.annotateEvidence(result)
+
+    def finishPending():
+        if not pending:
+            return
+        s, fin = pending.pop()
+        got = fin() if fin is not None else None
+        if got is None:
+            got = hostChunk(s)
+        ev, depth, pileup = got
+        evs.append(ev)
+        sums["depth"] = depth if sums["depth"] is None \
+            else sums["depth"] + depth
+        sums["pileup"] = pileup if sums["pileup"] is None \
+            else sums["pileup"] + pileup
+
+    first = True
+    for s in range(0, N, chunk):
+        fin = da.dispatchChunk(
+            codes1[s: s + chunk], len1[s: s + chunk],
+            codes2[s: s + chunk], len2[s: s + chunk],
+            host_work=finishPending,
+        )
+        if fin is None and first:
+            return None  # e.g. hard-job overflow on the very first chunk
+        pending.append((s, fin))
+        first = False
+    finishPending()
+
+    if len(evs) == 1:
+        ev = evs[0]
+    else:
+        ev = mergeEvidence(annotator, evs)
+    return ev, sums["depth"], sums["pileup"]
 
 
 def alignAnnotateStream(

@@ -45,8 +45,16 @@ def initDistributed(
          attempted only when the environment shows one of those launchers,
          so plain single-host runs never pay a probe timeout.
     """
-    if jax.process_count() > 1:
-        return True
+    # do NOT probe via jax.process_count() here: that initialises the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    # (caught by the real 2-process test, tests/test_multiprocess.py)
+    try:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return jax.process_count() > 1
+    except Exception:
+        pass
 
     coordinator_address = coordinator_address or os.environ.get("KIR_COORDINATOR")
     if num_processes is None and os.environ.get("KIR_NUM_PROCESSES"):
@@ -94,10 +102,19 @@ def makeMesh(n_devices: int | None = None) -> Mesh:
         n_local = jax.local_device_count()
         n_hosts = jax.process_count()
         d_local, m = meshShape(n_local)
-        dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(d_local, m),
-            dcn_mesh_shape=(n_hosts, 1),
-        )
+        try:
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(d_local, m),
+                dcn_mesh_shape=(n_hosts, 1),
+            )
+        except ValueError:
+            # non-TPU backends have no slice_index; granule = process
+            # (e.g. the CPU-backed 2-process test)
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(d_local, m),
+                dcn_mesh_shape=(n_hosts, 1),
+                process_is_granule=True,
+            )
         return Mesh(dev, axis_names=("data", "model"))
 
     devices = jax.devices()

@@ -74,14 +74,26 @@ def buildProxyCheckout(
     n_alleles_per_gene: int = 100,
     seed: int = 21,
     n_exon_only: int = 8,
+    real_scale: bool = False,
 ) -> tuple[dict[str, Genemsa], str, dict[str, list[str]]]:
-    """Synthetic 17-gene DB -> IPD checkout with nuc-only alleles."""
+    """Synthetic 17-gene DB -> IPD checkout with nuc-only alleles.
+
+    ``real_scale`` pushes the DB to real IPD-KIR dimensions: per-gene
+    lengths drawn from 4-16 kb (the real 2DL4..3DL3 spread), hundreds of
+    catalogued SNP columns, and one ~kb structural deletion per gene
+    (the 2DS4/3DP1-style exon dropouts -> spliced pseudo-references at
+    scale)."""
     cfg = SynthConfig(
         seed=seed,
         n_genes=17,
         n_alleles_per_gene=n_alleles_per_gene,
-        n_snp_sites=max(60, int(1.5 * n_alleles_per_gene)),
+        n_snp_sites=(
+            400 if real_scale else max(60, int(1.5 * n_alleles_per_gene))
+        ),
         n_families=8 if n_alleles_per_gene >= 40 else 4,
+        gene_length_range=(4000, 16000) if real_scale else None,
+        n_del_sites=4 if real_scale else 3,
+        n_long_del_sites=1 if real_scale else 0,
     )
     genes = makeSyntheticDB(cfg)
     rng = np.random.Generator(np.random.Philox(seed + 1))
@@ -133,18 +145,22 @@ def makeParitySamples(
     workdir: str,
     depth: float = 20.0,
     seed: int = 77,
+    profile: str = "uniform",
 ) -> tuple[str, list[ParityTruth]]:
-    """Two example-shaped samples; sample 00 gets a provided-CN file."""
+    """Two example-shaped samples; sample 00 gets a provided-CN file.
+
+    ``profile="hiseq"`` simulates with the art-like position-dependent
+    quality model (sim/reads.py) and writes real quality strings."""
     rng = np.random.Generator(np.random.Philox(seed))
     truths: list[ParityTruth] = []
     rows = []
     for s in range(2):
-        profile = _sampleProfile(
+        sprofile = _sampleProfile(
             genes, exon_only, rng, cn3_gene="KIR2DL1" if s == 0 else "KIR2DS1"
         )
         copies: dict[str, int] = {}
         seqs: dict[str, str] = {}
-        for g, picks in profile.items():
+        for g, picks in sprofile.items():
             for a in picks:
                 copies[a] = copies.get(a, 0) + 1
                 # reads come from the TRUE full-length sequence even for
@@ -153,11 +169,12 @@ def makeParitySamples(
         sim = simulatePairedReads(
             seqs, depth=depth, seed=seed + 10 + s, error_rate=0.002,
             allele_copies=copies, sample_name=f"parity{s}",
+            profile=profile,
         )
         name = os.path.join(workdir, f"test{s:02d}")
         r1, r2 = name + ".read1.fq.gz", name + ".read2.fq.gz"
-        writeFastq(r1, sim.names, sim.r1)
-        writeFastq(r2, sim.names, sim.r2)
+        writeFastq(r1, sim.names, sim.r1, quals=sim.q1 or None)
+        writeFastq(r2, sim.names, sim.r2, quals=sim.q2 or None)
 
         cn: dict[str, int] = {}
         for g, picks in profile.items():
@@ -216,18 +233,27 @@ def runParityProxy(
     depth: float = 20.0,
     seed: int = 21,
     allele_strategy: str = "exonfirst",
+    real_scale: bool = False,
+    profile: str = "uniform",
 ) -> dict:
-    """Build the proxy DB + samples, run the real CLI, report parity."""
+    """Build the proxy DB + samples, run the real CLI, report parity.
+
+    A second call with the same workdir but a different allele strategy
+    reuses the cold-built index and per-sample mapping artifacts (the
+    suffix-keyed resume mechanism, pipeline/run.py) and re-runs only CN +
+    typing under a strategy-suffixed cohort name."""
     from .main import createParser, main
 
     os.makedirs(workdir, exist_ok=True)
     genes, db_path, exon_only = buildProxyCheckout(
-        workdir, n_alleles_per_gene=n_alleles_per_gene, seed=seed
+        workdir, n_alleles_per_gene=n_alleles_per_gene, seed=seed,
+        real_scale=real_scale,
     )
     csv, truths = makeParitySamples(
-        genes, exon_only, workdir, depth=depth, seed=seed + 50
+        genes, exon_only, workdir, depth=depth, seed=seed + 50,
+        profile=profile,
     )
-    cohort_name = os.path.join(workdir, "cohort")
+    cohort_name = os.path.join(workdir, f"cohort_{allele_strategy}")
     index_prefix = os.path.join(workdir, "index", "kir")
     args = createParser().parse_args([
         "--input-csv", csv,
@@ -247,6 +273,7 @@ def runParityProxy(
     report["config"] = {
         "n_genes": 17, "n_alleles_per_gene": n_alleles_per_gene,
         "depth": depth, "seed": seed, "allele_strategy": allele_strategy,
+        "real_scale": real_scale, "profile": profile,
         "exon_only_total": sum(len(v) for v in exon_only.values()),
     }
     logger.info(f"[Parity] cn_exact={report['cn_exact']} "

@@ -32,6 +32,15 @@ class SynthConfig:
     n_families: int = 4              # 3-digit allele families per gene
     seed: int = 0
     gene_prefix: str = "KIRS"        # used only past the named-gene list
+    # real-IPD-scale knobs (all default OFF so the base RNG stream — and
+    # every committed truth built on it — is unchanged):
+    # per-gene MSA length drawn uniformly from this range (real KIR genes
+    # span ~4-16 kb, e.g. 3DL3 vs 2DL4)
+    gene_length_range: tuple[int, int] | None = None
+    # kb-scale structural deletions per gene (the 2DS4/3DP1-style exon
+    # dropouts); each creates a spliced pseudo-reference in the index
+    n_long_del_sites: int = 0
+    long_del_range: tuple[int, int] = (800, 1500)
 
 
 def _randomSeq(rng: np.random.Generator, n: int) -> np.ndarray:
@@ -66,9 +75,17 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
     ``{prefix}{g}*{fff}{ss}{xx}`` (family / synonymous / extra digits) so the
     3/5/7-digit resolution helpers behave like they do on real names.
     """
+    import dataclasses
+
     cfg = cfg or SynthConfig()
     rng = np.random.Generator(np.random.Philox(cfg.seed))
-    ancestor = _randomSeq(rng, cfg.gene_length)
+    gene_lengths = None
+    if cfg.gene_length_range is not None:
+        lo_l, hi_l = cfg.gene_length_range
+        gene_lengths = rng.integers(lo_l, hi_l + 1, size=cfg.n_genes)
+        ancestor = _randomSeq(rng, int(hi_l))
+    else:
+        ancestor = _randomSeq(rng, cfg.gene_length)
     blocks = _blocks(cfg)
 
     # KIR3DL3 first: the framework gene anchors the CN model's diploid
@@ -87,22 +104,55 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
             gene_name = named[g]
         else:
             gene_name = f"{cfg.gene_prefix}{g + 1}DL{g + 1}"
-        base = _mutate(rng, ancestor, cfg.gene_divergence)
+        if gene_lengths is not None:
+            L_g = int(gene_lengths[g])
+            g_blocks = _blocks(dataclasses.replace(cfg, gene_length=L_g))
+            base = _mutate(rng, ancestor[:L_g], cfg.gene_divergence)
+        else:
+            L_g = cfg.gene_length
+            g_blocks = blocks
+            base = _mutate(rng, ancestor, cfg.gene_divergence)
 
         # catalogued variant sites for this gene
-        snp_pos = rng.choice(cfg.gene_length, size=cfg.n_snp_sites, replace=False)
+        snp_pos = rng.choice(L_g, size=cfg.n_snp_sites, replace=False)
         snp_alt = (base[snp_pos] + rng.integers(1, 4, size=cfg.n_snp_sites)) % 4
         del_pos = rng.choice(
-            cfg.gene_length - cfg.max_del_len - 1, size=cfg.n_del_sites, replace=False
+            L_g - cfg.max_del_len - 1, size=cfg.n_del_sites, replace=False
         )
         del_len = rng.integers(2, cfg.max_del_len + 1, size=cfg.n_del_sites)
+
+        # kb-scale structural deletions: mutually disjoint, away from the
+        # gene edges, carried by a minority of families
+        long_pos = np.zeros(0, dtype=np.int64)
+        long_len = np.zeros(0, dtype=np.int64)
+        if cfg.n_long_del_sites:
+            llo, lhi = cfg.long_del_range
+            lhi = max(min(lhi, L_g // 4), 32)
+            llo = min(llo, lhi - 1)
+            long_len = rng.integers(llo, lhi + 1, size=cfg.n_long_del_sites)
+            placed: list[int] = []
+            for d in range(cfg.n_long_del_sites):
+                for _ in range(100):
+                    pos = int(rng.integers(200, L_g - long_len[d] - 200))
+                    if all(
+                        pos + long_len[d] + 100 < q
+                        or q + long_len[placed.index(q)] + 100 < pos
+                        for q in placed
+                    ):
+                        break
+                placed.append(pos)
+            long_pos = np.array(placed, dtype=np.int64)
 
         # allele families: each family owns a subset of sites; alleles within
         # a family toggle a couple of extra "synonymous" sites
         fam_patterns = rng.random((cfg.n_families, cfg.n_snp_sites)) < 0.35
         fam_del = rng.random((cfg.n_families, cfg.n_del_sites)) < 0.3
+        fam_long = (
+            rng.random((cfg.n_families, cfg.n_long_del_sites)) < 0.25
+            if cfg.n_long_del_sites else None
+        )
 
-        msa = Genemsa(gene_name=gene_name, blocks=[Block(b.name, b.type, b.length) for b in blocks])
+        msa = Genemsa(gene_name=gene_name, blocks=[Block(b.name, b.type, b.length) for b in g_blocks])
         seen_signatures: set[bytes] = set()
         for a in range(cfg.n_alleles_per_gene):
             fam = a % cfg.n_families
@@ -114,6 +164,8 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
                 priv = rng.choice(cfg.n_snp_sites, size=2, replace=False)
                 snp_mask[priv] = ~snp_mask[priv]
                 sig = snp_mask.tobytes() + fam_del[fam].tobytes()
+                if fam_long is not None:
+                    sig += fam_long[fam].tobytes()
                 if sig not in seen_signatures:
                     seen_signatures.add(sig)
                     break
@@ -125,6 +177,10 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
             for d in range(cfg.n_del_sites):
                 if fam_del[fam, d]:
                     chars[del_pos[d] : del_pos[d] + del_len[d]] = ord("-")
+            if fam_long is not None:
+                for d in range(cfg.n_long_del_sites):
+                    if fam_long[fam, d]:
+                        chars[long_pos[d] : long_pos[d] + long_len[d]] = ord("-")
             name = f"{gene_name}*{fam + 1:03d}{sub + 1:02d}{rng.integers(1, 10):02d}"
             # ensure uniqueness of names
             while name in msa.alleles:

@@ -29,7 +29,9 @@ def test_parity_proxy_reduced(tmp_path):
     want = [a for s in report["samples"] for a in s["alleles_want"]]
     assert any(a.endswith("e") for a in want), "no exon-only allele in truth"
     # provided-CN path: sample 00's CN column came from the cnfile
-    cn = pd.read_csv(str(tmp_path / "cohort.cn.tsv"), sep="\t", index_col=0)
+    cn = pd.read_csv(
+        str(tmp_path / "cohort_full.cn.tsv"), sep="\t", index_col=0
+    )
     assert "assigned" in cn.columns[0]
     # merged pools really at CN>2 (the example's KIR2DL1S1=3 analogue)
     assert max(report["samples"][0]["alleles_want"].count(a)
