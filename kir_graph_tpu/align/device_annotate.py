@@ -75,11 +75,14 @@ class DeviceAnnotator:
         self.Gt = Gt
         self.Vtot = Vtot
         al = self.aligner
-        self.t_seq = jnp.asarray(ann.seq_g.astype(np.int8))
-        self.t_snp = jnp.asarray(ann.snp_lookup_g)              # i32
+        # FLAT tables + 1-D int32 index gathers: multi-dim advanced
+        # indexing lowers to a slow TPU gather path (measured 312 ms for
+        # the classify block at 32k pairs vs ~35 ms flat)
+        self.t_seq = jnp.asarray(ann.seq_g.astype(np.int8).reshape(-1))
+        self.t_snp = jnp.asarray(ann.snp_lookup_g.reshape(-1))  # i32
         self.t_ignore = jnp.asarray(ann.g_ignore.astype(np.int32))
-        self.t_lo = jnp.asarray(ann.lo_at.astype(np.int32))
-        self.t_hi = jnp.asarray(ann.hi_at.astype(np.int32))
+        self.t_lo = jnp.asarray(ann.lo_at.astype(np.int32).reshape(-1))
+        self.t_hi = jnp.asarray(ann.hi_at.astype(np.int32).reshape(-1))
         self.t_dk = jnp.asarray(ann.del_keys.astype(np.int32))
         self.t_dv = jnp.asarray(ann.del_vals.astype(np.int32))
         self.t_glen = jnp.asarray(al._glenAll().astype(np.int32))
@@ -110,7 +113,12 @@ class DeviceAnnotator:
         backbone, altdel = al._backbone, al._altdel
         editdist = al.annot_editdist
 
-        def kernel(buf, w, hard_rows, RL, Hb):
+        def kernel(buf, w, hard_rows, RL, Hb, stage=99):
+            # `stage` (static) truncates the program for profiling:
+            # 1=cols, 2=snp classify, 3=del runs, 4=nm/spans/mask,
+            # 5=streams, 99=full (scripts/profile_device_annotate.py)
+            def early(*xs):
+                return sum(x.astype(jnp.int32).sum() for x in xs)
             codes_all, _, lens_all = _prepStreams(buf, RL)
             N = buf.shape[0] // 2
             M = 2 * N
@@ -147,10 +155,8 @@ class DeviceAnnotator:
                 backbone, altdel, h_gene, h_w0, PAD_L, p.window, p
             )
             _, h_cols = bandedTraceback(wb, wa, wd, h_codes, h_lens, p)
-            tgt = jnp.where(hr >= 0, hr, M)
-            rel = jnp.concatenate(
-                [rel, jnp.zeros((1, RL), jnp.int32)]
-            ).at[tgt].set(h_cols)[:M]
+            tgt = jnp.where(hr >= 0, hr, 1 << 30)  # pad rows: dropped
+            rel = rel.at[tgt].set(h_cols, mode="drop")
 
             # window-relative rel (>=0 consumed col, -2 insertion, -1 pad)
             # -> finalized absolute cols, mirroring the host finalize:
@@ -169,6 +175,8 @@ class DeviceAnnotator:
             shift = ((cols >= row_pos[jnp.clip(g_ps, 0)][:, None])
                      & (cols >= 0)) * row_len[jnp.clip(g_ps, 0)][:, None]
             cols = cols + shift
+            if stage == 1:
+                return early(cols), None, None
 
             # --- classification (annotate.py:annotateArrays, dense form)
             gtrue = row_true[jnp.clip(g_ps, 0)]
@@ -177,17 +185,21 @@ class DeviceAnnotator:
             overhang = ((cols == -3) & in_len).any(axis=1)
             n_ins = ((cols == -2) & in_len).sum(axis=1)
             safe_cols = jnp.clip(cols, 0, Lmax - 1)
-            bb = seq_g[gtrue[:, None], safe_cols]
+            gcol = gtrue[:, None] * Lmax + safe_cols      # [M, RL] flat
+            bb = seq_g[gcol]
+            if stage == 21:
+                return early(bb), None, None
             mm = consumed & (bases != bb)
             nmask = bases >= 4
             mm_snp = mm & ~nmask
             mm_n = mm & nmask
             snp_gidx = jnp.where(
                 mm_snp,
-                snp_g[gtrue[:, None], safe_cols, jnp.clip(bases, 0, 3)
-                      .astype(jnp.int32)],
+                snp_g[gcol * 4 + jnp.clip(bases, 0, 3).astype(jnp.int32)],
                 -1,
             )
+            if stage == 22:
+                return early(snp_gidx), None, None
             known = mm_snp & (snp_gidx >= 0)
             novel = mm_snp & (snp_gidx < 0)
             novel_cnt = novel.sum(axis=1)
@@ -195,6 +207,10 @@ class DeviceAnnotator:
             ignored_cnt = jnp.where(
                 known, ignore_g[jnp.clip(snp_gidx, 0)], 0
             ).sum(axis=1)
+
+            if stage == 2:
+                return early(cols, known, novel_cnt, npos_cnt,
+                             ignored_cnt), None, None
 
             # --- deletion runs (compacted before the canonical shift)
             pm = jax.lax.cummax(jnp.where(consumed, cols, -1), axis=1)
@@ -207,13 +223,15 @@ class DeviceAnnotator:
             rflat = run.reshape(-1)
             rslot = jnp.cumsum(rflat) - 1
             r_total = jnp.where(rflat.any(), rslot[-1] + 1, 0)
-            ridx = jnp.where(rflat & (rslot < CR), rslot, CR)
+            # out-of-bounds sentinel + mode="drop": colliding writes to a
+            # shared dump slot serialize XLA's scatter, dropped ones don't
+            ridx = jnp.where(rflat & (rslot < CR), rslot, 1 << 30)
             flati = jnp.arange(M * RL, dtype=jnp.int32)
 
             def compactRuns(vals):
-                return jnp.zeros(CR + 1, jnp.int32).at[ridx].set(
-                    jnp.where(rflat, vals, 0)
-                )[:CR]
+                return jnp.zeros(CR, jnp.int32).at[ridx].set(
+                    vals, mode="drop"
+                )
 
             r_row = compactRuns(flati // RL)
             r_start = compactRuns((prev + 1).reshape(-1))
@@ -222,11 +240,13 @@ class DeviceAnnotator:
             r_gene = jnp.where(r_valid, gtrue[jnp.clip(r_row, 0, M - 1)], 0)
             r_lenc = jnp.maximum(r_len, 1)
 
+            r_gbase = r_gene * Lmax
+
             def shiftCond(canon):
                 act = r_valid & (canon > 0) & (
-                    seq_g[r_gene, jnp.clip(canon - 1, 0)]
+                    seq_g[r_gbase + jnp.clip(canon - 1, 0)]
                     == seq_g[
-                        r_gene, jnp.clip(canon + r_lenc - 1, 0, Lmax - 1)
+                        r_gbase + jnp.clip(canon + r_lenc - 1, 0, Lmax - 1)
                     ]
                 )
                 return act
@@ -257,9 +277,13 @@ class DeviceAnnotator:
             d2 = delFind(r_start)
             r_gidx = jnp.where(d1 >= 0, d1, d2)
             r_known = (r_gidx >= 0) & r_valid
-            novel_del_len = jnp.zeros(M + 1, jnp.int32).at[
-                jnp.where(r_valid & ~r_known, r_row, M)
-            ].add(jnp.where(r_valid & ~r_known, r_len, 0))[:M]
+            ndl_sel = r_valid & ~r_known
+            novel_del_len = jnp.zeros(M, jnp.int32).at[
+                jnp.where(ndl_sel, r_row, 1 << 30)
+            ].add(r_len, mode="drop")
+
+            if stage == 3:
+                return early(r_gidx, novel_del_len), None, None
 
             # --- NM / pass
             nm = (novel_cnt + npos_cnt + n_ins + novel_del_len
@@ -278,43 +302,39 @@ class DeviceAnnotator:
             last_col = RL - 1 - jnp.argmax(consumed[:, ::-1], axis=1)
             right = jnp.where(any_cons, cols[rowar, last_col] + 1, 0)
             do_neg = pass_row & any_cons
-            gsafe2 = jnp.clip(gtrue, 0)
+            gat = jnp.clip(gtrue, 0) * (Lmax + 2)
             lo = jnp.where(
-                do_neg, lo_at[gsafe2, jnp.clip(left, 0, Lmax + 1)], 0
+                do_neg, lo_at[gat + jnp.clip(left, 0, Lmax + 1)], 0
             )
             hi = jnp.where(
-                do_neg, hi_at[gsafe2, jnp.clip(right, 0, Lmax + 1)], 0
+                do_neg, hi_at[gat + jnp.clip(right, 0, Lmax + 1)], 0
             )
             hi = jnp.maximum(hi, lo)
             span = hi - lo
             span_over = (jnp.where(do_neg, span, 0) > self.SPAN_BITS).sum()
 
-            # --- in-span positive mask (known SNPs + in-span known dels)
+            # --- in-span positive mask: known-SNP bits only (a read
+            # carries each catalog SNP at most once, so the bits are
+            # unique per row and the OR is a plain row-sum — no scatter;
+            # deletion positives are excluded host-side via the d-stream)
             ksel = known & pass_row[:, None]
-            kbit = jnp.where(ksel, snp_gidx - lo[:, None], -1)
-            kword = jnp.where(
-                ksel & (kbit >= 0) & (kbit < 64), kbit // 32, 2
-            )
-            kshift = (kbit & 31).astype(jnp.uint32)
-            mask = jnp.zeros((M, 3), jnp.uint32).at[
-                jnp.repeat(rowar[:, None], RL, 1), kword
-            ].add(
-                jnp.where(
-                    ksel & (kbit >= 0) & (kbit < 64),
-                    jnp.uint32(1) << kshift,
-                    jnp.uint32(0),
-                )
-            )
+            kbit = snp_gidx - lo[:, None]
+            k_ok = ksel & (kbit >= 0) & (kbit < 64)
+            one = jnp.uint32(1)
+            mask_lo_w = jnp.where(
+                k_ok & (kbit < 32),
+                one << jnp.clip(kbit, 0, 31).astype(jnp.uint32),
+                jnp.uint32(0),
+            ).sum(axis=1, dtype=jnp.uint32)
+            mask_hi_w = jnp.where(
+                k_ok & (kbit >= 32),
+                one << jnp.clip(kbit - 32, 0, 31).astype(jnp.uint32),
+                jnp.uint32(0),
+            ).sum(axis=1, dtype=jnp.uint32)
             dsel = r_known & pass_row[jnp.clip(r_row, 0, M - 1)]
-            dbit = jnp.where(dsel, r_gidx - lo[jnp.clip(r_row, 0, M - 1)], -1)
-            dword = jnp.where(dsel & (dbit >= 0) & (dbit < 64), dbit // 32, 2)
-            mask = mask.at[jnp.clip(r_row, 0, M - 1), dword].add(
-                jnp.where(
-                    dsel & (dbit >= 0) & (dbit < 64),
-                    jnp.uint32(1) << (dbit & 31).astype(jnp.uint32),
-                    jnp.uint32(0),
-                )
-            )
+            if stage == 4:
+                return early(nm, lo, hi, mask_lo_w, mask_hi_w,
+                             dsel), None, None
 
             # --- compacted streams (row-major order)
             capU, capC, capD = M, M // 2, M // 4
@@ -323,31 +343,34 @@ class DeviceAnnotator:
                 fm = m2d.reshape(-1)
                 slot = jnp.cumsum(fm) - 1
                 total = jnp.where(fm.any(), slot[-1] + 1, 0)
-                idxs = jnp.where(fm & (slot < cap), slot, cap)
-                out = jnp.zeros(cap + 1, jnp.int32).at[idxs].set(
-                    jnp.where(fm, vals.reshape(-1), 0)
-                )[:cap]
+                idxs = jnp.where(fm & (slot < cap), slot, 1 << 30)
+                out = jnp.zeros(cap, jnp.int32).at[idxs].set(
+                    vals.reshape(-1), mode="drop"
+                )
                 return out, total
 
             reg = novel & ~ev_empty[:, None]
-            novel_keys = (gtrue[:, None] * Lmax + safe_cols) * 4 \
-                + jnp.clip(bases, 0, 3).astype(jnp.int32)
+            novel_keys = gcol * 4 + jnp.clip(bases, 0, 3).astype(jnp.int32)
             nbuf, ntot = compactFlat(reg, novel_keys, capU)
             nsel2 = mm_n & pass_row[:, None]
             cbuf, ctot = compactFlat(nsel2, cols, capC)
             dstream_sel = dsel
             dslot = jnp.cumsum(dstream_sel) - 1
             dtot = jnp.where(dstream_sel.any(), dslot[-1] + 1, 0)
-            didx = jnp.where(dstream_sel & (dslot < capD), dslot, capD)
-            dbuf = jnp.zeros(capD + 1, jnp.int32).at[didx].set(
-                jnp.where(dstream_sel, r_gidx, 0)
-            )[:capD]
+            didx = jnp.where(dstream_sel & (dslot < capD), dslot, 1 << 30)
+            dbuf = jnp.zeros(capD, jnp.int32).at[didx].set(
+                r_gidx, mode="drop"
+            )
 
             reg_cnt = reg.sum(axis=1)
             ncol_cnt = nsel2.sum(axis=1)
-            d_cnt = jnp.zeros(M + 1, jnp.int32).at[
-                jnp.where(dstream_sel, r_row, M)
-            ].add(jnp.where(dstream_sel, 1, 0))[:M]
+            d_cnt = jnp.zeros(M, jnp.int32).at[
+                jnp.where(dstream_sel, r_row, 1 << 30)
+            ].add(1, mode="drop")
+
+            if stage == 5:
+                return early(nbuf, cbuf, dbuf, reg_cnt, ncol_cnt,
+                             d_cnt), None, None
 
             # --- depth / pileup (device-resident outputs)
             uniq_row = _interleave(pass_c, pass_c) & (
@@ -356,13 +379,12 @@ class DeviceAnnotator:
             sel = consumed & uniq_row[:, None]
             lin = jnp.where(
                 sel,
-                (gtrue[:, None] * Lmax + safe_cols) * 5
-                + jnp.clip(bases, 0, 4).astype(jnp.int32),
-                Gt * Lmax * 5,
+                gcol * 5 + jnp.clip(bases, 0, 4).astype(jnp.int32),
+                1 << 30,
             )
-            pileup = jnp.zeros(Gt * Lmax * 5 + 1, jnp.int32).at[
+            pileup = jnp.zeros(Gt * Lmax * 5, jnp.int32).at[
                 lin.reshape(-1)
-            ].add(1)[:-1].reshape(Gt, Lmax, 5)
+            ].add(1, mode="drop").reshape(Gt, Lmax, 5)
             depth = pileup.sum(axis=-1)
 
             # --- pack the single host download
@@ -379,15 +401,15 @@ class DeviceAnnotator:
             out = jnp.concatenate([
                 header,
                 plane0, plane1, plane2,
-                jax.lax.bitcast_convert_type(mask[:, 0], jnp.int32),
-                jax.lax.bitcast_convert_type(mask[:, 1], jnp.int32),
+                jax.lax.bitcast_convert_type(mask_lo_w, jnp.int32),
+                jax.lax.bitcast_convert_type(mask_hi_w, jnp.int32),
                 nbuf, cbuf, dbuf,
             ])
             return out, pileup, depth
 
         # unjitted body for the sharded exact path (parallel/exact.py)
         self._kernel_fn = kernel
-        return partial(jax.jit, static_argnums=(3, 4))(kernel)
+        return partial(jax.jit, static_argnums=(3, 4, 5))(kernel)
 
     # ------------------------------------------------------------------
     def annotateChunk(
@@ -445,6 +467,15 @@ class DeviceAnnotator:
                 buf[:, -1] = (lens_fwd >> 8).astype(np.uint8)
         return buf, N0, N
 
+    @staticmethod
+    def _hardBucket(n: int) -> int:
+        """x2 shape buckets for the pointer-DP job count (x4 wastes up
+        to 2.8x of the traceback's scan time)."""
+        b = 256
+        while b < n:
+            b *= 2
+        return b
+
     def hardRows(self, w: np.ndarray) -> np.ndarray:
         """Interleaved mate rows whose winner needs the pointer DP."""
         by = w[5:9].astype(np.int32) & 0xFFFF
@@ -480,7 +511,7 @@ class DeviceAnnotator:
         n_hard = len(hard)
         if n_hard > self.MAX_HARD:
             return None
-        Hb = al._bucket(max(n_hard, 1), self.MAX_HARD)
+        Hb = self._hardBucket(n_hard)
         hard_rows = np.full(Hb, -1, np.int32)
         hard_rows[:n_hard] = hard
 
@@ -601,6 +632,13 @@ class DeviceAnnotator:
             d_gidx = dbuf[:dtot].astype(np.int64)
 
             keep = ~is_pos
+            # deletion positives are not in the bitmask (annotate.py's
+            # pos_set exclusion covers them via isin)
+            if dtot:
+                Vbig = np.int64(max(Vtot, 1))
+                keep &= ~np.isin(
+                    cand_rows * Vbig + cand_gidx, d_rows * Vbig + d_gidx
+                )
             nr2 = np.repeat(rowar, ncol_cnt)
             ncols_keys = nr2 * np.int64(Lmax + 1) + cbuf[:ctot]
             cand_pos = ann.g_pos[cand_gidx] if Vtot else np.zeros(0, np.int64)
@@ -647,13 +685,18 @@ def getDeviceAnnotator(
 ) -> DeviceAnnotator | None:
     """Cached DeviceAnnotator for the pair, or None when disabled.
 
-    Default: enabled off-CPU (on CPU the 4-core host's native C++ path
-    wins; XLA-CPU would serialize the same work slower).  Override with
-    KGT_DEVICE_ANNOTATE=1/0."""
+    Default: DISABLED — measured on the v5e, the fused classification
+    kernel costs ~0.8 s per 32k-pair chunk (TPU gathers/scans over the
+    dense [2N, RL] arrays run at ~100-200 M elem/s) while the host C++
+    core does the same work in ~0.08 s, so the single-chip exact path is
+    faster through the host (docs/BENCH_NOTES.md round 3).  The kernel
+    remains the basis of the multi-chip sharded exact path
+    (parallel/exact.py constructs DeviceAnnotator directly: on a pod the
+    per-chip classification scales with chips while a single host would
+    serialize), and stays bit-identical-tested.  Opt in with
+    KGT_DEVICE_ANNOTATE=1."""
     knob = os.environ.get("KGT_DEVICE_ANNOTATE", "")
-    if knob == "0":
-        return None
-    if knob != "1" and jax.default_backend() == "cpu":
+    if knob != "1":
         return None
     cached = getattr(annotator, "_device_annotator", None)
     if cached is not None and cached.aligner is aligner:

@@ -151,6 +151,17 @@ def alignAnnotateEvidence(
             )
             if out is not None:
                 return out
+    if error_correction and N > chunk:
+        # two-pass streamed EC: the minority-base pileup is batch-global
+        # (reference hisat2.py:609-654 pileups the whole BAM), so pass 1
+        # aligns all chunks — each previous chunk's raw pileup accumulates
+        # on host inside the next chunk's device window — and pass 2
+        # classifies with the corrected bases.  Bit-identical to one-shot
+        # EC (tests/test_stream.py).
+        return _streamWithErrorCorrection(
+            aligner, annotator, codes1, len1, codes2, len2,
+            min(chunk, aligner.CHUNK_PAIRS), exon_only, chunk_hook,
+        )
     if error_correction or N <= chunk:
         result = aligner.alignPairs(codes1, len1, codes2, len2)
         ev, depth, pileup = annotator.annotateEvidence(
@@ -247,6 +258,149 @@ def _deviceAnnotateDriver(
     else:
         ev = mergeEvidence(annotator, evs)
     return ev, sums["depth"], sums["pileup"]
+
+
+def _ecRawPileup(annotator: VariantAnnotator, result) -> np.ndarray:
+    """Raw consumed-base pileup over ALL mapped pairs — the EC input
+    (reference hisat2.py:609-654 pileups the unfiltered BAM)."""
+    Gt = len(annotator.tables)
+    Lmax = annotator.index.backbone.shape[1]
+    mapped = result.gene >= 0
+    RL = result.cols_l.shape[1]
+    j = np.arange(RL, dtype=np.int32)[None, :]
+    total = np.zeros(Gt * Lmax * 5, dtype=np.int64)
+    for cols, bases, lens in (
+        (result.cols_l, result.bases_l, result.len_l),
+        (result.cols_r, result.bases_r, result.len_r),
+    ):
+        consumed = (cols >= 0) & (j < lens[:, None]) & mapped[:, None]
+        rows, cposs = np.nonzero(consumed)
+        lin = (
+            result.gene[rows].astype(np.int64) * Lmax + cols[rows, cposs]
+        ) * 5 + bases[rows, cposs]
+        total += np.bincount(lin, minlength=Gt * Lmax * 5)
+    return total.reshape(Gt, Lmax, 5)
+
+
+def _applyEcBases(
+    annotator: VariantAnnotator, result, ec_pileup: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Minority-base correction -> corrected (bases_l, bases_r) copies;
+    the same arithmetic as annotate.py's in-batch EC (columns with depth
+    >= 20 where the read's base is <= 20% get the >= 80% majority, or N)."""
+    Gt = len(annotator.tables)
+    Lmax = annotator.index.backbone.shape[1]
+    mapped = result.gene >= 0
+    safe_gene = np.clip(result.gene, 0, Gt - 1)
+    RL = result.cols_l.shape[1]
+    j = np.arange(RL, dtype=np.int32)[None, :]
+    out = []
+    for cols, bases, lens in (
+        (result.cols_l, result.bases_l, result.len_l),
+        (result.cols_r, result.bases_r, result.len_r),
+    ):
+        in_len = j < lens[:, None]
+        consumed = (cols >= 0) & in_len & mapped[:, None]
+        bb = annotator.seq_g[safe_gene[:, None], np.clip(cols, 0, Lmax - 1)]
+        cand = consumed & (bases != bb) & (bases < 4)
+        rows, cposs = np.nonzero(cand)
+        b = bases.copy()
+        if len(rows):
+            counts = ec_pileup[result.gene[rows], cols[rows, cposs], :4]
+            totals = counts.sum(axis=1)
+            own = counts[np.arange(len(rows)), bases[rows, cposs]] \
+                / np.maximum(totals, 1)
+            minority = (totals >= 20) & (own <= 0.2)
+            frac = counts / np.maximum(totals, 1)[:, None]
+            maj = frac.argmax(axis=1)
+            has_major = frac.max(axis=1) >= 0.8
+            fix = minority & has_major
+            b[rows[fix], cposs[fix]] = maj[fix]
+            ton = minority & ~has_major
+            b[rows[ton], cposs[ton]] = 4
+        out.append(b)
+    return out[0], out[1]
+
+
+def _rawDepthPileup(
+    annotator: VariantAnnotator, result, pass_mask: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Depth/pileup from RAW bases of passing unique pairs (the EC'd
+    classification decides pass; the counts stay uncorrected, like the
+    reference's BAM pileup)."""
+    Gt = len(annotator.tables)
+    Lmax = annotator.index.backbone.shape[1]
+    RL = result.cols_l.shape[1]
+    j = np.arange(RL, dtype=np.int32)[None, :]
+    uniq = pass_mask & (result.nh == 1) & (result.gene >= 0)
+    total = np.zeros(Gt * Lmax * 5, dtype=np.int64)
+    for cols, bases, lens in (
+        (result.cols_l, result.bases_l, result.len_l),
+        (result.cols_r, result.bases_r, result.len_r),
+    ):
+        consumed = (cols >= 0) & (j < lens[:, None]) & uniq[:, None]
+        rows, cposs = np.nonzero(consumed)
+        lin = (
+            result.gene[rows].astype(np.int64) * Lmax + cols[rows, cposs]
+        ) * 5 + bases[rows, cposs]
+        total += np.bincount(lin, minlength=Gt * Lmax * 5)
+    pileup = total.reshape(Gt, Lmax, 5).astype(np.int32)
+    return pileup.sum(axis=-1, dtype=np.int32), pileup
+
+
+def _streamWithErrorCorrection(
+    aligner, annotator, codes1, len1, codes2, len2,
+    chunk, exon_only, chunk_hook,
+):
+    import dataclasses
+
+    from .pipeline import AlignResult
+
+    N = len(codes1)
+    Gt = len(annotator.tables)
+    Lmax = annotator.index.backbone.shape[1]
+    ec_sum = np.zeros((Gt, Lmax, 5), dtype=np.int64)
+    saved: list[tuple[int, AlignResult]] = []
+    pending: list = []
+
+    def pileupPending():
+        nonlocal ec_sum
+        if pending:
+            ec_sum += _ecRawPileup(annotator, pending.pop())
+
+    for s in range(0, N, chunk):
+        res = aligner.alignPairs(
+            codes1[s:s + chunk], len1[s:s + chunk],
+            codes2[s:s + chunk], len2[s:s + chunk],
+            host_work=pileupPending,
+        )
+        # chunk results are scratch views — copy before the next dispatch
+        resc = AlignResult(
+            **{
+                k: np.array(getattr(res, k))
+                for k in AlignResult.__dataclass_fields__
+            }
+        )
+        saved.append((s, resc))
+        pending.append(resc)
+    pileupPending()
+
+    impl = annotator._impl()
+    evs: list[EvidenceArrays] = []
+    depth_sum = pileup_sum = None
+    ecp = ec_sum.astype(np.int32)
+    for s, res in saved:
+        bl, br = _applyEcBases(annotator, res, ecp)
+        res2 = dataclasses.replace(res, bases_l=bl, bases_r=br)
+        ev, _, _ = impl(res2, exon_only=exon_only)
+        depth, pileup = _rawDepthPileup(annotator, res, ev.pass_mask)
+        if chunk_hook is not None:
+            chunk_hook(s, res, ev.pass_mask)
+        evs.append(ev)
+        depth_sum = depth if depth_sum is None else depth_sum + depth
+        pileup_sum = pileup if pileup_sum is None else pileup_sum + pileup
+
+    return mergeEvidence(annotator, evs), depth_sum, pileup_sum
 
 
 def alignAnnotateStream(

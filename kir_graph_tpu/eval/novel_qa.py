@@ -1,0 +1,118 @@
+"""
+Grade novel-SNV DISCOVERY (not just allele typing) against spiked truth.
+
+The research QA loop spikes private SNVs into one victim allele per
+sample (sim/cohort.py `mutateNovel`, reference kg_create_novel.py) and
+records them in the cohort truth table.  This module runs
+`novel/discover.py` on each such sample and scores the applied variants
+at (backbone column, alt base) resolution: precision / recall split by
+the victim allele's copy number (CN=1 vs CN=2 read groups behave
+differently — the reference's qname-restricted pileup is exactly what
+makes CN=2 work).
+"""
+from __future__ import annotations
+
+import glob
+import io
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..msa.genemsa import Genemsa
+from ..utils import logger
+
+
+def allelePosToColumn(msa: Genemsa, allele: str, pos: int) -> int:
+    """Ungapped allele-sequence position -> MSA/backbone column."""
+    seq = msa.get(allele)
+    arr = np.frombuffer(seq.encode(), dtype=np.uint8)
+    keep = (arr != ord("-")) & (arr != ord("E"))
+    cols = np.nonzero(keep)[0]
+    return int(cols[pos])
+
+
+def parseNovelTruth(novel: str) -> list[tuple[str, int, str, str]]:
+    """'allele:123A>T;...' -> [(allele, pos, ref, alt)]"""
+    out = []
+    for item in str(novel).split(";"):
+        if not item or item == "nan":
+            continue
+        allele, tag = item.rsplit(":", 1)
+        pos, change = tag[:-3], tag[-3:]
+        out.append((allele, int(pos), change[0], change[2]))
+    return out
+
+
+def gradeNovelDiscovery(
+    truth_df: pd.DataFrame,
+    msa_prefix: str,
+    method: str = "full",
+) -> dict:
+    """Run discovery per sample with spiked truth; return the P/R table.
+
+    truth_df needs columns name/alleles/novel (sim/cohort.py summary).
+    Discovery inputs are the per-sample pipeline artifacts next to
+    `{name}.variant.*`; outputs land at `{name}.noveldisc.*`.
+    """
+    from ..novel.discover import discoverNovel
+
+    msas: dict[str, Genemsa] = {}
+    stats = {1: {"tp": 0, "fp": 0, "fn": 0}, 2: {"tp": 0, "fp": 0, "fn": 0}}
+    n_graded = 0
+    for _, row in truth_df.iterrows():
+        truth = parseNovelTruth(row.get("novel", ""))
+        if not truth:
+            continue
+        name = str(row["name"])
+        variant_name = name + ".variant"
+        hits = sorted(glob.glob(f"{variant_name}.cn_*.pv.{method}.tsv"))
+        if not hits:
+            logger.warning(f"[NovelQA] no typing result for {name}; skip")
+            continue
+        result_name = hits[0][:-4]
+        out_name = name + ".noveldisc"
+        discoverNovel(
+            variant_name,
+            msa_prefix,
+            result_name,
+            out_name,
+            novel_descr=io.StringIO(),
+        )
+        dfv = pd.read_csv(out_name + ".variant.tsv", sep="\t")
+        predicted: set[tuple[str, int, str]] = set()
+        if len(dfv):
+            applied = dfv[~dfv["skip"]]
+            for _, r in applied.iterrows():
+                predicted.add(
+                    (str(r["gene"]), int(r["pos"]), str(r["base_alt"]))
+                )
+
+        alleles = str(row["alleles"]).split("_")
+        wanted: set[tuple[str, int, str]] = set()
+        victim_cn = 1
+        for allele, pos, _ref, alt in truth:
+            gene = allele.split("*")[0]
+            if gene not in msas:
+                base = f"{msa_prefix}.{gene}"
+                msas[gene] = Genemsa.load_msa(base + ".fa", base + ".json")
+            col = allelePosToColumn(msas[gene], allele, pos)
+            bb = msas[gene].get_reference()[0]
+            wanted.add((bb, col, alt))
+            # split by the victim GENE's copy number: at CN=2 the gene's
+            # read group mixes two alleles and the assigned-read pileup
+            # is what separates the novel from the sibling allele
+            victim_cn = sum(a.split("*")[0] == gene for a in alleles)
+        cn = min(max(victim_cn, 1), 2)
+        stats[cn]["tp"] += len(predicted & wanted)
+        stats[cn]["fp"] += len(predicted - wanted)
+        stats[cn]["fn"] += len(wanted - predicted)
+        n_graded += 1
+
+    report: dict = {"samples_graded": n_graded}
+    for cn, s in stats.items():
+        p = s["tp"] / max(s["tp"] + s["fp"], 1)
+        r = s["tp"] / max(s["tp"] + s["fn"], 1)
+        report[f"cn{cn}"] = {**s, "precision": round(p, 4),
+                             "recall": round(r, 4)}
+    return report

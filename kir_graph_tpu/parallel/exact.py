@@ -151,7 +151,7 @@ class ShardedExactPath:
             raise RuntimeError(
                 f"hard-job count {n_hard} exceeds MAX_HARD={da.MAX_HARD}"
             )
-        Hb = al._bucket(max(n_hard, 1), da.MAX_HARD)
+        Hb = da._hardBucket(n_hard)
         hards = np.full((D, Hb), -1, np.int32)
         for d, h in enumerate(hard):
             hards[d, :len(h)] = h

@@ -177,7 +177,7 @@ def makeParitySamples(
         writeFastq(r2, sim.names, sim.r2, quals=sim.q2 or None)
 
         cn: dict[str, int] = {}
-        for g, picks in profile.items():
+        for g, picks in sprofile.items():
             bb = mergedBackbone(g)
             cn[bb] = cn.get(bb, 0) + len(picks)
         truth = ParityTruth(name=name, copies=copies, cn=cn)

@@ -142,6 +142,17 @@ def main(args: argparse.Namespace) -> dict:
         "allele_acc_7digit": summary["match7"] / max(summary["total"], 1),
         "cn_errors": int(cn_df["diff_abs"].sum()) if len(cn_df) else 0,
     }
+
+    # grade novel DISCOVERY (not just typing) against the spiked truth
+    # (position + base level, split by victim-gene CN)
+    if args.novel_per_sample and "novel" in truth_df.columns:
+        from ..eval.novel_qa import gradeNovelDiscovery
+
+        report["novel_discovery"] = gradeNovelDiscovery(
+            truth_df, str(out / "msa"),
+            method=args.allele_strategy if args.allele_strategy != "report"
+            else "full",
+        )
     logger.info(f"[Research] {report}")
     pd.DataFrame([report]).to_json(str(out / "report.json"))
     return report

@@ -184,11 +184,16 @@ def generateCohortFastq(
             else:
                 seqs[allele] = alleleUngappedSeq(genes_msa[gene], allele)
             copies[allele] = copies.get(allele, 0) + 1
+        novel_truth = ""
         if novel_per_sample and seqs:
             victim = list(seqs)[int(rng.integers(0, len(seqs)))]
             mutated, tags = mutateNovel(seqs[victim], novel_per_sample, rng)
             seqs[victim] = mutated
             logger.info(f"[Sim] {t.sample_id}: novel SNVs on {victim}: {tags}")
+            # truth record for discovery grading: positions are in the
+            # victim's UNGAPPED allele sequence (eval/novel_qa.py maps
+            # them to backbone columns via the MSA)
+            novel_truth = ";".join(f"{victim}:{tag}" for tag in tags)
         sim = simulatePairedReads(
             seqs,
             depth=depth,
@@ -208,6 +213,7 @@ def generateCohortFastq(
                 "haplos": "_".join(t.haplos),
                 "alleles": "_".join(t.alleles),
                 "name": f"{out_prefix}.{t.sample_id}",
+                "novel": novel_truth,
             }
         )
     df = pd.DataFrame(rows)

@@ -30,6 +30,55 @@ import numpy as np
 PAIRS_PER_DEVICE = 256
 
 
+def makeNoCollectiveStep(mesh, arr, top_c: int = 2):
+    """The same sharded program with axis_name=None: per-shard results,
+    no psum / all_gather.  step(full) - step(no-collectives) isolates
+    the collective cost at each mesh size."""
+    from dataclasses import fields as dc_fields
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kir_graph_tpu.parallel.cohort import DeviceIndexArrays, cohortStep
+
+    def step(codes1, len1, codes2, len2, rc1, rc2, membership):
+        local_arr = DeviceIndexArrays(
+            **{
+                **{f.name: getattr(arr, f.name)
+                   for f in dc_fields(DeviceIndexArrays)},
+                "membership": membership,
+            }
+        )
+        return cohortStep(
+            local_arr, codes1, len1, codes2, len2, rc1, rc2,
+            top_c=top_c, axis_name=None,
+        )
+
+    return jax.jit(
+        shard_map(
+            step, mesh=mesh,
+            in_specs=(P("data"),) * 6 + (P(None, "model"),),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_vma=False,
+        )
+    )
+
+
+def _timeStep(step, args, iters: int = 5):
+    t0 = time.time()
+    out = step(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    cpu0 = time.process_time()
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    wall = (time.time() - t0) / iters
+    cpu = (time.process_time() - cpu0) / iters
+    return compile_s, wall, cpu, out
+
+
 def runOne(n_devices: int) -> dict:
     from __graft_entry__ import _buildTinyWorld
     from kir_graph_tpu.parallel.cohort import makeShardedCohortStep
@@ -46,26 +95,28 @@ def runOne(n_devices: int) -> dict:
     membership[:, :A] = np.asarray(arr.membership)
     membership = jnp.asarray(membership)
 
-    step = makeShardedCohortStep(mesh, arr)
     args = (c1, l1, c2, l2, rc1, rc2, membership)
-    t0 = time.time()
-    depth, hist, loglik = step(*args)
-    depth.block_until_ready()
-    compile_s = time.time() - t0
+    step = makeShardedCohortStep(mesh, arr)
+    compile_s, step_s, cpu_s, out = _timeStep(step, args)
+    assert float(np.asarray(out[0]).sum()) > 0
 
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        depth, hist, loglik = step(*args)
-    depth.block_until_ready()
-    step_s = (time.time() - t0) / iters
-    assert float(np.asarray(depth).sum()) > 0
+    # collective attribution: identical per-shard compute, no psum /
+    # all_gather (outputs stay per-shard)
+    nostep = makeNoCollectiveStep(mesh, arr)
+    _, nocoll_s, _, _ = _timeStep(nostep, args)
+
+    import multiprocessing
+
+    cores = multiprocessing.cpu_count()
     return {
         "devices": n_devices,
         "mesh": f"{d}x{m}",
         "pairs": PAIRS_PER_DEVICE * d,
         "compile_s": round(compile_s, 2),
         "step_s": round(step_s, 4),
+        "nocoll_s": round(nocoll_s, 4),
+        "collective_s": round(max(step_s - nocoll_s, 0.0), 4),
+        "host_cpu_util": round(cpu_s / step_s / cores, 3),
         "pairs_per_s": round(PAIRS_PER_DEVICE * d / step_s, 1),
     }
 
@@ -98,17 +149,31 @@ def main() -> None:
         "axis, psum/all_gather reductions).  Generated by",
         "`scripts/scaling_dryrun.py`; CPU virtual devices, so absolute times",
         "are not TPU numbers, and the N virtual devices time-share the",
-        f"host's physical cores — raw weak-scaling efficiency is bounded by",
-        "min(1, cores/N).  'vs core bound' divides that ceiling out; values",
-        "near 1 mean the sharded program + collectives add no overhead",
-        "beyond the host's compute ceiling.",
+        f"host's {cores} physical cores — raw weak-scaling efficiency is",
+        "bounded by min(1, cores/N).  'vs core bound' divides that ceiling",
+        "out; values near 1 mean the sharded program adds no overhead beyond",
+        "the host's compute ceiling.",
         "",
-        "| devices | mesh | pairs | step (s) | pairs/s | raw weak eff | vs core bound |",
-        "|---|---|---|---|---|---|---|",
+        "**Attribution.**  'no-coll' re-times the identical per-shard",
+        "program with axis_name=None (no psum, no all_gather); the",
+        "difference is the total collective cost at that mesh size.",
+        "'host cpu' is process CPU time / (wall x cores): values pinned",
+        "near 1.0 mean every physical core is saturated — the observed",
+        "efficiency drop is core time-sharing, not collective overhead.",
+        "On real TPUs the per-shard compute runs on each chip's own",
+        "MXU/VPU (no sharing), and the collectives are three small",
+        "reductions over ICI — depth [G,Lmax] int32 (~0.8 MB), the",
+        "128-bin histogram and the [A] likelihood row — a few microseconds",
+        "of ring all-reduce per step, far below the ~0.3 s device phase.",
+        "",
+        "| devices | mesh | pairs | step (s) | no-coll (s) | collective (s) "
+        "| host cpu | pairs/s | raw weak eff | vs core bound |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['devices']} | {r['mesh']} | {r['pairs']} | {r['step_s']} "
+            f"| {r['nocoll_s']} | {r['collective_s']} | {r['host_cpu_util']} "
             f"| {r['pairs_per_s']} | {r['weak_eff']} | {r['eff_vs_core_bound']} |"
         )
     out = os.path.join(os.path.dirname(__file__), "..", "docs", "SCALING.md")

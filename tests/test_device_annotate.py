@@ -145,6 +145,8 @@ def test_runtime_fallback(synth_index, batch, monkeypatch):
 def test_getter_respects_env(synth_index, monkeypatch):
     aligner = GraphAligner(synth_index)
     ann = VariantAnnotator(synth_index)
+    monkeypatch.delenv("KGT_DEVICE_ANNOTATE", raising=False)
+    assert getDeviceAnnotator(aligner, ann) is None  # default off
     monkeypatch.setenv("KGT_DEVICE_ANNOTATE", "0")
     assert getDeviceAnnotator(aligner, ann) is None
     monkeypatch.setenv("KGT_DEVICE_ANNOTATE", "1")

@@ -74,3 +74,38 @@ def test_stream_host_work_hook_fires(world):
         host_work=lambda: fired.append(1),
     )
     assert fired == [1]
+
+
+def test_stream_error_correction_matches_oneshot(world):
+    """Streamed EC (two-pass, batch-global pileup) == one-shot EC."""
+    index, c1, l1, c2, l2 = world
+    aligner = GraphAligner(index)
+    annotator = VariantAnnotator(index)
+
+    result = aligner.alignPairs(c1, l1, c2, l2)
+    want_reads, want_depth, want_pileup, want_pass = annotator.annotate(
+        result, error_correction=True
+    )
+    got_reads, got_depth, got_pileup, got_pass = alignAnnotateStream(
+        aligner, annotator, c1, l1, c2, l2, chunk=256,
+        error_correction=True,
+    )
+    np.testing.assert_array_equal(got_depth, want_depth)
+    np.testing.assert_array_equal(got_pileup, want_pileup)
+    np.testing.assert_array_equal(got_pass, want_pass)
+    assert len(got_reads["reads"]) == len(want_reads["reads"])
+    for g, w in zip(got_reads["reads"], want_reads["reads"]):
+        assert _pairReadTuple(g) == _pairReadTuple(w)
+    gv, wv = got_reads["variants"], want_reads["variants"]
+    assert len(gv) == len(wv)
+    for a, b in zip(gv, wv):
+        assert (a.pos, a.typ, a.ref, a.val, a.id) == (
+            b.pos, b.typ, b.ref, b.val, b.id
+        )
+    # EC must actually have corrected something for this to be a real test
+    got_plain = alignAnnotateStream(
+        aligner, annotator, c1, l1, c2, l2, chunk=256
+    )
+    assert len(got_plain[0]["reads"]) != len(want_reads["reads"]) or not (
+        np.array_equal(got_plain[1], want_depth)
+    ), "EC was a no-op on this batch; raise depth or error rate"
