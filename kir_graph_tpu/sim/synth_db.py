@@ -83,6 +83,11 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
     if cfg.gene_length_range is not None:
         lo_l, hi_l = cfg.gene_length_range
         gene_lengths = rng.integers(lo_l, hi_l + 1, size=cfg.n_genes)
+        # KIR2DL5A/B (roster slots 15/16) share one MSA in real IPD —
+        # their column spaces must match for the combined KIR2DL5 file
+        # (ipd_checkout.writeIpdCheckout)
+        if cfg.n_genes >= 17:
+            gene_lengths[16] = gene_lengths[15]
         ancestor = _randomSeq(rng, int(hi_l))
     else:
         ancestor = _randomSeq(rng, cfg.gene_length)

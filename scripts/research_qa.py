@@ -35,6 +35,12 @@ def run() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "research_qa"
     only = os.environ.get("KGT_QA_ONLY")  # substring filter over run names
     results = {}
+    prior = os.path.join(base, "qa_summary.json")
+    if only and os.path.exists(prior):
+        # a filtered rerun refreshes its runs in place instead of
+        # clobbering the rest of the committed summary
+        with open(prior) as f:
+            results = json.load(f)
     for name, samples, depth, novel, profile in RUNS:
         if only and only not in name:
             continue
@@ -71,6 +77,30 @@ def run() -> None:
             f"| {rep['allele_acc_gene']:.4f} | {rep['allele_acc_7digit']:.4f} "
             f"| {rep['cn_errors']} | {rep['wall_s']} |"
         )
+    disc = {
+        name: rep["novel_discovery"]
+        for name, rep in results.items()
+        if isinstance(rep.get("novel_discovery"), dict)
+    }
+    if disc:
+        lines += [
+            "",
+            "Novel-SNV **discovery** (position+alt-base vs spiked truth,",
+            "split by victim-gene CN; `eval/novel_qa.py`):",
+            "",
+            "| run | graded | CN | TP | FP | FN | precision | recall |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for name, d in disc.items():
+            for cn in (1, 2):
+                s = d.get(f"cn{cn}")
+                if not s:
+                    continue
+                lines.append(
+                    f"| {name} | {d['samples_graded']} | {cn} | {s['tp']} "
+                    f"| {s['fp']} | {s['fn']} | {s['precision']:.4f} "
+                    f"| {s['recall']:.4f} |"
+                )
     with open(os.path.join(base, "qa_table.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
