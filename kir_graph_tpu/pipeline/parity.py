@@ -108,24 +108,61 @@ def buildProxyCheckout(
     return genes, db_path, exon_only
 
 
+# Per-gene CN truth transcribed from the reference example's
+# result.cn.tsv (example/result.cn.tsv: sample 0 = the provided
+# test00.assigned.cn.tsv column, sample 1 = the fitted column); the
+# merged KIR2DL5 CN is split into A/B per the allele lists in
+# example/result.allele.tsv (test00 carries 2DL5A x2 + 2DL5B x1,
+# test01 carries one of each).
+EXAMPLE_CN: list[dict[str, int]] = [
+    {  # test00
+        "KIR2DL1": 2, "KIR2DL2": 2, "KIR2DL3": 0, "KIR2DL4": 2,
+        "KIR2DL5A": 2, "KIR2DL5B": 1, "KIR2DP1": 1, "KIR2DS1": 1,
+        "KIR2DS2": 2, "KIR2DS3": 1, "KIR2DS4": 0, "KIR2DS5": 2,
+        "KIR3DL1": 0, "KIR3DL2": 2, "KIR3DL3": 2, "KIR3DP1": 2,
+        "KIR3DS1": 2,
+    },
+    {  # test01
+        "KIR2DL1": 2, "KIR2DL2": 1, "KIR2DL3": 1, "KIR2DL4": 2,
+        "KIR2DL5A": 1, "KIR2DL5B": 1, "KIR2DP1": 2, "KIR2DS1": 1,
+        "KIR2DS2": 1, "KIR2DS3": 1, "KIR2DS4": 1, "KIR2DS5": 1,
+        "KIR3DL1": 1, "KIR3DL2": 2, "KIR3DL3": 2, "KIR3DP1": 2,
+        "KIR3DS1": 1,
+    },
+]
+
+
 def _sampleProfile(
     genes: dict[str, Genemsa],
     exon_only: dict[str, list[str]],
     rng: np.random.Generator,
-    cn3_gene: str = "KIR2DL1",
+    sample_idx: int = 0,
 ) -> dict[str, list[str]]:
-    """gene -> allele names, KIR-like CN structure: 3DL3 diploid anchor,
-    one CN=3 merged gene, some CN=0, one exon-only allele somewhere."""
+    """gene -> allele names, shaped to the real example's CN truth:
+    per-gene CNs copied from example/result.cn.tsv (EXAMPLE_CN), one
+    exon-only allele in sample 0 (the example's KIR2DS2*00104e).
+    Panel genes absent from the example table keep the old random
+    draw (small test panels)."""
     profile: dict[str, list[str]] = {}
-    eo_genes = [g for g in genes if exon_only.get(g)]
-    eo_gene = str(rng.choice(eo_genes)) if eo_genes else ""
+    cn_vec = EXAMPLE_CN[sample_idx % len(EXAMPLE_CN)]
+    # the real test00 carries exactly one exon-only allele, in KIR2DS2
+    eo_gene = ""
+    if sample_idx == 0:
+        eo_cands = [
+            g for g in genes
+            if exon_only.get(g) and cn_vec.get(g, 0) >= 1
+        ]
+        if "KIR2DS2" in eo_cands:
+            eo_gene = "KIR2DS2"
+        elif eo_cands:
+            eo_gene = str(rng.choice(eo_cands))
     for g, msa in genes.items():
         names = [n for n in msa.alleles if not n.endswith("*BACKBONE")]
         full = [n for n in names if n not in set(exon_only.get(g, []))]
-        if g == "KIR3DL3":
+        if g in cn_vec:
+            cn = cn_vec[g]
+        elif g == "KIR3DL3":
             cn = 2
-        elif g == cn3_gene:
-            cn = 3
         else:
             cn = int(rng.choice([0, 1, 2], p=[0.25, 0.35, 0.4]))
         if not cn:
@@ -133,8 +170,19 @@ def _sampleProfile(
         picks: list[str] = []
         if g == eo_gene:
             picks.append(str(rng.choice(exon_only[g])) + "e")
+        # distinct alleles per gene, like the real example's samples
+        # (example/result.allele.tsv has no homozygous pair): a
+        # homozygous pick inside a merged gene is a genuine max-scoring
+        # degeneracy — (Y,Y,B) ties-or-loses to (Y,shadow,B) in the
+        # reference's own model — so truth must not demand it
+        remaining = list(full)
         while len(picks) < cn:
-            picks.append(str(rng.choice(full)))
+            if remaining:
+                pick = str(rng.choice(remaining))
+                remaining.remove(pick)
+            else:
+                pick = str(rng.choice(full))
+            picks.append(pick)
         profile[g] = picks
     return profile
 
@@ -155,9 +203,7 @@ def makeParitySamples(
     truths: list[ParityTruth] = []
     rows = []
     for s in range(2):
-        sprofile = _sampleProfile(
-            genes, exon_only, rng, cn3_gene="KIR2DL1" if s == 0 else "KIR2DS1"
-        )
+        sprofile = _sampleProfile(genes, exon_only, rng, sample_idx=s)
         copies: dict[str, int] = {}
         seqs: dict[str, str] = {}
         for g, picks in sprofile.items():
@@ -262,7 +308,7 @@ def runParityProxy(
         "--msa-type", "ab_2dl1s1",
         "--output-cohort-name", cohort_name,
         "--allele-strategy", allele_strategy,
-        "--allele-top-n", "300",
+        "--allele-top-n", "600",  # reference main.py:195
     ])
     main(args)
 

@@ -88,6 +88,12 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
         # (ipd_checkout.writeIpdCheckout)
         if cfg.n_genes >= 17:
             gene_lengths[16] = gene_lengths[15]
+        # KIR2DL1/KIR2DS1 (slots 1/7) are full-length homologs in real
+        # IPD — the ab_2dl1s1 merge (reference kir_msa.py) relies on it:
+        # a length mismatch leaves the merged backbone only partially
+        # covered, diluting p75 depth (CN) and splitting typing evidence
+        if cfg.n_genes >= 8:
+            gene_lengths[7] = gene_lengths[1]
         ancestor = _randomSeq(rng, int(hi_l))
     else:
         ancestor = _randomSeq(rng, cfg.gene_length)

@@ -205,7 +205,7 @@ def main():
 
     out = {
         "device": str(jax.devices()[0]),
-        "k_lo": K_LO, "k_hi": K_HI,
+        "k_lo": K_LO,
         "probes": [
             {"name": n, "elements": e, "ms": round(t * 1e3, 3),
              "melem_per_s": round(e / t / 1e6)}
