@@ -51,7 +51,7 @@ def _seg(name: str):
         SEG_TIMES[name] = SEG_TIMES.get(name, 0.0) + (time.time() - t0)
 
 
-def _prepStreams(buf: jnp.ndarray, L: int):
+def _prepStreams(buf: jnp.ndarray, L: int, uniform_len: int | None = None):
     """Nibble-packed forward mates -> the aligner's 4-stream code pool
     [c1, rc1, c2, rc2] plus the 2-stream forward pool and the device
     lengths, all on device.
@@ -73,9 +73,24 @@ def _prepStreams(buf: jnp.ndarray, L: int):
     col = jnp.arange(L)[None, :]
     fwd = jnp.where(col < lens[:, None], fwd, BASE_PAD).astype(jnp.int8)
     n = fwd.shape[0] // 2
-    rc = revCompDevice(fwd, lens)
+    rc = revCompDevice(fwd, lens, uniform_len=uniform_len)
     codes_all = jnp.concatenate([fwd[:n], rc[:n], fwd[n:], rc[n:]], axis=0)
     return codes_all, fwd, lens
+
+
+def _uniformLen(l1: np.ndarray, l2: np.ndarray) -> int | None:
+    """The one read length shared by every real row, or None.
+
+    Length-1 rows are the bucket-padding sentinel (all-PAD content,
+    revcomp-rotation-immune — see revCompDevice); they don't break
+    uniformity.  Returns None for genuinely mixed-length batches, which
+    keep the exact per-row take_along_axis path."""
+    u = np.unique(np.concatenate([l1, l2]))
+    if u.size == 1:
+        return int(u[0])
+    if u.size == 2 and u[0] == 1:
+        return int(u[1])
+    return None
 
 
 @dataclass
@@ -183,8 +198,10 @@ class GraphAligner:
         n_genes = table.n_genes
         pair_select = self._pair_select
 
-        def mono(buf, RL):
-            codes_dev, codes_fwd, lens_dev = _prepStreams(buf, RL)
+        def mono(buf, RL, uniform_len=None):
+            codes_dev, codes_fwd, lens_dev = _prepStreams(
+                buf, RL, uniform_len=uniform_len
+            )
             N = codes_fwd.shape[0] // 2
             cand_d, _ = _findCandidates(
                 codes_fwd, lens_dev, table.bkeys, table.padded, table.lut,
@@ -202,7 +219,7 @@ class GraphAligner:
         # unjitted body kept for the sharded exact path (parallel/exact.py
         # wraps it in shard_map over a device mesh)
         self._mono_fn = mono
-        return partial(jax.jit, static_argnums=(1,))(mono)
+        return partial(jax.jit, static_argnums=(1, 2))(mono)
 
     def _buildPairSelect(self):
         """Jitted concordant pairing + winner selection over the dense
@@ -583,7 +600,9 @@ class GraphAligner:
         # --- device: upload decode + seed + score + concordant pairing +
         # winner selection + ungapped-shortcut decision, fused into ONE
         # dispatch; download ONE packed array (one round-trip each way)
-        w_d = self._device_mono(jnp.asarray(buf), RL)
+        w_d = self._device_mono(
+            jnp.asarray(buf), RL, _uniformLen(l1c, l2c)
+        )
         if host_work is not None:
             # everything device-side for this batch is dispatched; run
             # the caller's host work (e.g. annotation of the previous

@@ -148,14 +148,37 @@ def unpackCodes4bit(packed: jax.Array, L: int) -> jax.Array:
     return ((byte >> shift) & 15).astype(jnp.int8)
 
 
-def revCompDevice(codes: jax.Array, lengths: jax.Array) -> jax.Array:
-    """Device-side reverse complement of padded code rows."""
+def revCompDevice(
+    codes: jax.Array, lengths: jax.Array, uniform_len: int | None = None
+) -> jax.Array:
+    """Device-side reverse complement of padded code rows.
+
+    The per-row re-alignment (a read of length l reversed inside an
+    L-wide row must shift left by L-l) is a take_along_axis — an
+    element gather that runs at ~90 Melem/s on TPU, ~100 ms per 32k-pair
+    chunk (docs/ROOFLINE.md).  When the caller knows every real row
+    shares one length (the overwhelmingly common Illumina case), pass it
+    as static ``uniform_len``: the shift becomes one static slice and
+    the whole revcomp is elementwise.  Rows of a different length must
+    then be all-PAD (code 4: complement is 4, so any rotation is a
+    no-op) — the aligner's bucket padding satisfies this; reads shorter
+    than the seed k can't vote and stay unmapped regardless."""
     N, L = codes.shape
-    comp = jnp.asarray(np.array([3, 2, 1, 0, 4], dtype=np.int8))
-    flipped = comp[codes[:, ::-1]]
-    shift = (L - lengths)[:, None]
+    rev = codes[:, ::-1]
+    flipped = jnp.where(rev < 4, 3 - rev, 4).astype(jnp.int8)
     col = jnp.arange(L)[None, :]
-    gathered = jnp.take_along_axis(flipped, jnp.minimum(shift + col, L - 1), axis=1)
+    if uniform_len is not None and 0 < uniform_len <= L:
+        s = L - int(uniform_len)
+        gathered = (
+            flipped
+            if s == 0
+            else jnp.concatenate([flipped[:, s:], flipped[:, :s]], axis=1)
+        )
+    else:
+        shift = (L - lengths)[:, None]
+        gathered = jnp.take_along_axis(
+            flipped, jnp.minimum(shift + col, L - 1), axis=1
+        )
     return jnp.where(col < lengths[:, None], gathered, 4).astype(jnp.int8)
 
 

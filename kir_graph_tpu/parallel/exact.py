@@ -61,13 +61,13 @@ class ShardedExactPath:
         return len(self.devices)
 
     # ------------------------------------------------------------------
-    def _monoSharded(self, RL: int):
-        fn = self._mono_sh.get(RL)
+    def _monoSharded(self, RL: int, uniform_len: int | None = None):
+        fn = self._mono_sh.get((RL, uniform_len))
         if fn is None:
             mono = self.aligner._mono_fn
 
             def shard(b):
-                return mono(b[0], RL)[None]
+                return mono(b[0], RL, uniform_len)[None]
 
             fn = jax.jit(
                 shard_map(
@@ -75,7 +75,7 @@ class ShardedExactPath:
                     out_specs=P("data"), check_vma=False,
                 )
             )
-            self._mono_sh[RL] = fn
+            self._mono_sh[(RL, uniform_len)] = fn
         return fn
 
     def _kernelSharded(self, RL: int, Hb: int):
@@ -142,7 +142,15 @@ class ShardedExactPath:
             bufs.append(buf.copy())
             n0s.append(N0)
         bufs_g = self._put(np.stack(bufs))
-        ws_dev = self._monoSharded(RL)(bufs_g)
+        from ..align.pipeline import _uniformLen
+
+        ws_dev = self._monoSharded(
+            RL,
+            _uniformLen(
+                np.asarray(len1, dtype=np.int32),
+                np.asarray(len2, dtype=np.int32),
+            ),
+        )(bufs_g)
         ws = np.asarray(ws_dev)
 
         hard = [da.hardRows(ws[d]) for d in range(D)]

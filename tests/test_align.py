@@ -196,3 +196,33 @@ def test_pack4bit_roundtrip():
         codes = rng.integers(0, 5, size=(7, L)).astype(np.int8)
         out = np.asarray(unpackCodes4bit(packCodes4bit(codes), L))
         assert (out == codes).all()
+
+
+def test_revcomp_uniform_fast_path_bit_identical():
+    """revCompDevice(uniform_len=l) equals the per-row take_along path on
+    uniform batches, with bucket-padding sentinel rows (all-PAD, len 1)
+    mixed in; _uniformLen detects exactly the eligible batches."""
+    import numpy as np
+
+    from kir_graph_tpu.align.pipeline import _uniformLen
+    from kir_graph_tpu.parallel.cohort import revCompDevice
+
+    rng = np.random.default_rng(3)
+    L, l = 160, 150
+    codes = np.full((9, L), 4, np.int8)
+    lens = np.full(9, 1, np.int32)
+    for r in range(7):  # rows 7..8 stay padding sentinels
+        codes[r, :l] = rng.integers(0, 5, l)
+        lens[r] = l
+    slow = np.asarray(revCompDevice(codes, lens))
+    fast = np.asarray(revCompDevice(codes, lens, uniform_len=l))
+    assert (slow == fast).all()
+    # oracle on one real row
+    comp = np.array([3, 2, 1, 0, 4], np.int8)
+    want = comp[codes[0, :l][::-1]]
+    assert (fast[0, :l] == want).all() and (fast[0, l:] == 4).all()
+
+    assert _uniformLen(lens[:4], lens[4:]) == l
+    assert _uniformLen(np.full(3, 151, np.int32), np.full(3, 151, np.int32)) == 151
+    mixed = np.array([150, 151, 150], np.int32)
+    assert _uniformLen(mixed, mixed) is None
