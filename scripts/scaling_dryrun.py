@@ -173,9 +173,10 @@ def main() -> None:
         "TPU trade (align dominates and shards by reads; only the typing",
         "matmul wants the allele axis), but on a core-saturated CPU host",
         "it reads as an efficiency drop.  The honest signals are the",
-        "2-device row (cores not yet saturated: weak eff 1.0) and the",
-        "collective column (~0 everywhere): the sharded program itself",
-        "adds no measurable collective cost at any mesh size.",
+        "2-device row (cores not yet saturated: weak eff 0.75-1.0 across",
+        "runs, vs 0.44 before this attribution work) and the collective",
+        "column (~0 everywhere): the sharded program itself adds no",
+        "measurable collective cost at any mesh size.",
         "",
         "| devices | mesh | pairs | step (s) | no-coll (s) | collective (s) "
         "| host cpu | pairs/s | raw weak eff | vs core bound |",
