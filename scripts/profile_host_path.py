@@ -71,13 +71,24 @@ def main():
     t0 = time.time()
     result = aligner.alignPairs(c1, l1, c2, l2)
     total = time.time() - t0
+    # the product path consumes EvidenceArrays via annotateEvidence (the
+    # native core when built); the PairRead-materialising annotate() is
+    # the JSON/compat boundary only.  Novel-SNV registration is
+    # cumulative BY DESIGN across batches, so each timing uses a fresh
+    # annotator (re-annotating one batch twice would double-register).
+    from kir_graph_tpu.align.annotate import VariantAnnotator as _VA
+
     t0 = time.time()
-    annotator.annotate(result)
+    _VA(index).annotateEvidence(result)
     t_ann_cold = time.time() - t0
     t0 = time.time()
-    annotator.annotate(result)
+    _VA(index).annotateEvidence(result)
     t_ann = time.time() - t0
-    print(f"annotate cold: {t_ann_cold:.2f}s, warm: {t_ann:.2f}s")
+    print(f"annotateEvidence cold: {t_ann_cold:.2f}s, warm: {t_ann:.2f}s")
+    t0 = time.time()
+    _VA(index).annotate(result)
+    t_compat = time.time() - t0
+    print(f"annotate (PairRead compat boundary): {t_compat:.2f}s")
 
     n_reads = 2 * len(c1)
     print(f"alignPairs total: {total:.2f}s ({n_reads/total:,.0f} reads/s)")
@@ -89,7 +100,7 @@ def main():
         print("  host segments (KGT_PROFILE):")
         for k, v in sorted(pl.SEG_TIMES.items(), key=lambda kv: -kv[1]):
             print(f"    {k:>18}: {v:6.3f}s")
-    print(f"annotate: {t_ann:.2f}s")
+    print(f"annotateEvidence: {t_ann:.2f}s")
     print(f"product path: {n_reads/(total+t_ann):,.0f} reads/s")
 
 
