@@ -180,7 +180,7 @@ def main():
             Wb = p.band + p.read_len + 16
             wbase = jnp.asarray(rng.integers(0, 4, (J, Wb), dtype=np.int8))
             walt = jnp.asarray(
-                rng.integers(0, 2, (J, Wb, 4), dtype=np.int8))
+                rng.integers(0, 16, (J, Wb), dtype=np.uint8))
             wdel = jnp.asarray(rng.integers(0, 2, (J, Wb), dtype=np.int8))
             wbytes = jax.jit(packWindowBytes)(wbase, walt, wdel)
             reads = jnp.asarray(
