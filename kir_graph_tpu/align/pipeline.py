@@ -378,11 +378,13 @@ class GraphAligner:
     @staticmethod
     def _bucket(n: int, chunk: int) -> int:
         """Pad size bucketing: few distinct shapes -> few XLA compiles.
-        4x growth keeps the shape count tiny (compiles are expensive on a
-        tunneled TPU); at most 1/4 of a chunk is padding waste."""
+        4x growth up to 16k keeps the shape count tiny (compiles are
+        expensive on a tunneled TPU), then 2x steps so common cohort
+        sizes (e.g. the example's ~31k pairs) don't pad to a double-size
+        chunk; at most half-of-step padding waste."""
         b = 256
         while b < n and b < chunk:
-            b *= 4
+            b *= 4 if b < 16384 else 2
         return min(b, chunk)
 
     def _tracebackJobs(
@@ -495,7 +497,12 @@ class GraphAligner:
         return g
 
     # ------------------------------------------------------------------
-    CHUNK_PAIRS = 32768  # fixed upper shape: big batches stream in chunks
+    # fixed upper shape: big batches stream in chunks.  64k pairs/chunk
+    # halves the per-chunk fixed costs (dispatch RTT, winner download,
+    # annotate split) — measured +35% end-to-end on 2-chunk batches vs
+    # 32k; the 2x bucket ladder below keeps ~31k-pair samples at a 32k
+    # shape instead of padding into this
+    CHUNK_PAIRS = 65536
 
     def alignPairs(
         self,
