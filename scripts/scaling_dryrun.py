@@ -188,6 +188,25 @@ def main() -> None:
             f"| {r['nocoll_s']} | {r['collective_s']} | {r['host_cpu_util']} "
             f"| {r['pairs_per_s']} | {r['weak_eff']} | {r['eff_vs_core_bound']} |"
         )
+    lines += [
+        "",
+        "## The sharded EXACT product path",
+        "",
+        "`parallel/exact.py` (ShardedExactPath) data-shards the product",
+        "path itself: each chip runs the full align monolith + traceback +",
+        "device-annotate on its read shard inside one `shard_map`; the",
+        "host merges per-shard EvidenceArrays (novel-ID reconciliation in",
+        "`mergeEvidence`) and sums depth/pileup.  There are NO device",
+        "collectives until the host merge, so chip scaling is linear by",
+        "construction; the per-chunk host<->device traffic (nibble-packed",
+        "uploads, [9,N] int16 winners, int8 traceback deltas) is per-shard",
+        "and rides each chip's own link.  Bit-identity to the single-",
+        "device path: tests/test_exact_sharded.py;",
+        "`__graft_entry__.dryrun_multichip` executes it on an 8-device",
+        "virtual mesh at a KIR-realistic index size every driver round.",
+        "A CPU-mesh throughput table would only re-measure host core",
+        "sharing (above), so none is shown.",
+    ]
     out = os.path.join(os.path.dirname(__file__), "..", "docs", "SCALING.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
