@@ -64,19 +64,26 @@ def makeNoCollectiveStep(mesh, arr, top_c: int = 2):
     )
 
 
-def _timeStep(step, args, iters: int = 5):
+def _timeStep(step, args, iters: int = 5, reps: int = 3):
+    """Best-of-reps timing: each rep averages `iters` dispatches; the
+    MIN rep is reported (short CPU timings on a small shared host swing
+    2-3x run to run — the min is the honest program cost)."""
     t0 = time.time()
     out = step(*args)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
-    cpu0 = time.process_time()
-    t0 = time.time()
-    for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(out)
-    wall = (time.time() - t0) / iters
-    cpu = (time.process_time() - cpu0) / iters
-    return compile_s, wall, cpu, out
+    best_wall, best_cpu = float("inf"), float("inf")
+    for _ in range(reps):
+        cpu0 = time.process_time()
+        t0 = time.time()
+        for _ in range(iters):
+            out = step(*args)
+        jax.block_until_ready(out)
+        wall = (time.time() - t0) / iters
+        if wall < best_wall:
+            best_wall = wall
+            best_cpu = (time.process_time() - cpu0) / iters
+    return compile_s, best_wall, best_cpu, out
 
 
 def runOne(n_devices: int) -> dict:
