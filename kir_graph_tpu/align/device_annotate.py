@@ -66,8 +66,12 @@ class DeviceAnnotator:
         Gt = len(ann.tables)
         _, Lmax = idx.backbone.shape
         Vtot = int(ann.gvar_start[-1])
-        # packing preconditions (host fallback otherwise)
+        # packing preconditions (host fallback otherwise); read_len must
+        # fit the 8-bit per-mate counters (reg_cnt/ncol_cnt/d_cnt) that
+        # _assemble trusts to sum to the true stream totals
         if Lmax > 32766 or Vtot >= (1 << 24):
+            return False
+        if self.aligner.p.read_len > 255:
             return False
         if len(ann.del_keys) and int(ann.del_keys[-1]) >= 2**31 - 1:
             return False
@@ -113,13 +117,15 @@ class DeviceAnnotator:
         backbone, altdel = al._backbone, al._altdel
         editdist = al.annot_editdist
 
-        def kernel(buf, w, hard_rows, RL, Hb, stage=99):
+        def kernel(buf, w, hard_rows, RL, Hb, stage=99, uniform_len=None):
             # `stage` (static) truncates the program for profiling:
             # 1=cols, 2=snp classify, 3=del runs, 4=nm/spans/mask,
             # 5=streams, 99=full (scripts/profile_device_annotate.py)
             def early(*xs):
                 return sum(x.astype(jnp.int32).sum() for x in xs)
-            codes_all, _, lens_all = _prepStreams(buf, RL)
+            codes_all, _, lens_all = _prepStreams(
+                buf, RL, uniform_len=uniform_len
+            )
             N = buf.shape[0] // 2
             M = 2 * N
             # --- winner decode (mirrors pipeline.py's host decode)
@@ -409,7 +415,7 @@ class DeviceAnnotator:
 
         # unjitted body for the sharded exact path (parallel/exact.py)
         self._kernel_fn = kernel
-        return partial(jax.jit, static_argnums=(3, 4, 5))(kernel)
+        return partial(jax.jit, static_argnums=(3, 4, 5, 6))(kernel)
 
     # ------------------------------------------------------------------
     def annotateChunk(
@@ -500,9 +506,14 @@ class DeviceAnnotator:
         al = self.aligner
         assert len(codes1) <= al.CHUNK_PAIRS
         RL = al.p.read_len
+        from .pipeline import _uniformLen
+
+        ul = _uniformLen(
+            np.asarray(len1, dtype=np.int32), np.asarray(len2, dtype=np.int32)
+        )
         buf, N0, N = self._packChunk(codes1, len1, codes2, len2)
         buf_dev = jnp.asarray(buf)
-        w_dev = al._device_mono(buf_dev, RL)
+        w_dev = al._device_mono(buf_dev, RL, ul)
         if host_work is not None:
             host_work()
         with _seg("download_winners"):
@@ -516,7 +527,7 @@ class DeviceAnnotator:
         hard_rows[:n_hard] = hard
 
         out_dev, pileup, depth = self._kernel(
-            buf_dev, w_dev, jnp.asarray(hard_rows), RL, Hb
+            buf_dev, w_dev, jnp.asarray(hard_rows), RL, Hb, 99, ul
         )
 
         def finish():

@@ -116,16 +116,16 @@ def alignAnnotateEvidence(
     (EvidenceArrays, depth, pileup) bit-identical to the one-shot
     `annotateEvidence(alignPairs(...))`.
 
-    `chunk` defaults to the aligner's CHUNK_PAIRS (32768): batches that
+    `chunk` defaults to the aligner's CHUNK_PAIRS (65536): batches that
     size or smaller run exactly one-shot, and bigger batches — which
     alignPairs would split into CHUNK_PAIRS chunks anyway — get the
     annotation overlap for free, with no extra dispatches.  Smaller
     chunks buy more overlap per boundary but add per-chunk dispatch +
     download latency; on a remote/tunneled device that latency dominates
     (measured: scripts/profile_stream.py), so only lower this on a
-    locally attached chip.  Use one of the aligner's pad buckets (256,
-    1024, 4096, 16384, 32768) — other sizes just pad up to the next
-    bucket.
+    locally attached chip.  Use one of the aligner's pad buckets
+    (GraphAligner._bucket ladder: 256, 1024, 4096, 16384, 32768,
+    65536) — other sizes just pad up to the next bucket.
 
     `chunk_hook(offset, result, pass_mask)`, when given, fires once per
     chunk while that chunk's AlignResult scratch views are still valid —

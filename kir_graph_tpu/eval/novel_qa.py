@@ -23,6 +23,13 @@ from ..msa.genemsa import Genemsa
 from ..utils import logger
 
 
+# merged-backbone gene -> member genes (reference kir_msa.py merge modes)
+_MERGED = {
+    "KIR2DL1S1": ("KIR2DL1", "KIR2DS1"),
+    "KIR2DL5": ("KIR2DL5A", "KIR2DL5B"),
+}
+
+
 def allelePosToColumn(msa: Genemsa, allele: str, pos: int) -> int:
     """Ungapped allele-sequence position -> MSA/backbone column."""
     seq = msa.get(allele)
@@ -89,8 +96,19 @@ def gradeNovelDiscovery(
                 )
 
         alleles = str(row["alleles"]).split("_")
-        wanted: set[tuple[str, int, str]] = set()
-        victim_cn = 1
+
+        def geneCN(gene: str) -> int:
+            # members of a merged backbone pool their CN
+            members = _MERGED.get(gene, (gene,))
+            n = sum(a.split("*")[0] in members for a in alleles)
+            return min(max(n, 1), 2)
+
+        # split by each variant's OWN victim gene CN: at CN=2 the gene's
+        # read group mixes two alleles and the assigned-read pileup is
+        # what separates the novel from the sibling allele.  (A sample
+        # may spike variants into genes of different CN — each variant
+        # must land in its own bucket.)
+        wanted_cn: dict[tuple[str, int, str], int] = {}
         for allele, pos, _ref, alt in truth:
             gene = allele.split("*")[0]
             if gene not in msas:
@@ -98,15 +116,13 @@ def gradeNovelDiscovery(
                 msas[gene] = Genemsa.load_msa(base + ".fa", base + ".json")
             col = allelePosToColumn(msas[gene], allele, pos)
             bb = msas[gene].get_reference()[0]
-            wanted.add((bb, col, alt))
-            # split by the victim GENE's copy number: at CN=2 the gene's
-            # read group mixes two alleles and the assigned-read pileup
-            # is what separates the novel from the sibling allele
-            victim_cn = sum(a.split("*")[0] == gene for a in alleles)
-        cn = min(max(victim_cn, 1), 2)
-        stats[cn]["tp"] += len(predicted & wanted)
-        stats[cn]["fp"] += len(predicted - wanted)
-        stats[cn]["fn"] += len(wanted - predicted)
+            wanted_cn[(bb, col, alt)] = geneCN(gene)
+        for key, cn in wanted_cn.items():
+            stats[cn]["tp" if key in predicted else "fn"] += 1
+        for key in predicted - set(wanted_cn):
+            # a spurious call buckets by the CN of the gene it was
+            # called in (backbone name -> gene)
+            stats[geneCN(key[0].split("*")[0])]["fp"] += 1
         n_graded += 1
 
     report: dict = {"samples_graded": n_graded}

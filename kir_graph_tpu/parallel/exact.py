@@ -78,13 +78,15 @@ class ShardedExactPath:
             self._mono_sh[(RL, uniform_len)] = fn
         return fn
 
-    def _kernelSharded(self, RL: int, Hb: int):
-        fn = self._kern_sh.get((RL, Hb))
+    def _kernelSharded(self, RL: int, Hb: int, uniform_len: int | None = None):
+        fn = self._kern_sh.get((RL, Hb, uniform_len))
         if fn is None:
             kern = self.da._kernel_fn
 
             def shard(b, w, h):
-                out, pileup, depth = kern(b[0], w[0], h[0], RL, Hb)
+                out, pileup, depth = kern(
+                    b[0], w[0], h[0], RL, Hb, 99, uniform_len
+                )
                 return (
                     out[None],
                     jax.lax.psum(pileup, "data"),
@@ -99,7 +101,7 @@ class ShardedExactPath:
                     check_vma=False,
                 )
             )
-            self._kern_sh[(RL, Hb)] = fn
+            self._kern_sh[(RL, Hb, uniform_len)] = fn
         return fn
 
     def _put(self, host: np.ndarray):
@@ -144,13 +146,11 @@ class ShardedExactPath:
         bufs_g = self._put(np.stack(bufs))
         from ..align.pipeline import _uniformLen
 
-        ws_dev = self._monoSharded(
-            RL,
-            _uniformLen(
-                np.asarray(len1, dtype=np.int32),
-                np.asarray(len2, dtype=np.int32),
-            ),
-        )(bufs_g)
+        ul = _uniformLen(
+            np.asarray(len1, dtype=np.int32),
+            np.asarray(len2, dtype=np.int32),
+        )
+        ws_dev = self._monoSharded(RL, ul)(bufs_g)
         ws = np.asarray(ws_dev)
 
         hard = [da.hardRows(ws[d]) for d in range(D)]
@@ -164,7 +164,7 @@ class ShardedExactPath:
         for d, h in enumerate(hard):
             hards[d, :len(h)] = h
 
-        out_dev, pileup, depth = self._kernelSharded(RL, Hb)(
+        out_dev, pileup, depth = self._kernelSharded(RL, Hb, ul)(
             bufs_g, ws_dev, self._put(hards)
         )
         outs = np.asarray(out_dev)

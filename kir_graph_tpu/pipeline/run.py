@@ -212,8 +212,14 @@ class SamplePipeline:
                     method, evidence=bundle, top_n=top_n,
                     variant_correction=True,
                 )
-            except ValueError as e:
-                logger.warning(f"[Allele] {e}; falling back to JSON")
+            except Exception as e:
+                # not just ValueError: a truncated/corrupt npz raises
+                # BadZipFile/OSError/KeyError — every load failure should
+                # reach the intact .variant.json fallback below
+                logger.warning(
+                    f"[Allele] evidence npz unusable ({type(e).__name__}:"
+                    f" {e}); falling back to JSON"
+                )
         if t is None:
             t = selectKirTypingModel(
                 method, processed + ".json", top_n=top_n,

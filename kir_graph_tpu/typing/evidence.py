@@ -192,6 +192,18 @@ class EvidenceBundle:
 # the size matches before trusting it.
 # ---------------------------------------------------------------------------
 
+def catalogFingerprint(catalog: list[Variant]) -> str:
+    """Content digest of the variant catalog: saved evidence indices are
+    only meaningful against the exact catalog they were built with (a
+    same-size catalog from a different DB would silently remap them)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for v in catalog:
+        h.update(f"{v.id}\t{v.ref}\t{v.pos}\t{v.typ}\t{v.val}\n".encode())
+    return h.hexdigest()
+
+
 def saveEvidence(bundle: EvidenceBundle, path: str) -> None:
     ev = bundle.ev
     novel = np.array(
@@ -213,6 +225,9 @@ def saveEvidence(bundle: EvidenceBundle, path: str) -> None:
         neg_idx=ev.neg_idx,
         novel=novel,
         n_catalog=np.int64(ev.n_catalog),
+        catalog_sha=np.array(
+            catalogFingerprint(bundle.variants[: ev.n_catalog])
+        ),
     )
 
 
@@ -233,6 +248,15 @@ def loadEvidence(
             f"catalog; current index has {len(catalog)} — rebuild or use "
             "the .variant.json path"
         )
+    if "catalog_sha" in z.files:
+        want = catalogFingerprint(catalog)
+        have = str(z["catalog_sha"])
+        if have != want:
+            raise ValueError(
+                f"evidence file {path} was built against a different "
+                f"{n_catalog}-variant catalog (fingerprint {have[:12]} != "
+                f"{want[:12]}) — rebuild or use the .variant.json path"
+            )
     alloc = IdAllocator()
     novel = [
         Variant(

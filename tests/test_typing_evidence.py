@@ -136,3 +136,34 @@ def test_catalog_drift_rejected(typed_world, tmp_path):
     saveEvidence(bundle, path)
     with pytest.raises(ValueError, match="catalog"):
         loadEvidence(path, ann.catalogVariants()[:-1], [t.name for t in ann.tables])
+
+
+def test_catalog_content_drift_rejected(typed_world, tmp_path):
+    """Same-SIZE but different-content catalogs must be rejected too:
+    saved pos_idx/neg_idx are indices into the exact catalog they were
+    built with (fingerprint check, not just the count check)."""
+    import copy
+
+    from kir_graph_tpu.typing.evidence import loadEvidence, saveEvidence
+
+    ann, ev = typed_world
+    bundle = ann.evidenceBundle(ev)
+    path = str(tmp_path / "content_drift.evidence.npz")
+    saveEvidence(bundle, path)
+    drifted = [copy.deepcopy(v) for v in ann.catalogVariants()]
+    drifted[0].pos += 1  # same count, different content
+    with pytest.raises(ValueError, match="fingerprint"):
+        loadEvidence(path, drifted, [t.name for t in ann.tables])
+
+
+def test_corrupt_evidence_npz_falls_back_to_json(typed_world, tmp_path):
+    """A truncated/corrupt npz must raise something loadEvidence's
+    callers can catch (pipeline/run.py falls back to .variant.json on
+    ANY load failure, not just ValueError)."""
+    from kir_graph_tpu.typing.evidence import loadEvidence
+
+    path = str(tmp_path / "corrupt.evidence.npz")
+    with open(path, "wb") as f:
+        f.write(b"PK\x03\x04 this is not a real zip archive")
+    with pytest.raises(Exception):
+        loadEvidence(path, [], [])
