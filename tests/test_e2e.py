@@ -76,9 +76,15 @@ def test_cli_end_to_end(cohort, synth_index):
             "--index-prefix", str(d / "index"),
             "--output-cohort-name", str(d / "cohort"),
             "--allele-top-n", "200",
+            "--plot",
         ]
     )
     main(args)
+
+    # --plot drove the report writer (reference main.py plot step)
+    plot_html = str(d / "cohort.plot.html")
+    assert os.path.exists(plot_html), "CLI --plot produced no report"
+    assert os.path.getsize(plot_html) > 500
 
     # --- CN table
     cn = pd.read_csv(str(d / "cohort.cn.tsv"), sep="\t", index_col=0)
