@@ -91,6 +91,27 @@ class EvidenceArrays:
         )
 
 
+def minorityCorrection(
+    counts: np.ndarray, own_base: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The reference's pileup minority-base rule (hisat2.py:609-654),
+    shared by the one-shot batch EC, the per-read oracle and the
+    streamed two-pass EC (their bit-identity tests ride on this single
+    implementation).
+
+    counts: [k, 4] ACGT pileup at each candidate (mismatching) column;
+    own_base: [k] the read's base there.  Returns (fix, maj, to_n):
+    columns with depth >= 20 where the read's base is <= 20% either take
+    the >= 80% majority base (`fix` -> maj) or become N (`to_n`)."""
+    totals = counts.sum(axis=1)
+    frac = counts / np.maximum(totals, 1)[:, None]
+    own = frac[np.arange(len(counts)), own_base]
+    minority = (totals >= 20) & (own <= 0.2)
+    maj = frac.argmax(axis=1)
+    has_major = frac.max(axis=1) >= 0.8
+    return minority & has_major, maj, minority & ~has_major
+
+
 class VariantAnnotator:
     def __init__(self, index: KirIndex, num_editdist: int = 4):
         self.index = index
@@ -273,17 +294,11 @@ class VariantAnnotator:
             rows, cposs = np.nonzero(cand)
             if len(rows):
                 counts = ec_pileup[gene[rows], cols[rows, cposs], :4]
-                totals = counts.sum(axis=1)
-                own = counts[np.arange(len(rows)), bases[rows, cposs]] \
-                    / np.maximum(totals, 1)
-                minority = (totals >= 20) & (own <= 0.2)
-                frac = counts / np.maximum(totals, 1)[:, None]
-                maj = frac.argmax(axis=1)
-                has_major = frac.max(axis=1) >= 0.8
+                fix, maj, ton = minorityCorrection(
+                    counts, bases[rows, cposs]
+                )
                 bases = bases.copy()
-                fix = minority & has_major
                 bases[rows[fix], cposs[fix]] = maj[fix]
-                ton = minority & ~has_major
                 bases[rows[ton], cposs[ton]] = 4
 
         # --- SNP classification
@@ -951,19 +966,14 @@ class VariantAnnotator:
             bb0 = t.seq[ccols]
             cand = np.nonzero((cbases != bb0) & (cbases < 4))[0]
             if len(cand):
-                counts = gene_pileup[ccols[cand]]         # [k, 5]
-                totals = counts[:, :4].sum(axis=1)
-                frac = counts[:, :4] / np.maximum(totals[:, None], 1)
-                own = frac[np.arange(len(cand)), cbases[cand]]
-                minority = (totals >= 20) & (own <= 0.2)
-                if minority.any():
+                fix, maj, ton = minorityCorrection(
+                    gene_pileup[ccols[cand], :4], cbases[cand]
+                )
+                if fix.any() or ton.any():
                     cbases = cbases.copy()
-                    maj = frac.argmax(axis=1)
-                    has_major = frac.max(axis=1) >= 0.8
-                    fix = cand[minority & has_major]
-                    cbases[fix] = maj[minority & has_major]
+                    cbases[cand[fix]] = maj[fix]
                     # no clear majority: mark as N (excluded downstream)
-                    cbases[cand[minority & ~has_major]] = 4
+                    cbases[cand[ton]] = 4
 
         # novel insertion in read?
         has_ins = bool((cols == -2).any())

@@ -73,6 +73,11 @@ class DeviceAnnotator:
             return False
         if self.aligner.p.read_len > 255:
             return False
+        # the kernel's pass/NM filter uses the aligner's annot_editdist;
+        # bit-identity with the host path requires the annotator to use
+        # the same bound (host fallback otherwise)
+        if self.aligner.annot_editdist != ann.num_editdist:
+            return False
         if len(ann.del_keys) and int(ann.del_keys[-1]) >= 2**31 - 1:
             return False
         self.Lmax = Lmax

@@ -42,6 +42,20 @@ def mergeEvidence(
     chunk-local indices [Vtot, Vtot+U_k) remapped, so the result equals
     a single annotate call over the concatenated batch.
     """
+    if not chunks:
+        # empty batch (e.g. an all-filtered FASTQ pair): an empty
+        # evidence object shaped by the annotator's catalog
+        n_cat = int(annotator.gvar_start[-1])
+        zi32 = np.zeros(0, np.int32)
+        return EvidenceArrays(
+            gene=zi32, nh=zi32, nm=np.zeros((2, 0), np.int32),
+            pass_mask=np.zeros(0, bool),
+            pos_indptr=np.zeros(1, np.int64), pos_idx=np.zeros(0, np.int64),
+            neg_indptr=np.zeros(1, np.int64), neg_idx=np.zeros(0, np.int64),
+            ids=np.array([str(v.id) for v in annotator.catalogVariants()],
+                         dtype=object),
+            novel_variants=[], n_catalog=n_cat,
+        )
     if len(chunks) == 1:
         return chunks[0]
     Vtot = chunks[0].n_catalog
@@ -306,17 +320,11 @@ def _applyEcBases(
         rows, cposs = np.nonzero(cand)
         b = bases.copy()
         if len(rows):
+            from .annotate import minorityCorrection
+
             counts = ec_pileup[result.gene[rows], cols[rows, cposs], :4]
-            totals = counts.sum(axis=1)
-            own = counts[np.arange(len(rows)), bases[rows, cposs]] \
-                / np.maximum(totals, 1)
-            minority = (totals >= 20) & (own <= 0.2)
-            frac = counts / np.maximum(totals, 1)[:, None]
-            maj = frac.argmax(axis=1)
-            has_major = frac.max(axis=1) >= 0.8
-            fix = minority & has_major
+            fix, maj, ton = minorityCorrection(counts, bases[rows, cposs])
             b[rows[fix], cposs[fix]] = maj[fix]
-            ton = minority & ~has_major
             b[rows[ton], cposs[ton]] = 4
         out.append(b)
     return out[0], out[1]

@@ -325,8 +325,9 @@ class SplitCohortStep:
         # gather at the longest real list (paralog-shared k-mers routinely
         # post to ~all gene copies — truncating below that loses true
         # placements; the round-robin-by-gene posting order makes any
-        # residual truncation drop same-gene repeats first)
-        max_post = min(16, arr.table.max_post)
+        # residual truncation drop same-gene repeats first).  32 matches
+        # cohortStep's max_postings default.
+        max_post = min(32, arr.table.max_post)
 
         @jax.jit
         def seed(codes1, codes2, len1, len2):

@@ -84,6 +84,15 @@ class SlurmTaskExecutor:
         self.timeout_s = timeout_s
 
     def run(self, tasks: list[Task]) -> list[str]:
+        # SLURM submits argv commands; a fn-only Task cannot ship to a
+        # batch node — fail loudly instead of returning its output path
+        # as if it had run (use ConcurrentTaskExecutor for fn tasks)
+        fn_only = [t.output for t in tasks if not _taskDone(t) and not t.cmd]
+        if fn_only:
+            raise ValueError(
+                "SlurmTaskExecutor cannot run fn-only tasks (no cmd): "
+                f"{fn_only} — use ConcurrentTaskExecutor"
+            )
         todo = [t for t in tasks if not _taskDone(t) and t.cmd]
         for task in todo:
             script = self.template.format(

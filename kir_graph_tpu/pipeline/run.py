@@ -31,7 +31,11 @@ class SamplePipeline:
 
     def __init__(self, index: KirIndex, num_editdist: int = 4):
         self.index = index
-        self.aligner = GraphAligner(index)
+        # annot_editdist must equal the annotator's num_editdist: the
+        # aligner's device pairing and the (device-)annotate pass/NM
+        # filters are one contract (device_annotate._buildTables refuses
+        # a mismatched pair)
+        self.aligner = GraphAligner(index, annot_editdist=num_editdist)
         self.annotator = VariantAnnotator(index, num_editdist=num_editdist)
 
     # ------------------------------------------------------------------

@@ -377,7 +377,16 @@ class AlleleTyping:
         if homo:
             self.addCandidate()
             if cn > 1:
-                self.result.append(self.createHomoResult(self.result[0], cn))
+                if self.result[0].value.shape[0]:
+                    self.result.append(
+                        self.createHomoResult(self.result[0], cn)
+                    )
+                else:
+                    # all reads lost their variants (e.g. to the <3-
+                    # observation correction filter): fall through to
+                    # the same empty/"fail" result shape the non-homo
+                    # path produces instead of crashing in np.repeat
+                    self.result.append(self._emptyResult(n=cn))
         else:
             for _ in range(cn):
                 self.addCandidate()
@@ -413,9 +422,9 @@ class AlleleTyping:
         mask[first] = True
         return mask
 
-    def _emptyResult(self) -> TypingResult:
+    def _emptyResult(self, n: int | None = None) -> TypingResult:
         return TypingResult(
-            n=len(self.result) + 1,
+            n=n if n is not None else len(self.result) + 1,
             value=np.array([]),
             value_sum_indv=np.array([]),
             allele_id=np.array([]),

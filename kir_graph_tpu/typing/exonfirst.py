@@ -150,6 +150,9 @@ class AlleleTypingExonFirst(AlleleTyping):
                 [r.allele_prob for r in candidate_result], axis=1
             ),
             fraction=np.concatenate([r.fraction for r in candidate_result]),
+            # fraction (not fraction_uniq) on purpose: the reference
+            # does the same with an explicit "ignore this"
+            # (typing_mulit_allele.py:789)
             fraction_uniq=np.concatenate([r.fraction for r in candidate_result]),
         ).sortByScoreAndEveness()
         self.result.append(merged)

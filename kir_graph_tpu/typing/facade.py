@@ -221,6 +221,9 @@ def selectKirTypingModel(
         return TypingWithPosNegAllele(filename_variant_json, **kwargs)
     if method.startswith("exonfirst"):
         fields = method.split("_")
+        # bare "exonfirst" -> 0.0 mirrors the reference exactly
+        # (kir_typing.py:217); like the reference's main.py:190, the CLI
+        # rewrites bare exonfirst to exonfirst_1 before reaching here
         threshold = 0.0
         if len(fields) == 2:
             threshold = float(method[len("exonfirst_"):])

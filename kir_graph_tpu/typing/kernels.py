@@ -72,12 +72,6 @@ def pairMaxScores(
 
 
 @jax.jit
-def bestPerRead(log_probs: jax.Array, ids: jax.Array) -> jax.Array:
-    """max over the alleles of each candidate set: [R, T, n] -> [R, T]."""
-    return jnp.max(log_probs[:, ids], axis=2)
-
-
-@jax.jit
 def fractionOfReads(
     log_probs: jax.Array,  # [R, A]
     ids: jax.Array,        # [T, n]

@@ -109,3 +109,17 @@ def test_stream_error_correction_matches_oneshot(world):
     assert len(got_plain[0]["reads"]) != len(want_reads["reads"]) or not (
         np.array_equal(got_plain[1], want_depth)
     ), "EC was a no-op on this batch; raise depth or error rate"
+
+
+def test_merge_evidence_empty_batch(world):
+    """mergeEvidence([]) returns an empty, catalog-shaped EvidenceArrays
+    (an all-filtered FASTQ must not crash the fast paths)."""
+    from kir_graph_tpu.align.stream import mergeEvidence
+
+    index = world[0]
+    ann = VariantAnnotator(index)
+    ev = mergeEvidence(ann, [])
+    assert len(ev.gene) == 0 and ev.pass_mask.shape == (0,)
+    assert ev.n_catalog == len(ann.catalogVariants())
+    assert list(ev.pos_indptr) == [0] and list(ev.neg_indptr) == [0]
+    assert ev.novel_variants == []

@@ -203,3 +203,21 @@ def test_beam_extend_matches_bruteforce():
             np.maximum(prev_prob[:, t], log_probs[:, a]),
             rtol=1e-6,
         )
+
+
+def test_homo_typing_with_all_reads_corrected_away_returns_fail():
+    """CN>=2 homo branch on reads whose variants all fail the <3-
+    observation filter: must return CN fail alleles, not crash in
+    createHomoResult's np.repeat."""
+    from kir_graph_tpu.index.variants import Variant
+    from kir_graph_tpu.typing.allele_typing import AlleleTyping
+    from kir_graph_tpu.typing.pairread import PairRead
+
+    v = Variant(pos=10, typ="single", val="C", ref="G*BACKBONE",
+                allele=["G*0101"], id="hv1")
+    reads = [
+        PairRead(backbone="G*BACKBONE", lpv=["hv1"], lnv=[], rpv=[], rnv=[])
+    ]  # one observation < min-depth 3 -> stripped by errorCorrection
+    t = AlleleTyping(reads, [v], variant_correction=True, force_homo=True)
+    res = t.typing(2)
+    assert res.selectBest() == ["fail", "fail"]
