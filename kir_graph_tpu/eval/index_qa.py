@@ -27,8 +27,10 @@ def checkVariantCatalog(index: KirIndex) -> list[str]:
             (int(p), bool(d), int(v))
             for p, d, v in zip(g.var_pos, g.var_is_del, g.var_val)
         ]
-        if sorted(set(keys)) != keys and len(set(keys)) != len(keys):
+        if len(set(keys)) != len(keys):
             problems.append(f"{name}: duplicate variant keys")
+        elif sorted(keys) != keys:
+            problems.append(f"{name}: variant keys out of order")
         if len(g.variants) != len(set(str(v.id) for v in g.variants)):
             problems.append(f"{name}: duplicate variant ids")
         if len(g.var_pos) and (

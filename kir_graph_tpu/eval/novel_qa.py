@@ -30,11 +30,25 @@ _MERGED = {
 }
 
 
-def allelePosToColumn(msa: Genemsa, allele: str, pos: int) -> int:
-    """Ungapped allele-sequence position -> MSA/backbone column."""
+def allelePosToColumn(
+    msa: Genemsa, allele: str, pos: int, exon_only: bool = False
+) -> int:
+    """Ungapped allele-sequence position -> MSA/backbone column.
+
+    ``exon_only=True`` interprets `pos` in exon-capture coordinates
+    (the concatenated-exon sequence sim/cohort.exonCaptureSeq emits) —
+    spiked-novel truth from an exon-capture cohort records positions in
+    THAT space, not the full ungapped allele."""
     seq = msa.get(allele)
     arr = np.frombuffer(seq.encode(), dtype=np.uint8)
     keep = (arr != ord("-")) & (arr != ord("E"))
+    if exon_only:
+        exon_mask = np.zeros(len(arr), dtype=bool)
+        for b in msa.list_blocks():
+            if b.type == "exon":
+                s, e = msa.get_block_interval(b.name)
+                exon_mask[s:e] = True
+        keep &= exon_mask
     cols = np.nonzero(keep)[0]
     return int(cols[pos])
 
@@ -55,6 +69,7 @@ def gradeNovelDiscovery(
     truth_df: pd.DataFrame,
     msa_prefix: str,
     method: str = "full",
+    exon_capture: bool = False,
 ) -> dict:
     """Run discovery per sample with spiked truth; return the P/R table.
 
@@ -114,7 +129,9 @@ def gradeNovelDiscovery(
             if gene not in msas:
                 base = f"{msa_prefix}.{gene}"
                 msas[gene] = Genemsa.load_msa(base + ".fa", base + ".json")
-            col = allelePosToColumn(msas[gene], allele, pos)
+            col = allelePosToColumn(
+                msas[gene], allele, pos, exon_only=exon_capture
+            )
             bb = msas[gene].get_reference()[0]
             wanted_cn[(bb, col, alt)] = geneCN(gene)
         for key, cn in wanted_cn.items():

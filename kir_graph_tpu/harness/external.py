@@ -150,7 +150,9 @@ class PingTool(ContainerTool):
             "ping",
             f"Rscript ping.run_{self.version}.R",
             opts=(
-                f" -v $PWD/{index}/Resources:/app/Resources:ro"
+                # expanded here: the argv executor runs shell=False, so
+                # a literal $PWD would reach docker unexpanded
+                f" -v {os.getcwd()}/{index}/Resources:/app/Resources:ro"
                 f" -e RAW_FASTQ_DIR={folder_in}"
                 f" -e FASTQ_PATTERN=fq"
                 f" -e THREADS={self.getThreads()}"

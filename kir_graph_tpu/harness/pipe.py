@@ -69,19 +69,32 @@ class Executor:
         assert engine_type in ("podman", "docker", "local")
         self.engine = engine_type
 
-    def runShell(self, cmd: str, cwd: str | None = None) -> subprocess.CompletedProcess:
+    def runShell(
+        self, cmd: str, cwd: str | None = None,
+        env: dict[str, str] | None = None,
+    ) -> subprocess.CompletedProcess:
         """Run a command string as an argv list (shell=False) so filenames
         with shell metacharacters cannot break or inject commands."""
         logger.info(f"[Run] {cmd}")
         return subprocess.run(
-            shlex.split(cmd), cwd=cwd, check=True, universal_newlines=True
+            shlex.split(cmd), cwd=cwd, check=True, universal_newlines=True,
+            env={**os.environ, **env} if env else None,
         )
 
     def runDocker(
         self, image: str, cmd: str, cwd: str | None = None, opts: str = ""
     ) -> subprocess.CompletedProcess:
         if self.engine == "local":
-            return self.runShell(cmd, cwd)
+            # container env options are load-bearing (e.g. PING's
+            # RAW_FASTQ_DIR/RESULTS_DIR config) — carry `-e K=V` pairs
+            # into the local process environment
+            env = {}
+            toks = shlex.split(opts)
+            for i, t in enumerate(toks):
+                if t == "-e" and i + 1 < len(toks) and "=" in toks[i + 1]:
+                    k, _, v = toks[i + 1].partition("=")
+                    env[k] = v
+            return self.runShell(cmd, cwd, env=env or None)
         name = str(uuid.uuid4()).split("-", 1)[0]
         host_dir = shlex.quote(os.getcwd())
         return self.runShell(

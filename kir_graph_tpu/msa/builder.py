@@ -169,7 +169,7 @@ def buildKirMsa(
     # from IPD v2.12 2DL5 coexists with 2DL5A/B
     if "KIR2DL5" in genes and "KIR2DL5A" in genes:
         genes.pop("KIR2DL5A")
-        genes.pop("KIR2DL5B")
+        genes.pop("KIR2DL5B", None)  # checkout may ship only the A file
 
     method = _pickRealigner(realign_method)
     if mode == "split":

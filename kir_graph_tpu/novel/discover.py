@@ -239,7 +239,24 @@ def discoverNovel(
         if pileup is None:
             pileup = np.load(variant_name + ".pileup.npy")
         if gene_names is None:
-            gene_names = sorted(data._gene_reads.keys())
+            # pileup rows follow index.gene_names (ALL genes, sorted) —
+            # a reads-derived list would drop CN=0 genes and shift every
+            # row after the gap; reconstruct the full list from the
+            # per-gene MSA files instead
+            import glob as _glob
+
+            gene_names = sorted(
+                os.path.basename(p)[len(os.path.basename(msa_name)) + 1:-5]
+                + "*BACKBONE"
+                for p in _glob.glob(msa_name + ".*.json")
+            )
+            if len(gene_names) != pileup.shape[0]:
+                logger.warning(
+                    "[Novel] MSA gene list does not match pileup rows "
+                    f"({len(gene_names)} vs {pileup.shape[0]}); falling "
+                    "back to reads-derived names"
+                )
+                gene_names = sorted(data._gene_reads.keys())
 
     msas: dict[str, Genemsa] = {}
     allele_reads: GroupPairRead = {}

@@ -148,10 +148,14 @@ def main(args: argparse.Namespace) -> dict:
     if args.novel_per_sample and "novel" in truth_df.columns:
         from ..eval.novel_qa import gradeNovelDiscovery
 
+        # the typing-file suffix, not the CLI name: main() rewrites
+        # exonfirst -> exonfirst_1 and report -> em before writing
+        # `*.pv.<method>.tsv` (pipeline/main.py:258-262)
+        method = {"report": "em", "exonfirst": "exonfirst_1"}.get(
+            args.allele_strategy, args.allele_strategy
+        )
         report["novel_discovery"] = gradeNovelDiscovery(
-            truth_df, str(out / "msa"),
-            method=args.allele_strategy if args.allele_strategy != "report"
-            else "full",
+            truth_df, str(out / "msa"), method=method,
         )
     logger.info(f"[Research] {report}")
     pd.DataFrame([report]).to_json(str(out / "report.json"))

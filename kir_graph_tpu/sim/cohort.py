@@ -190,9 +190,11 @@ def generateCohortFastq(
             mutated, tags = mutateNovel(seqs[victim], novel_per_sample, rng)
             seqs[victim] = mutated
             logger.info(f"[Sim] {t.sample_id}: novel SNVs on {victim}: {tags}")
-            # truth record for discovery grading: positions are in the
-            # victim's UNGAPPED allele sequence (eval/novel_qa.py maps
-            # them to backbone columns via the MSA)
+            # truth record for discovery grading: positions index the
+            # SIMULATED sequence — the ungapped allele normally, the
+            # concatenated-exon sequence when exon_capture=True
+            # (eval/novel_qa.py maps either to backbone columns via the
+            # MSA; pass exon_capture through to gradeNovelDiscovery)
             novel_truth = ";".join(f"{victim}:{tag}" for tag in tags)
         sim = simulatePairedReads(
             seqs,

@@ -140,19 +140,23 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
             llo, lhi = cfg.long_del_range
             lhi = max(min(lhi, L_g // 4), 32)
             llo = min(llo, lhi - 1)
-            long_len = rng.integers(llo, lhi + 1, size=cfg.n_long_del_sites)
-            placed: list[int] = []
+            want_len = rng.integers(llo, lhi + 1, size=cfg.n_long_del_sites)
+            placed: list[tuple[int, int]] = []  # (pos, len) pairs
             for d in range(cfg.n_long_del_sites):
                 for _ in range(100):
-                    pos = int(rng.integers(200, L_g - long_len[d] - 200))
+                    pos = int(rng.integers(200, L_g - want_len[d] - 200))
                     if all(
-                        pos + long_len[d] + 100 < q
-                        or q + long_len[placed.index(q)] + 100 < pos
-                        for q in placed
+                        pos + want_len[d] + 100 < q or ql + q + 100 < pos
+                        for q, ql in placed
                     ):
+                        placed.append((pos, int(want_len[d])))
                         break
-                placed.append(pos)
-            long_pos = np.array(placed, dtype=np.int64)
+                # all 100 attempts overlapped an existing site: place
+                # FEWER deletions rather than an overlapping one (two
+                # overlapping '-' runs would merge into a single longer
+                # deletion no pseudo-reference matches)
+            long_pos = np.array([p for p, _ in placed], dtype=np.int64)
+            long_len = np.array([l for _, l in placed], dtype=np.int64)
 
         # allele families: each family owns a subset of sites; alleles within
         # a family toggle a couple of extra "synonymous" sites
@@ -189,7 +193,7 @@ def makeSyntheticDB(cfg: SynthConfig | None = None) -> dict[str, Genemsa]:
                 if fam_del[fam, d]:
                     chars[del_pos[d] : del_pos[d] + del_len[d]] = ord("-")
             if fam_long is not None:
-                for d in range(cfg.n_long_del_sites):
+                for d in range(len(long_pos)):
                     if fam_long[fam, d]:
                         chars[long_pos[d] : long_pos[d] + long_len[d]] = ord("-")
             name = f"{gene_name}*{fam + 1:03d}{sub + 1:02d}{rng.integers(1, 10):02d}"

@@ -22,7 +22,6 @@ from ..align.encode import encodeReads
 from ..align.pipeline import GraphAligner
 from ..index.build import KirIndex, buildIndexFromMsa
 from ..msa.genemsa import Block, Genemsa, readFasta
-from ..sim.reads import readFastq, writeFastq
 from ..utils import logger
 
 # reference wgs.py:13-31
@@ -125,42 +124,59 @@ def extractKirReads(
     Depth over the diploid region accumulates alongside (mean/std JSON like
     reference wgs.py:82-132).
     """
-    n1, s1 = readFastq(fq1)
-    n2, s2 = readFastq(fq2)
-    assert len(n1) == len(n2)
+    import gzip
+
     kir_ids = wgs.kirRegionIds()
     dip_ids = wgs.diploidRegionIds()
     G, Lmax = wgs.index.backbone.shape
     dip_depth = np.zeros(Lmax, dtype=np.int64)
-    keep_r1: list[str] = []
-    keep_r2: list[str] = []
-    keep_n1: list[str] = []
-    keep_n2: list[str] = []
 
-    for s in range(0, len(n1), chunk):
-        e = min(s + chunk, len(n1))
-        c1, l1 = encodeReads(s1[s:e])
-        c2, l2 = encodeReads(s2[s:e])
-        res = wgs.aligner.alignPairs(c1, l1, c2, l2)
-        for i in np.nonzero(res.gene >= 0)[0]:
-            g = int(res.gene[i])
-            if g in kir_ids:
-                keep_n1.append(n1[s + i])
-                keep_r1.append(s1[s + i])
-                keep_n2.append(n2[s + i])
-                keep_r2.append(s2[s + i])
-            elif g in dip_ids:
-                for cols in (res.cols_l[i], res.cols_r[i]):
-                    cc = cols[cols >= 0]
-                    dip_depth[cc] += 1
+    # genuinely streamed I/O: a 30x WGS pair decompresses to hundreds of
+    # GB — read chunk-wise and append kept pairs to the output writers
+    # incrementally instead of materialising either side in RAM
+    def opener(p, mode):
+        return gzip.open(p, mode) if p.endswith(".gz") else open(p, mode)
+
+    def readChunk(f, n):
+        names, seqs = [], []
+        for _ in range(n):
+            h = f.readline()
+            if not h:
+                break
+            seqs.append(f.readline().strip())
+            f.readline()
+            f.readline()
+            names.append(h.strip()[1:].split()[0])
+        return names, seqs
 
     r1_out = f"{output_name}.read.1.fq.gz"
     r2_out = f"{output_name}.read.2.fq.gz"
-    writeFastq(r1_out, keep_n1, keep_r1)
-    writeFastq(r2_out, keep_n2, keep_r2)
-    logger.info(
-        f"[WGS] kept {len(keep_r1)}/{len(n1)} pairs in KIR region"
-    )
+    n_total = 0
+    n_kept = 0
+    with opener(fq1, "rt") as f1, opener(fq2, "rt") as f2, \
+            opener(r1_out, "wt") as w1, opener(r2_out, "wt") as w2:
+        while True:
+            n1, s1 = readChunk(f1, chunk)
+            n2, s2 = readChunk(f2, chunk)
+            assert len(n1) == len(n2), "unpaired FASTQ inputs"
+            if not n1:
+                break
+            n_total += len(n1)
+            c1, l1 = encodeReads(s1)
+            c2, l2 = encodeReads(s2)
+            res = wgs.aligner.alignPairs(c1, l1, c2, l2)
+            for i in np.nonzero(res.gene >= 0)[0]:
+                g = int(res.gene[i])
+                if g in kir_ids:
+                    n_kept += 1
+                    w1.write(f"@{n1[i]}\n{s1[i]}\n+\n{'I' * len(s1[i])}\n")
+                    w2.write(f"@{n2[i]}\n{s2[i]}\n+\n{'I' * len(s2[i])}\n")
+                elif g in dip_ids:
+                    for cols in (res.cols_l[i], res.cols_r[i]):
+                        cc = cols[cols >= 0]
+                        dip_depth[cc] += 1
+
+    logger.info(f"[WGS] kept {n_kept}/{n_total} pairs in KIR region")
 
     stat_name = ""
     if dip_ids and diploid_out:
