@@ -27,6 +27,17 @@ import time
 import jax
 import numpy as np
 
+# honor JAX_PLATFORMS even when a site hook pre-imports jax and pins a
+# remote platform (the env var alone is ignored once the plugin is
+# registered; same workaround as pipeline/main.py entrypoint) — without
+# this, `JAX_PLATFORMS=cpu python bench.py` hangs on an unreachable
+# tunneled device instead of falling back to CPU
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialised: keep whatever it chose
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), ".jax_cache"),
@@ -268,7 +279,11 @@ def main() -> None:
         raise SystemExit(
             f"BENCH_STREAM_CHUNKS must be >= 1 (got {n_chunks})"
         )
-    n_big = n_chunks * GraphAligner.CHUNK_PAIRS
+    # small/smoke mode streams small chunks: n_chunks x CHUNK_PAIRS of
+    # CPU scan-DP would run tens of minutes and prove nothing
+    stream_chunk = 2048 if os.environ.get("BENCH_SMALL") \
+        else GraphAligner.CHUNK_PAIRS
+    n_big = n_chunks * stream_chunk
     reps = (n_big + N - 1) // N
     cb1 = np.concatenate([c1e] * reps)[:n_big]
     lb1 = np.concatenate([l1e] * reps)[:n_big]
@@ -278,7 +293,8 @@ def main() -> None:
     for _ in range(3):
         t0 = time.time()
         _, sdepth, _ = alignAnnotateEvidence(
-            aligner, annotator, cb1, lb1, cb2, lb2
+            aligner, annotator, cb1, lb1, cb2, lb2,
+            chunk=stream_chunk,
         )
         jax.block_until_ready(sdepth)
         stream_times.append(time.time() - t0)
