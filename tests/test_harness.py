@@ -54,3 +54,36 @@ def test_graphkir_tool_end_to_end(tmp_path, synth_genes, synth_index):
     summary = calcSummaryByResolution(r for rs in res.values() for r in rs)
     assert summary["match7"] >= 0.8 * summary["total"]
     assert summary["FN"] + summary["FP"] <= 1
+
+
+def test_slurm_executor_rejects_fn_tasks(tmp_path):
+    """fn-only tasks cannot ship to a batch node: the SLURM executor
+    must raise instead of returning their outputs as if they ran."""
+    import pytest
+
+    from kir_graph_tpu.parallel.tasks import SlurmTaskExecutor, Task
+
+    t = Task(output=str(tmp_path / "x.out"), fn=lambda: None)
+    with pytest.raises(ValueError, match="fn-only"):
+        SlurmTaskExecutor().run([t])
+
+
+def test_run_docker_local_engine_carries_env(tmp_path, monkeypatch):
+    """Engine 'local' must carry container -e K=V options into the
+    subprocess environment (PING's RAW_FASTQ_DIR etc. are config)."""
+    from kir_graph_tpu.harness.pipe import Executor
+
+    ex = Executor(engine_type="local")
+    seen = {}
+
+    def fakeShell(cmd, cwd=None, env=None):
+        seen["cmd"], seen["env"] = cmd, env
+        return None
+
+    monkeypatch.setattr(ex, "runShell", fakeShell)
+    ex.runDocker(
+        "img", "run_me --flag",
+        opts=" -v /a:/b:ro -e RAW_FASTQ_DIR=/data -e THREADS=4",
+    )
+    assert seen["cmd"] == "run_me --flag"
+    assert seen["env"] == {"RAW_FASTQ_DIR": "/data", "THREADS": "4"}
