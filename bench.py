@@ -65,21 +65,45 @@ def _probePlatformAlive(timeout_s: float = 120.0) -> bool:
 
 def _ensureLivePlatform() -> None:
     """Downgrade to CPU (with a visible flag in the output JSON) when
-    the pinned remote platform is unreachable — a hung driver bench
-    records nothing; a degraded CPU line records WHY."""
+    the pinned remote platform is unreachable — a hung or crashed
+    driver bench records nothing; a degraded CPU line records WHY.
+
+    Driver runs always pin JAX_PLATFORMS (=axon here), so the probe
+    must run even when the env var is set — only a pinned LOCAL
+    platform (cpu) is trusted without probing.  Tunnel weather is
+    transient, so a bounded retry window (default 3 probes spaced
+    ~2 min, ≈10 min worst case) rides out blips before degrading.
+    """
     global BENCH_DEGRADED
-    if os.environ.get("JAX_PLATFORMS") or os.environ.get("BENCH_NO_PROBE"):
-        return  # explicit platform choice: trust it
-    if _probePlatformAlive():
+    if os.environ.get("BENCH_NO_PROBE"):
         return
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and plat.split(",")[0].strip() == "cpu":
+        return  # local backend: nothing that can be "down"
+    tries = int(os.environ.get("BENCH_PROBE_TRIES", "3"))
+    wait_s = float(os.environ.get("BENCH_PROBE_WAIT_S", "120"))
+    for i in range(max(tries, 1)):
+        if _probePlatformAlive():
+            return
+        if i + 1 < tries:
+            print(
+                f"[bench] platform probe {i + 1}/{tries} failed; "
+                f"retrying in {wait_s:.0f}s",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(wait_s)
     print(
-        "[bench] default platform unreachable (device init timed out); "
+        "[bench] platform unreachable after "
+        f"{tries} probes (device init timed out/failed); "
         "falling back to CPU — results will be flagged degraded",
         file=sys.stderr, flush=True,
     )
     try:
         jax.config.update("jax_platforms", "cpu")
         BENCH_DEGRADED = True
+        # full-size CPU scan-DP takes tens of minutes: shrink so the
+        # degraded line still lands within the driver's patience
+        os.environ.setdefault("BENCH_SMALL", "1")
     except Exception:
         pass  # backend already up after all
 
