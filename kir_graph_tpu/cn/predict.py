@@ -103,20 +103,20 @@ def depthToCN(
             ]
             if kir3dl3_depths:
                 cn = dist.assignCN(kir3dl3_depths)
-                decrease_perc = 1.0
-                decrease_rate = 0.2
                 original_bin_num = dist.bin_num
-                while not all(i == 2 for i in cn):
+                # discrete shrink schedule (reference kir_cn.py:93-106 uses
+                # `perc -= 0.2` which leaves a ~7e-17 residue, runs one
+                # extra lap and crashes np.histogram with bins=0)
+                for decrease_perc in (1.0, 0.8, 0.6, 0.4, 0.2):
+                    if all(i == 2 for i in cn):
+                        break
                     logger.debug("[CN] Assume 3DL3 cn=2: refit")
                     mean_3dl3 = sum(kir3dl3_depths) / len(kir3dl3_depths)
                     lower = (mean_3dl3 - decrease_perc * 10) / 2
                     upper = (mean_3dl3 + decrease_perc * 10) / 2
-                    dist.bin_num = int(original_bin_num * decrease_perc)
+                    dist.bin_num = max(1, int(original_bin_num * decrease_perc))
                     dist.fit(values, lower, upper)
                     cn = dist.assignCN(kir3dl3_depths)
-                    decrease_perc -= decrease_rate
-                    if decrease_perc <= 0:
-                        break
                 assert all(i == 2 for i in cn), "3DL3 diploid assumption failed"
         logger.info(f"[CN] {cluster_method} base = {dist.base}")  # type: ignore[attr-defined]
 

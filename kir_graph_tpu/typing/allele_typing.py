@@ -19,7 +19,13 @@ from ..index.variants import Variant
 from ..utils import logger
 from .evidence import GeneEvidence, csrMaskValues, csrSelectRows
 from .homo import isHomozygous, isHomozygousFromCounts
-from .kernels import beamExtend, fractionOfReads, logProbsFromCounts
+from .kernels import (
+    LOG_HIT,
+    LOG_MISS,
+    beamExtend,
+    fractionOfReads,
+    logProbsFromCounts,
+)
 from .pairread import PairRead
 
 
@@ -141,6 +147,48 @@ def rankScore(
     return np.lexsort((fraction_diff, -sum_indv, -value))
 
 
+def rescoreF64(result: TypingResult, lp64: np.ndarray) -> TypingResult:
+    """Recompute value / value_sum_indv / fraction in float64 and re-rank.
+
+    The beam runs in float32 on device, where mathematically-tied allele
+    sets (e.g. alleles whose distinguishing variants were all dropped by
+    error correction) pick up ulp-level noise; that noise — not the
+    reference's (sum_indv, evenness) keys — would then break final ties.
+    The reference computes everything in float64 numpy
+    (typing_mulit_allele.py:565-580), so ties that are exact in math stay
+    exact there.  Rescoring the surviving rows in float64 with the same
+    formulas restores that tie structure; chunked over rows so the
+    [reads, rows, cn] intermediate stays small.
+    """
+    if result.isFail() or not lp64.size:
+        return result
+    ids = np.asarray(result.allele_id)                     # [T, n]
+    T = ids.shape[0]
+    col_sum = lp64.sum(axis=0)
+    value = np.empty(T, dtype=np.float64)
+    frac = np.empty(ids.shape, dtype=np.float64)
+    R = lp64.shape[0]
+    for lo in range(0, T, 64):
+        sel = lp64[:, ids[lo : lo + 64]]                   # [R, t, n]
+        top = sel.max(axis=2)                              # [R, t]
+        value[lo : lo + 64] = top.sum(axis=0)
+        belong = sel == top[:, :, None]
+        belong = belong / belong.sum(axis=2, keepdims=True)
+        frac[lo : lo + 64] = belong.sum(axis=0) / R
+    return TypingResult(
+        n=result.n,
+        value=value,
+        value_sum_indv=col_sum[ids],
+        allele_id=ids,
+        allele_name=result.allele_name,
+        allele_prob=result.allele_prob,
+        fraction=frac,
+        fraction_uniq=result.fraction_uniq,
+        set_h1=result.set_h1,
+        set_h2=result.set_h2,
+    ).sortByScoreAndEveness()
+
+
 class AlleleTyping:
     """Beam search over allele sets, one allele added per CN step."""
 
@@ -176,6 +224,8 @@ class AlleleTyping:
     def _finishInit(
         self, log_probs: np.ndarray, allele_names: list[str]
     ) -> None:
+        if not hasattr(self, "_prob_counts"):
+            self._prob_counts = None  # set by the constructors when R,V > 0
         self.log_probs = log_probs  # np.float32 [R, A]
         self._log_probs_dev = jnp.asarray(self.log_probs)
         self._allele_col_sum = (
@@ -271,6 +321,7 @@ class AlleleTyping:
             np.add.at(count_diff, (prow_n, ni), -1.0)
             n_pos = np.bincount(prow_p, minlength=R).astype(np.float32)
             n_neg = np.bincount(prow_n, minlength=R).astype(np.float32)
+            self._prob_counts = (count_diff, n_pos, n_neg, membership)
             log_probs = np.asarray(
                 logProbsFromCounts(
                     jnp.asarray(count_diff), jnp.asarray(n_pos),
@@ -281,6 +332,21 @@ class AlleleTyping:
         return self
 
     # ------------------------------------------------------------------
+    def logProbs64(self) -> np.ndarray:
+        """float64 log10 P(read | allele), the reference's working
+        precision (typing_mulit_allele.py:340-381) — computed on host
+        from the exact integer count matrices, used only to rescore the
+        final beam survivors (see rescoreF64)."""
+        if self._prob_counts is None:
+            return self.log_probs.astype(np.float64)
+        count_diff, n_pos, n_neg, membership = self._prob_counts
+        core = count_diff.astype(np.float64) @ membership.astype(np.float64)
+        return (
+            core * (LOG_HIT - LOG_MISS)
+            + n_pos.astype(np.float64)[:, None] * LOG_MISS
+            + n_neg.astype(np.float64)[:, None] * LOG_HIT
+        )
+
     def getReadsNum(self) -> int:
         return len(self.log_probs)
 
@@ -358,6 +424,7 @@ class AlleleTyping:
                 if i is not None:
                     count_diff[r, i] -= 1
                     n_neg[r] += 1
+        self._prob_counts = (count_diff, n_pos, n_neg, membership)
         out = logProbsFromCounts(
             jnp.asarray(count_diff), jnp.asarray(n_pos), jnp.asarray(n_neg),
             jnp.asarray(membership),
@@ -376,6 +443,10 @@ class AlleleTyping:
         self.result = []
         if homo:
             self.addCandidate()
+            if self.result[0].value.shape[0]:
+                # rescore BEFORE replication so the homo result keeps the
+                # reference's value semantics (cn1.value * cn, f64 order)
+                self.result[0] = rescoreF64(self.result[0], self.logProbs64())
             if cn > 1:
                 if self.result[0].value.shape[0]:
                     self.result.append(
@@ -390,6 +461,10 @@ class AlleleTyping:
         else:
             for _ in range(cn):
                 self.addCandidate()
+            if self.result[-1].value.shape[0]:
+                self.result[-1] = rescoreF64(
+                    self.result[-1], self.logProbs64()
+                )
         self.result[-1].print()
         return self.result[-1]
 

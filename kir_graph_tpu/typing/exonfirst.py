@@ -12,7 +12,8 @@ import numpy as np
 
 from ..index.variants import Variant
 from ..utils import logger
-from .allele_typing import AlleleTyping, TypingResult
+from .allele_typing import AlleleTyping, TypingResult, rescoreF64
+from .evidence import GeneEvidence, csrMaskValues
 from .pairread import PairRead
 
 
@@ -69,6 +70,93 @@ class AlleleTypingExonFirst(AlleleTyping):
             self.full_model = None
 
     # ------------------------------------------------------------------
+    @classmethod
+    def fromEvidence(
+        cls,
+        gev: GeneEvidence,
+        variants: list[Variant],
+        top_n: int = 300,
+        exon_only: bool = False,
+        candidate_set_threshold: float = 1.0,
+        variant_correction: bool = True,
+        force_homo: bool | None = None,
+    ) -> "AlleleTypingExonFirst":
+        """Array-native constructor: exon masking, correction and grouping
+        on the gene's evidence CSR — no PairRead materialisation.
+
+        Bit-identical to the list constructor (tests/test_typing_evidence):
+        the stage-1 pipeline is filter-to-exon -> correction -> (empty rows
+        dropped) -> the base class's second correction, the same order the
+        list path applies.  Empty pairs between the two corrections carry
+        no variant instances, so deferring their removal to the base
+        class's `no_empty` leaves every count unchanged.
+        """
+        V = len(variants)
+        exon_variants = [v for v in variants if v.in_exon]
+        exon_mask = np.zeros(V, dtype=bool)
+        for i, v in enumerate(variants):
+            exon_mask[i] = v.in_exon
+
+        # stage-1 evidence: exon variants only (removeIntronVariant)
+        pp, pi = csrMaskValues(
+            gev.pos_indptr, gev.pos_idx, exon_mask[gev.pos_idx]
+        )
+        nn, ni = csrMaskValues(
+            gev.neg_indptr, gev.neg_idx, exon_mask[gev.neg_idx]
+        )
+        if variant_correction and V:
+            # first correction pass, on exon-only evidence (the base
+            # class applies the second pass, like the reference's
+            # super().__init__ default)
+            cnt_p = np.bincount(pi, minlength=V).astype(np.int64)
+            cnt_n = np.bincount(ni, minlength=V).astype(np.int64)
+            tot = cnt_p + cnt_n
+            safe = np.maximum(tot, 1)
+            excl_p = (tot < 3) | (cnt_p / safe < 0.2)
+            excl_n = (tot < 3) | (cnt_n / safe < 0.2)
+            pp, pi = csrMaskValues(pp, pi, ~excl_p[pi])
+            nn, ni = csrMaskValues(nn, ni, ~excl_n[ni])
+        exon_gev = GeneEvidence(
+            gene=gev.gene,
+            nh=gev.nh,
+            pair_index=gev.pair_index,
+            pos_indptr=pp,
+            pos_idx=pi,
+            neg_indptr=nn,
+            neg_idx=ni,
+        )
+
+        # group bookkeeping over variant METADATA (tiny, host)
+        variantset_to_allele = cls.aggrVariantsByAllele(exon_variants)
+        other_allele = {a for v in variants for a in v.allele} - {
+            a for v in exon_variants for a in v.allele
+        }
+        if other_allele:
+            variantset_to_allele[tuple()] = sorted(other_allele)
+        allele_group = {
+            "|".join(alleles): alleles
+            for alleles in variantset_to_allele.values()
+        }
+        grouped_variants = cls.removeDuplicateAllele(
+            variants, cls.createInverseMapping(allele_group)
+        )
+
+        self = AlleleTyping.fromEvidence.__func__(
+            cls, exon_gev, grouped_variants, force_homo=force_homo,
+            top_n=top_n,
+        )
+        self.allele_group = allele_group
+        self.candidate_set_threshold = candidate_set_threshold
+        if not exon_only:
+            self.full_model = AlleleTyping.fromEvidence(
+                gev, variants, force_homo=force_homo, top_n=top_n // 5,
+                variant_correction=variant_correction,
+            )
+        else:
+            self.full_model = None
+        return self
+
+    # ------------------------------------------------------------------
     @staticmethod
     def aggrVariantsByAllele(
         variants: list[Variant],
@@ -110,7 +198,11 @@ class AlleleTypingExonFirst(AlleleTyping):
 
     def typingIntron(self, exon_candidates: list[list[str]]) -> AlleleTyping:
         assert self.full_model
-        model = copy.deepcopy(self.full_model)
+        # shallow copy: addCandidate only ever APPENDS to .result; the
+        # prob/count arrays are read-only, so copying them (reference
+        # deepcopies, typing_mulit_allele.py:760) would just burn memory
+        model = copy.copy(self.full_model)
+        model.result = list(self.full_model.result)
         for cand in exon_candidates:
             model.addCandidate(cand)
         return model
@@ -154,7 +246,12 @@ class AlleleTypingExonFirst(AlleleTyping):
             # does the same with an explicit "ignore this"
             # (typing_mulit_allele.py:789)
             fraction_uniq=np.concatenate([r.fraction for r in candidate_result]),
-        ).sortByScoreAndEveness()
+        )
+        # float64 rescore across ALL candidates' rows: the winning intron
+        # completion of tied exon groups must be picked by the reference's
+        # (sum_indv, evenness) keys, not float32 beam noise
+        merged = rescoreF64(merged, self.full_model.logProbs64())
+        merged.fraction_uniq = merged.fraction
         self.result.append(merged)
         merged.print()
         return merged

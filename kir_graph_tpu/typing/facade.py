@@ -126,22 +126,25 @@ class TypingWithPosNegAllele(Typing):
                 )
         else:
             if self._gene_evidence is not None:
-                # exonfirst works on PairRead lists; materialise this
-                # gene's subset only (the array-native exonfirst rewrite
-                # is future work — this path is already off the hot loop)
-                gene_reads = self._gene_evidence[gene].toPairReads(
-                    [str(v.id) for v in self._gene_variants[gene]]
+                # array-native exonfirst: exon masking/grouping straight
+                # on the gene's evidence CSR (no PairRead objects)
+                typ = AlleleTypingExonFirst.fromEvidence(
+                    self._gene_evidence[gene],
+                    self._gene_variants[gene],
+                    force_homo=force_homo,
+                    top_n=self._top_n,
+                    exon_only=self._exon_only,
+                    candidate_set_threshold=self._exon_candidate_threshold,
                 )
             else:
-                gene_reads = self._gene_reads[gene]
-            typ = AlleleTypingExonFirst(
-                gene_reads,
-                self._gene_variants[gene],
-                force_homo=force_homo,
-                top_n=self._top_n,
-                exon_only=self._exon_only,
-                candidate_set_threshold=self._exon_candidate_threshold,
-            )
+                typ = AlleleTypingExonFirst(
+                    self._gene_reads[gene],
+                    self._gene_variants[gene],
+                    force_homo=force_homo,
+                    top_n=self._top_n,
+                    exon_only=self._exon_only,
+                    candidate_set_threshold=self._exon_candidate_threshold,
+                )
         res = typ.typing(cn)
         self._result[gene] = typ.result
         alleles = res.selectBest()

@@ -101,6 +101,42 @@ def test_facade_evidence_exonfirst_matches(typed_world):
     assert t_ev.typing(cn) == t_ls.typing(cn)
 
 
+@pytest.mark.parametrize("exon_only", [False, True])
+def test_exonfirst_from_evidence_matches_list_path(typed_world, exon_only):
+    """AlleleTypingExonFirst.fromEvidence is bit-identical to the PairRead
+    constructor: same stage-1 exon model, same allele groups, same final
+    merged result."""
+    from kir_graph_tpu.typing.exonfirst import AlleleTypingExonFirst
+
+    ann, ev = typed_world
+    bundle = ann.evidenceBundle(ev)
+    reads_data = removeMultipleMapped(bundle.toReadsData())
+    gene_reads = groupReads(reads_data["reads"])
+    gene_vars = groupVariants(reads_data["variants"])
+    gene_ev, gene_vars_arr = bundle.splitByGene()
+
+    for gene in sorted(gene_reads):
+        t_list = AlleleTypingExonFirst(
+            gene_reads[gene], gene_vars[gene], exon_only=exon_only,
+            candidate_set_threshold=1.0,
+        )
+        t_arr = AlleleTypingExonFirst.fromEvidence(
+            gene_ev[gene], gene_vars_arr[gene], exon_only=exon_only,
+            candidate_set_threshold=1.0,
+        )
+        assert t_list.allele_group == t_arr.allele_group
+        np.testing.assert_array_equal(t_list.log_probs, t_arr.log_probs)
+        if not exon_only:
+            np.testing.assert_array_equal(
+                t_list.full_model.log_probs, t_arr.full_model.log_probs
+            )
+        r_list = t_list.typing(2)
+        r_arr = t_arr.typing(2)
+        assert r_list.allele_name == r_arr.allele_name
+        np.testing.assert_array_equal(r_list.value, r_arr.value)
+        assert r_list.selectBest() == r_arr.selectBest()
+
+
 def test_evidence_npz_roundtrip(typed_world, tmp_path):
     from kir_graph_tpu.typing.evidence import loadEvidence, saveEvidence
 
