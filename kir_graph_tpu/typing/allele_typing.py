@@ -497,6 +497,41 @@ class AlleleTyping:
         mask[first] = True
         return mask
 
+    # ------------------------------------------------------------------
+    # beam-step primitives — overridden by parallel.typing's sharded
+    # subclass (reads data-parallel, allele axis model-parallel)
+    def _beamStep(
+        self, allele_index: np.ndarray, prev: TypingResult, k: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, "jnp.ndarray"]:
+        """Score all T*|allele_index| set extensions, dedup, top-k.
+
+        Returns (value [k], t_sel [k], a_loc [k] — index into
+        allele_index —, new_prob device [R, k]); masked slots carry -inf.
+        """
+        value_d, idx_d, new_prob = beamExtend(
+            self._log_probs_dev[:, allele_index],
+            jnp.asarray(prev.allele_prob),
+            jnp.asarray(prev.set_h1), jnp.asarray(prev.set_h2),
+            jnp.asarray(self._ah1[allele_index]),
+            jnp.asarray(self._ah2[allele_index]),
+            k,
+        )
+        idx = np.asarray(idx_d)
+        A = len(allele_index)
+        return np.asarray(value_d), idx // A, idx % A, new_prob
+
+    def _fractionStep(self, top_id: np.ndarray, top_prob) -> np.ndarray:
+        """fraction [K, n] of reads whose set-max each member attains."""
+        return np.asarray(
+            fractionOfReads(
+                self._log_probs_dev, jnp.asarray(top_id), top_prob
+            )
+        )
+
+    def _gatherColumns(self, ids: np.ndarray):
+        """Device [R, len(ids)] slice of the log-prob matrix."""
+        return self._log_probs_dev[:, ids]
+
     def _emptyResult(self, n: int | None = None) -> TypingResult:
         return TypingResult(
             n=n if n is not None else len(self.result) + 1,
@@ -539,7 +574,7 @@ class AlleleTyping:
                     allele_id=top_id,
                     allele_name=self.mapAlleleIDs(top_id),
                     # stays device-resident across beam steps
-                    allele_prob=self._log_probs_dev[:, top_id.ravel()],
+                    allele_prob=self._gatherColumns(top_id.ravel()),
                     fraction=np.ones(top_id.shape),
                     fraction_uniq=np.ones(top_id.shape),
                     set_h1=self._ah1[top_id.ravel()],
@@ -557,28 +592,17 @@ class AlleleTyping:
         # (commutative two-hash), top-k — only two [k] vectors download;
         # the per-read prob matrices never leave the device
         k = int(min(max(self.top_n, (T * A) // 5), T * A))
-        value_d, idx_d, new_prob = beamExtend(
-            self._log_probs_dev[:, allele_index],
-            jnp.asarray(prev.allele_prob),
-            jnp.asarray(prev.set_h1), jnp.asarray(prev.set_h2),
-            jnp.asarray(self._ah1[allele_index]),
-            jnp.asarray(self._ah2[allele_index]),
-            k,
+        top_value, t_sel, a_loc, new_prob = self._beamStep(
+            allele_index, prev, k
         )
-        top_value = np.asarray(value_d)
-        idx = np.asarray(idx_d)
         valid = np.nonzero(top_value > -1e30)[0]
         top_value = top_value[valid]
-        t_sel = idx[valid] // A
-        a_sel = allele_index[idx[valid] % A]
+        t_sel = t_sel[valid]
+        a_sel = allele_index[a_loc[valid]]
         top_id = np.hstack([prev_id[t_sel], a_sel[:, None]])
         top_prob = new_prob[:, valid]           # device [R, K]
         top_sum = self._allele_col_sum[top_id]  # [K, n]
-        top_frac = np.asarray(
-            fractionOfReads(
-                self._log_probs_dev, jnp.asarray(top_id), top_prob
-            )
-        )
+        top_frac = self._fractionStep(top_id, top_prob)
 
         self.result.append(
             TypingResult(

@@ -83,10 +83,81 @@ def main() -> None:
     np.testing.assert_array_equal(depth_np, ref_depth)
     np.testing.assert_allclose(hist_np, ref_hist, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(loglik_np, ref_loglik, rtol=1e-4, atol=1e-4)
+
+    # ---- typing stage over the SAME cross-process mesh: the sharded
+    # beam + sharded CN grid must call exactly what the host path calls
+    from kir_graph_tpu.parallel.typing import (  # noqa: E402
+        ShardedAlleleTyping,
+        shardedCNFit,
+    )
+    from kir_graph_tpu.typing.allele_typing import AlleleTyping  # noqa: E402
+
+    tmesh = jax.sharding.Mesh(mesh.devices.reshape(2, 2), ("data", "model"))
+    host_model = _buildTypingWorld()
+    want = host_model.typing(2)
+    sharded = ShardedAlleleTyping.fromModel(host_model, tmesh)
+    got = sharded.typing(2)
+    assert got.allele_name == want.allele_name, (
+        got.allele_name[:3], want.allele_name[:3]
+    )
+    np.testing.assert_array_equal(got.value, want.value)
+    assert got.selectBest() == want.selectBest()
+
+    depths = [0.4, 24.1, 25.9, 50.2, 49.1, 26.0, 24.4, 73.8]
+    from kir_graph_tpu.cn.models import CNgroup  # noqa: E402
+
+    host_cn = CNgroup()
+    host_cn.bin_num += 200
+    host_cn.fit(depths, 0.0, None)
+    sh_cn = shardedCNFit(tmesh, depths, 0.0, None)
+    assert sh_cn.base == host_cn.base, (sh_cn.base, host_cn.base)
+    assert sh_cn.assignCN(depths) == host_cn.assignCN(depths)
+
     print(
-        f"proc {jax.process_index()} OK: depth_sum={depth_np.sum():.0f}",
+        f"proc {jax.process_index()} OK: depth_sum={depth_np.sum():.0f} "
+        f"typing={got.selectBest()} cn_base={sh_cn.base:.2f}",
         flush=True,
     )
+
+
+def _buildTypingWorld() -> "object":
+    """Deterministic tiny typing model, identical in every process."""
+    from kir_graph_tpu.align.annotate import VariantAnnotator
+    from kir_graph_tpu.align.encode import encodeReads
+    from kir_graph_tpu.align.pipeline import GraphAligner
+    from kir_graph_tpu.index.build import buildIndexFromMsa
+    from kir_graph_tpu.sim.reads import simulatePairedReads
+    from kir_graph_tpu.sim.synth_db import (
+        SynthConfig,
+        alleleUngappedSeq,
+        makeSyntheticDB,
+    )
+    from kir_graph_tpu.typing.allele_typing import AlleleTyping
+
+    genes = makeSyntheticDB(
+        SynthConfig(seed=2, n_genes=2, n_alleles_per_gene=8, gene_length=2048)
+    )
+    index = buildIndexFromMsa(genes)
+    gname = index.gene_names[0]
+    g = index.genes[gname]
+    msa = genes[gname.split("*")[0]]
+    seqs = {
+        g.alleles[0]: alleleUngappedSeq(msa, g.alleles[0]),
+        g.alleles[3]: alleleUngappedSeq(msa, g.alleles[3]),
+    }
+    sim = simulatePairedReads(seqs, depth=20, seed=9, error_rate=0.002)
+    c1, l1 = encodeReads(sim.r1)
+    c2, l2 = encodeReads(sim.r2)
+    aligner = GraphAligner(index)
+    ann = VariantAnnotator(index)
+    res = aligner.alignPairs(c1, l1, c2, l2)
+    ev, _, _ = ann.annotateEvidence(res)
+    bundle = ann.evidenceBundle(ev)
+    gene_ev, gene_vars = bundle.splitByGene()
+    gene = sorted(gene_ev)[0]
+    model = AlleleTyping.fromEvidence(gene_ev[gene], gene_vars[gene])
+    assert model.getReadsNum() > 0
+    return model
 
 
 if __name__ == "__main__":
