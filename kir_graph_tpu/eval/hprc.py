@@ -151,22 +151,67 @@ def _evalGene(pred: list[str], truth: list[str], n: int, out: DigitCounts) -> No
             out.excluded += 1
 
 
+# novel-filter levels (reference kg_eval_hprc_remove_novel.py:92-109):
+# 0 = fusion genes only; 3 = + novel-CDS '#'; 5 = + CDS-only '+' and
+# synonymous '='; 7 = + non-CDS '$'
+FILTER_LEVELS = (0, 3, 5, 7)
+
+
+def excludedGenesForSample(
+    truth_alleles: list[str], filter_level: int
+) -> set[str]:
+    """Genes whose truth carries novel symbols at/below the filter level
+    (reference kg_eval_hprc_remove_novel.py:248-286).  A fusion allele
+    excludes both the carrying gene and every fusion partner."""
+    excluded: set[str] = set()
+    for allele in truth_alleles:
+        gene = getGeneName(allele)
+        if filter_level >= 0 and isFusionAllele(allele):
+            excluded.add(gene)
+            for part in allele.split("e")[1:]:
+                if "*" in part:
+                    excluded.add("KIR" + part.split("*")[0])
+        if filter_level >= 3 and "#" in allele:
+            excluded.add(gene)
+        if filter_level >= 5 and ("+" in allele or "=" in allele):
+            excluded.add(gene)
+        if filter_level >= 7 and "$" in allele:
+            excluded.add(gene)
+    return excluded
+
+
 def evaluateHprc(
     truth: dict[str, list[str]],
     predictions: dict[str, list[str]],
     digits: tuple[int, ...] = (3, 5, 7),
+    filter_level: int | None = None,
 ) -> pd.DataFrame:
-    """Per-gene, per-resolution precision/recall/F1 table."""
+    """Per-gene, per-resolution precision/recall/F1 table.
+
+    With ``filter_level`` set, genes carrying novel truth symbols at that
+    level are removed per sample from BOTH truth and predictions before
+    grading (the reference's remove-novel mode,
+    kg_eval_hprc_remove_novel.py:464-560)."""
     rows = []
     genes = sorted(
         {getGeneName(a) for alleles in truth.values() for a in alleles}
     )
+    sample_excluded = {
+        sid: (
+            excludedGenesForSample(alleles, filter_level)
+            if filter_level is not None
+            else set()
+        )
+        for sid, alleles in truth.items()
+    }
     for n in digits:
         total = DigitCounts()
         for gene in genes:
             counts = DigitCounts()
             for sid, gt_alleles in truth.items():
                 if sid not in predictions:
+                    continue
+                if gene in sample_excluded[sid]:
                     continue
                 gt = [a for a in gt_alleles if getGeneName(a) == gene]
                 pr = [
@@ -211,4 +256,60 @@ def evaluateHprc(
             f"[Eval] HPRC {n}-digit: P={total.precision:.3f} "
             f"R={total.recall:.3f} F1={total.f1:.3f}"
         )
-    return pd.DataFrame(rows)
+    df = pd.DataFrame(rows)
+    if filter_level is not None:
+        df["filter_level"] = filter_level
+    return df
+
+
+def evaluateHprcRemoveNovel(
+    truth: dict[str, list[str]],
+    predictions: dict[str, list[str]],
+    digits: tuple[int, ...] = (3, 5, 7),
+    filter_levels: tuple[int, ...] = FILTER_LEVELS,
+) -> pd.DataFrame:
+    """Remove-novel sweep: one evaluation per filter level (the
+    reference's per-level summary loop,
+    kg_eval_hprc_remove_novel.py:614-737)."""
+    return pd.concat(
+        [
+            evaluateHprc(truth, predictions, digits, filter_level=lvl)
+            for lvl in filter_levels
+        ],
+        ignore_index=True,
+    )
+
+
+def compareCohortIgnoreNovel(
+    truth: dict[str, list[str]],
+    predictions: dict[str, list[str]],
+    novel_res: int = -1,
+) -> dict[str, int]:
+    """Ignore-novel mode (reference kg_eval_ignore_novel.py:93-160): the
+    truth's novel suffix symbols are ignored for matching (stripped),
+    the cohort is graded with the MatchType lattice, and genes whose
+    truth carries novel symbols at ``novel_res`` are dropped from the
+    summary afterwards.  ``novel_res=-1`` keeps every gene."""
+    from .compare import calcSummaryByResolution, compareCohort
+
+    def clean(a: str) -> str:
+        return re.sub(r"[#=$+~]", "", a)
+
+    cleaned = {
+        sid: [clean(a) for a in alleles if not isFusionAllele(a)]
+        for sid, alleles in truth.items()
+    }
+    results = compareCohort(cleaned, predictions, skip_empty=False)
+    if novel_res < 0:
+        return calcSummaryByResolution(
+            r for rs in results.values() for r in rs
+        )
+    kept = []
+    for sid, rs in results.items():
+        excluded = excludedGenesForSample(truth.get(sid, []), novel_res)
+        kept.extend(
+            r
+            for r in rs
+            if getGeneName(r.answer_allele or r.predit_allele) not in excluded
+        )
+    return calcSummaryByResolution(kept)

@@ -91,3 +91,94 @@ def test_real_hprc_truth_file():
     overall = table[table["gene"] == "ALL"].set_index("digits")
     assert overall.loc[7, "f1"] == 1.0
     assert overall.loc[3, "f1"] > 0.99
+
+
+def test_excluded_genes_levels():
+    from kir_graph_tpu.eval.hprc import excludedGenesForSample
+
+    alleles = [
+        "KIR2DS4*00101e3DL1*03501",  # fusion: excludes 2DS4 AND 3DL1
+        "KIR2DP1*00102#",            # novel CDS
+        "KIR2DS2*005+",              # CDS-only
+        "KIR2DL3*00101=",            # synonymous
+        "KIR3DL2*00701$",            # non-CDS
+        "KIR2DL1*0030218",           # clean
+    ]
+    assert excludedGenesForSample(alleles, 0) == {"KIR2DS4", "KIR3DL1"}
+    assert excludedGenesForSample(alleles, 3) == {
+        "KIR2DS4", "KIR3DL1", "KIR2DP1"
+    }
+    assert excludedGenesForSample(alleles, 5) == {
+        "KIR2DS4", "KIR3DL1", "KIR2DP1", "KIR2DS2", "KIR2DL3"
+    }
+    assert excludedGenesForSample(alleles, 7) == {
+        "KIR2DS4", "KIR3DL1", "KIR2DP1", "KIR2DS2", "KIR2DL3", "KIR3DL2"
+    }
+
+
+def test_remove_novel_on_real_truth():
+    """Remove-novel grading on the reference's real 47-sample table:
+    errors planted ONLY in '#'-carrying genes disappear at level >= 3."""
+    import os
+
+    path = "/root/reference/research/groundtruth/hprc_summary_v1_2_e.tsv"
+    if not os.path.exists(path):
+        pytest.skip("reference truth file not present")
+    from kir_graph_tpu.eval.hprc import (
+        evaluateHprcRemoveNovel,
+        getGeneName,
+        readHprcTruth,
+    )
+
+    truth = readHprcTruth(path)
+    pred = {}
+    for sid, alleles in truth.items():
+        out = []
+        for a in alleles:
+            clean = a.replace("$", "").replace("+", "").replace("=", "")
+            if "#" in a:
+                # wrong 7-digit call on every novel-CDS gene
+                out.append(getGeneName(a) + "*9990101")
+            else:
+                out.append(clean.replace("#", ""))
+        pred[sid] = out
+    table = evaluateHprcRemoveNovel(truth, pred, digits=(3,))
+    lvl = table[table["gene"] == "ALL"].set_index("filter_level")
+    assert lvl.loc[0, "fp"] > 0          # planted errors visible
+    assert lvl.loc[3, "fp"] == 0         # novel-CDS genes removed
+    assert lvl.loc[7, "fp"] == 0
+    assert lvl.loc[3, "f1"] == 1.0
+    # denominators shrink monotonically as the filter tightens
+    assert (
+        lvl.loc[0, "tp"] + lvl.loc[0, "fp"]
+        > lvl.loc[3, "tp"]
+        >= lvl.loc[5, "tp"]
+        >= lvl.loc[7, "tp"]
+    )
+
+
+def test_ignore_novel_summary():
+    from kir_graph_tpu.eval.hprc import compareCohortIgnoreNovel
+
+    truth = {
+        "S1": [
+            "KIR2DL1*0030218",
+            "KIR2DP1*00102#",
+            "KIR3DL2*00701$",
+        ]
+    }
+    pred = {
+        "S1": [
+            "KIR2DL1*0030218",
+            "KIR2DP1*9990101",   # wrong on the novel-CDS gene
+            "KIR3DL2*0070101",
+        ]
+    }
+    # symbols ignored for matching: 3DL2 '$' truth still matches at 5
+    full = compareCohortIgnoreNovel(truth, pred, novel_res=-1)
+    assert full["total"] == 3 and full["match_gene"] == 3
+    assert full["match7"] == 1  # only 2DL1 matches at 7 digits
+    # novel_res=3 drops the '#' gene from the summary
+    filt = compareCohortIgnoreNovel(truth, pred, novel_res=3)
+    assert filt["total"] == 2 and filt["match_gene"] == 2
+    assert filt["match5"] == 2
