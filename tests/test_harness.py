@@ -87,3 +87,71 @@ def test_run_docker_local_engine_carries_env(tmp_path, monkeypatch):
     )
     assert seen["cmd"] == "run_me --flag"
     assert seen["env"] == {"RAW_FASTQ_DIR": "/data", "THREADS": "4"}
+
+
+def _fakeSlurmBin(tmp_path, sacct_state: str, make_output: bool = False):
+    """A fake sbatch/sacct pair on PATH: sbatch prints a job id (and
+    optionally creates the output file); sacct reports `sacct_state`."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir(exist_ok=True)
+    sbatch = bindir / "sbatch"
+    lines = ["#!/bin/sh"]
+    if make_output:
+        # real SLURM runs the script asynchronously; completing instantly
+        # models a fast successful job
+        lines.append('out=$(grep "^#SBATCH -o" "$1" | sed "s/.*-o //;s/.slurm.log//")')
+        lines.append('touch "$out"')
+    lines.append('echo "Submitted batch job 4242"')
+    sbatch.write_text("\n".join(lines) + "\n")
+    sbatch.chmod(0o755)
+    sacct = bindir / "sacct"
+    sacct.write_text(
+        "#!/bin/sh\n" f'echo "4242|{sacct_state}"\n'
+    )
+    sacct.chmod(0o755)
+    return str(bindir)
+
+
+def test_slurm_executor_fails_fast_on_dead_job(tmp_path, monkeypatch):
+    """A FAILED job with no output must raise immediately, not after the
+    24 h file-poll timeout (the reference only polls files)."""
+    import pytest
+
+    from kir_graph_tpu.parallel.tasks import SlurmTaskExecutor, Task
+
+    monkeypatch.setenv(
+        "PATH", _fakeSlurmBin(tmp_path, "FAILED") + ":" + os.environ["PATH"]
+    )
+    ex = SlurmTaskExecutor(poll_s=0.01, timeout_s=30.0)
+    t = Task(output=str(tmp_path / "a.out"), cmd=["true"])
+    with pytest.raises(RuntimeError, match="job 4242 FAILED"):
+        ex.run([t])
+
+
+def test_slurm_executor_cancelled_by_suffix(tmp_path, monkeypatch):
+    from kir_graph_tpu.parallel.tasks import SlurmTaskExecutor, Task
+    import pytest
+
+    monkeypatch.setenv(
+        "PATH",
+        _fakeSlurmBin(tmp_path, "CANCELLED by 1001") + ":" + os.environ["PATH"],
+    )
+    ex = SlurmTaskExecutor(poll_s=0.01, timeout_s=30.0)
+    t = Task(output=str(tmp_path / "b.out"), cmd=["true"])
+    with pytest.raises(RuntimeError, match="CANCELLED"):
+        ex.run([t])
+
+
+def test_slurm_executor_success_with_running_state(tmp_path, monkeypatch):
+    """RUNNING/COMPLETED states never trip the failure check; the output
+    file remains the completion signal."""
+    from kir_graph_tpu.parallel.tasks import SlurmTaskExecutor, Task
+
+    monkeypatch.setenv(
+        "PATH",
+        _fakeSlurmBin(tmp_path, "COMPLETED", make_output=True)
+        + ":" + os.environ["PATH"],
+    )
+    ex = SlurmTaskExecutor(poll_s=0.01, timeout_s=30.0)
+    t = Task(output=str(tmp_path / "c.out"), cmd=["true"])
+    assert ex.run([t]) == [t.output]
