@@ -101,14 +101,18 @@ def msaLeftAlign(msa_ori: Genemsa) -> Genemsa:
 
 
 def genemsaLeftAlign(input_prefix: str, output_prefix: str) -> None:
-    """Left-align `{input_prefix}.{gene}` MSAs, rebuild backbones, save."""
-    msas = readFromMSAs(input_prefix)
-    new_msas = {}
-    for gene, msa in msas.items():
-        logger.info(f"[MSA] Left align {gene}: {len(msa)} alleles")
-        refname = msa.get_reference()[0]
-        assert refname == f"{gene}*BACKBONE"
-        msa = msaLeftAlign(msa)
-        msa = msa.remove_allele([refname])
-        new_msas[gene] = msa
-    saveAllMsa(new_msas, output_prefix)
+    """Normalise every `{input_prefix}.{gene}` MSA to left-most gap
+    placement and save under `output_prefix`, dropping the old backbone
+    row so the save step rebuilds it (reference msa_leftalign.py:170-184).
+    """
+    out = {}
+    for gene, msa in readFromMSAs(input_prefix).items():
+        backbone = msa.get_reference()[0]
+        if backbone != f"{gene}*BACKBONE":
+            raise ValueError(
+                f"{gene}: reference row is {backbone!r}, "
+                f"expected {gene}*BACKBONE"
+            )
+        logger.info(f"[MSA] {gene}: left-aligning {len(msa)} alleles")
+        out[gene] = msaLeftAlign(msa).remove_allele([backbone])
+    saveAllMsa(out, output_prefix)

@@ -34,16 +34,15 @@ class Typing:
     def typing(
         self, gene_cn: dict[str, int], min_reads_num: int = 100
     ) -> tuple[list[str], list[str]]:
-        predict_alleles = []
-        warning_genes = []
-        for gene, cn in gene_cn.items():
-            if not cn:
-                continue
-            alleles, reads_num = self.typingPerGene(gene, cn)
-            predict_alleles.extend(alleles)
-            if reads_num < min_reads_num:
-                warning_genes.append(gene)
-        return predict_alleles, warning_genes
+        """-> (called alleles across genes, genes with thin coverage)."""
+        per_gene = {
+            gene: self.typingPerGene(gene, cn)
+            for gene, cn in gene_cn.items()
+            if cn > 0
+        }
+        called = [a for alleles, _ in per_gene.values() for a in alleles]
+        thin = [g for g, (_, n) in per_gene.items() if n < min_reads_num]
+        return called, thin
 
     def save(self, filename: str) -> None:
         with open(filename, "w") as f:
@@ -107,50 +106,40 @@ class TypingWithPosNegAllele(Typing):
             pure_gene = gene.split("*")[0]
             return [f"{pure_gene}*"] * cn, 0
 
-        if not self._exon_first and not self._exon_only:
-            if self._gene_evidence is not None:
-                typ: AlleleTyping = AlleleTyping.fromEvidence(
-                    self._gene_evidence[gene],
-                    self._gene_variants[gene],
-                    force_homo=force_homo,
-                    top_n=self._top_n,
-                    variant_correction=self._variant_correction,
-                )
-            else:
-                typ = AlleleTyping(
-                    self._gene_reads[gene],
-                    self._gene_variants[gene],
-                    force_homo=force_homo,
-                    top_n=self._top_n,
-                    variant_correction=self._variant_correction,
-                )
+        # one dispatch table instead of four constructor calls: the
+        # evidence path (array-native CSR, no PairRead objects) and the
+        # list path share kwargs per strategy
+        use_ev = self._gene_evidence is not None
+        src = (
+            self._gene_evidence[gene] if use_ev else self._gene_reads[gene]
+        )
+        if self._exon_first or self._exon_only:
+            build = (
+                AlleleTypingExonFirst.fromEvidence
+                if use_ev
+                else AlleleTypingExonFirst
+            )
+            extra = dict(
+                exon_only=self._exon_only,
+                candidate_set_threshold=self._exon_candidate_threshold,
+            )
         else:
-            if self._gene_evidence is not None:
-                # array-native exonfirst: exon masking/grouping straight
-                # on the gene's evidence CSR (no PairRead objects)
-                typ = AlleleTypingExonFirst.fromEvidence(
-                    self._gene_evidence[gene],
-                    self._gene_variants[gene],
-                    force_homo=force_homo,
-                    top_n=self._top_n,
-                    exon_only=self._exon_only,
-                    candidate_set_threshold=self._exon_candidate_threshold,
-                )
-            else:
-                typ = AlleleTypingExonFirst(
-                    self._gene_reads[gene],
-                    self._gene_variants[gene],
-                    force_homo=force_homo,
-                    top_n=self._top_n,
-                    exon_only=self._exon_only,
-                    candidate_set_threshold=self._exon_candidate_threshold,
-                )
+            build = AlleleTyping.fromEvidence if use_ev else AlleleTyping
+            extra = dict(variant_correction=self._variant_correction)
+        typ = build(
+            src,
+            self._gene_variants[gene],
+            force_homo=force_homo,
+            top_n=self._top_n,
+            **extra,
+        )
         res = typ.typing(cn)
         self._result[gene] = typ.result
-        alleles = res.selectBest()
-        pure_gene = gene.split("*")[0]
-        alleles = [a if a != "fail" else f"{pure_gene}*" for a in alleles]
-        return alleles, typ.getReadsNum()
+        pure_gene = gene.split("*")[0]  # KIR2DL1*BACKBONE -> KIR2DL1
+        called = [
+            a if a != "fail" else f"{pure_gene}*" for a in res.selectBest()
+        ]
+        return called, typ.getReadsNum()
 
     def getAllPossibleTyping(self) -> list[dict[Any, Any]]:
         possible = []
