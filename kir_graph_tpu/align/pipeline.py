@@ -123,7 +123,6 @@ class GraphAligner:
         index: KirIndex,
         params: AlignParams | None = None,
         stride: int = 8,
-        max_postings: int = 64,
         top_c: int = 4,
         min_votes: int = 2,
         max_pair_buckets: int = 70,   # max mate diagonal distance in buckets
@@ -141,7 +140,6 @@ class GraphAligner:
             use_pallas = pallasAvailable() and jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
         self.stride = stride
-        self.max_postings = max_postings
         self.top_c = top_c
         self.min_votes = min_votes
         self.max_pair_buckets = max_pair_buckets
@@ -193,7 +191,6 @@ class GraphAligner:
         win = self.arr.win
         use_pallas = self.use_pallas
         stride = self.stride
-        max_postings = self.max_postings
         min_votes = self.min_votes
         n_genes = table.n_genes
         pair_select = self._pair_select
@@ -204,8 +201,8 @@ class GraphAligner:
             )
             N = codes_fwd.shape[0] // 2
             cand_d, _ = _findCandidates(
-                codes_fwd, lens_dev, table.bkeys, table.padded, table.lut,
-                table.k, stride, max_postings, C, n_genes, md, min_votes,
+                codes_fwd, lens_dev, table.merged,
+                table.k, stride, C, n_genes, md, min_votes,
             )
             gene_d, orient_d, diag_d = decodeCandidates(cand_d, md)
             cost_d, end_d, lin_d = scoreDenseGrid(

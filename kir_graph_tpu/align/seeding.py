@@ -28,20 +28,29 @@ LUT_BITS = 18   # key-prefix LUT: top bits -> bucket range in the sorted keys
 
 @dataclass
 class SeedTable:
-    """Device-resident k-mer table + geometry constants."""
+    """Device-resident k-mer table + geometry constants.
 
-    bkeys: jax.Array      # [2^LUT_BITS, ceil(W/2)+1] uint32: each prefix
-    #                       bucket's keys as ONE row, two 16-bit key-low-
-    #                       halves per u32 (bucket members share the top
-    #                       LUT_BITS bits; last entry = bucket count) —
-    #                       key lookup is a single half-width row gather
-    #                       + in-register compare, no binary search
-    padded: jax.Array     # [U, Pmax+1] uint32 posting rows
-    #                       (gene<<POS_BITS|pos; last entry = list length),
-    #                       fixed-width so the posting lookup is one
-    #                       contiguous row gather
-    lut: jax.Array        # [2^LUT_BITS + 1] int32 prefix bucket starts
-    max_post: int         # Pmax == longest posting list (zero truncation)
+    ONE-GATHER layout: `merged[prefix]` is the whole prefix bucket —
+    per-posting 16-bit key tags (two per u32), the postings, and the
+    bucket's posting count — indexed DIRECTLY by a query k-mer's top
+    LUT_BITS hash bits.  A seed lookup is therefore a single contiguous
+    row gather + in-register tag compare.  The previous layout took
+    three gathers per (read, window): a bucket-key row, a per-element
+    LUT start, and a posting row; row gathers cost per ROW on TPU
+    (docs/ROOFLINE.md), so collapsing three into one is the seed
+    stage's formulation-level floor.
+    """
+
+    merged: jax.Array     # [2^LUT_BITS, Wt + Wc + 1] uint32 where
+    #                       Wc = widest bucket's posting total and
+    #                       Wt = ceil(Wc/2):
+    #                       [:Wt]        key low-16 tags, 2 per u32,
+    #                                    one per POSTING slot
+    #                       [Wt:Wt+Wc]   postings
+    #                                    gene<<(POS_BITS+1)|flip<<POS_BITS|pos
+    #                       [Wt+Wc]      bucket posting count
+    bucket_width: int     # Wc
+    max_post: int         # per-key posting cap applied at build
     k: int
     n_genes: int
     max_diag: int
@@ -57,10 +66,9 @@ class SeedTable:
             | index.kmer_pos.astype(np.uint32)
         )
 
-        # reorder each key's posting list round-robin over genes, so a
-        # query-time posting cap drops same-gene repeats before it ever
-        # drops a gene's only placement (gathers cost per slot whether
-        # masked or not, so the cap is a real lever)
+        # reorder each key's posting list round-robin over genes, so the
+        # per-key cap below drops same-gene repeats before it ever drops
+        # a gene's only placement
         lens = np.diff(index.kmer_start)
         if len(lens) and int(lens.max()) > 1:
             seg = np.repeat(
@@ -81,57 +89,54 @@ class SeedTable:
                 (seg << 28) | (occ << 14) | gene, kind="stable"
             )
             packed = packed[perm]
-        # key hashes are uniform, so top-LUT_BITS prefixes split the sorted
-        # table into tiny buckets; store each bucket's keys as one row so
-        # a query is a single row gather + in-register compare (the 18-step
-        # binary search was ~7 per-element gathers per k-mer)
-        prefixes = index.kmer_keys >> np.uint32(32 - LUT_BITS)
-        lut = np.searchsorted(
-            prefixes, np.arange((1 << LUT_BITS) + 1, dtype=np.uint32)
-        ).astype(np.int32)
-        widest = int((lut[1:] - lut[:-1]).max()) if len(index.kmer_keys) else 1
-        U = len(index.kmer_keys)
-        W = max(widest, 1)
-        # keys within a bucket share the top LUT_BITS bits (the bucket
-        # index), so their low 32-LUT_BITS bits are fully distinguishing
-        # — store only the low 16 (LUT_BITS >= 16), TWO keys per u32.
-        # Halves the bucket-row gather, the hottest per-element gather in
-        # the seed stage.
-        assert LUT_BITS >= 16
-        Wp = -(-W // 2)
-        bkeys = np.zeros(((1 << LUT_BITS), Wp + 1), dtype=np.uint32)
-        if U:
-            slots = np.arange(U, dtype=np.int64) - lut[prefixes]
-            low16 = (index.kmer_keys & np.uint32(0xFFFF)).astype(np.uint32)
-            np.bitwise_or.at(
-                bkeys,
-                (prefixes.astype(np.int64), slots >> 1),
-                low16 << ((slots & 1) * 16).astype(np.uint32),
-            )
-        bkeys[:, Wp] = (lut[1:] - lut[:-1]).astype(np.uint32)
 
-        # pad every posting list to one fixed-width row (32-entry ceiling:
-        # the round-robin gene order above means anything truncated beyond
-        # ~2x the gene count is a same-gene repeat, not a lost gene); the
-        # row's last entry carries the true list length
+        # per-key cap (32-entry ceiling: beyond ~2x the gene count the
+        # round-robin order means truncation drops same-gene repeats,
+        # not a gene's only placement)
+        U = len(index.kmer_keys)
         Pmax = int(min(max(int(lens.max()) if len(lens) else 1, 1), 32))
-        start = index.kmer_start.astype(np.int64)
-        col = np.arange(Pmax)
-        rows_idx = np.minimum(start[:-1, None] + col, max(len(packed) - 1, 0))
-        padded_rows = packed[rows_idx] if len(packed) else np.zeros(
-            (U, Pmax), np.uint32
+        assert LUT_BITS >= 16  # low-16 tags must distinguish in-bucket
+        B = 1 << LUT_BITS
+        prefixes = (index.kmer_keys >> np.uint32(32 - LUT_BITS)).astype(
+            np.int64
         )
-        padded_rows = np.where(col < lens[:, None], padded_rows, 0).astype(
-            np.uint32
-        )
-        padded_rows = np.concatenate(
-            [padded_rows, np.minimum(lens, Pmax).astype(np.uint32)[:, None]],
-            axis=1,
-        )
+        lens_c = np.minimum(lens, Pmax).astype(np.int64)
+        tot = np.zeros(B, np.int64)
+        if U:
+            np.add.at(tot, prefixes, lens_c)
+        Wc = max(int(tot.max()) if U else 1, 1)
+        Wt = -(-Wc // 2)
+        merged = np.zeros((B, Wt + Wc + 1), np.uint32)
+        if U:
+            # flat (key, occurrence) entries of every capped posting list
+            key_idx = np.repeat(np.arange(U, dtype=np.int64), lens_c)
+            ends = np.cumsum(lens_c)
+            occ = np.arange(len(key_idx), dtype=np.int64) - np.repeat(
+                ends - lens_c, lens_c
+            )
+            post_vals = packed[index.kmer_start[:-1].astype(np.int64)[key_idx] + occ]
+            # slot order within a bucket: KEY-major, so one query's
+            # matching postings occupy a CONTIGUOUS run (kept for layout
+            # clarity; a barrel-shift compaction exploiting it measured
+            # slower than sorting the full bucket width — BENCH_NOTES r4)
+            order = np.lexsort((occ, key_idx, prefixes[key_idx]))
+            bucket = prefixes[key_idx][order]
+            slot = np.arange(len(order), dtype=np.int64) - np.r_[
+                0, np.cumsum(tot)
+            ][bucket]
+            tag = (index.kmer_keys[key_idx][order] & np.uint32(0xFFFF)).astype(
+                np.uint32
+            )
+            np.bitwise_or.at(
+                merged,
+                (bucket, slot >> 1),
+                tag << ((slot & 1) * 16).astype(np.uint32),
+            )
+            merged[bucket, Wt + slot] = post_vals[order]
+        merged[:, Wt + Wc] = tot.astype(np.uint32)
         return cls(
-            bkeys=jnp.asarray(bkeys),
-            padded=jnp.asarray(padded_rows),
-            lut=jnp.asarray(lut),
+            merged=jnp.asarray(merged),
+            bucket_width=Wc,
             max_post=Pmax,
             k=index.kmer,
             n_genes=int(index.backbone.shape[0]),  # incl. pseudo-refs
@@ -184,19 +189,15 @@ def _packKmers(codes: jax.Array, k: int, stride: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "stride", "max_postings", "top_c", "n_genes", "max_diag",
-        "min_votes",
+        "k", "stride", "top_c", "n_genes", "max_diag", "min_votes",
     ),
 )
 def _findCandidates(
     codes: jax.Array,
     lens: jax.Array,
-    table_bkeys: jax.Array,
-    table_padded: jax.Array,
-    table_lut: jax.Array,
+    table_merged: jax.Array,
     k: int,
     stride: int,
-    max_postings: int,
     top_c: int,
     n_genes: int,
     max_diag: int,
@@ -208,43 +209,38 @@ def _findCandidates(
     orientation is query_flip ^ posting_flip, folded into the key:
     cand_key = (gene*2 + orient)*max_diag + diag_bucket (-1 = none),
     orient 1 = the read aligns reverse-complemented.  This halves the
-    seeded (and downstream scored) stream count vs seeding fwd+rc."""
+    seeded (and downstream scored) stream count vs seeding fwd+rc.
+
+    The whole table lookup is ONE row gather: `merged[key >> (32-LUT)]`
+    carries the bucket's per-posting key tags, postings and count; a
+    posting belongs to the queried k-mer iff its tag equals the key's
+    low 16 bits (bucket members share the top LUT_BITS bits, so low-16
+    is fully distinguishing).  Row gathers cost per row on this
+    hardware (docs/ROOFLINE.md), so one wider row beats the previous
+    bucket-keys row + LUT element + posting row triple.
+    """
     keys, offsets, valid, qflip = _packKmers(codes, k, stride)  # [R, S]
     R, S = keys.shape
 
-    # bucketed key rows: the whole lookup is one row gather + in-register
-    # compare (slots >= the bucket's count are masked, so junk fill can
-    # never shadow a real key), plus one per-element lut gather for the
-    # bucket's global start.  Rows carry two 16-bit key-low-halves per
-    # u32 (bucket members share the top LUT_BITS bits, so the low 16 are
-    # fully distinguishing) — half the gathered elements.
-    U = table_padded.shape[0]
-    Wp = table_bkeys.shape[1] - 1
+    Wrow = table_merged.shape[1]
+    Wc = (2 * (Wrow - 1)) // 3          # Wrow = ceil(Wc/2) + Wc + 1
+    Wt = Wrow - 1 - Wc
     pre = (keys >> jnp.uint32(32 - LUT_BITS)).astype(jnp.int32)
-    brow = jnp.take(table_bkeys, pre, axis=0)                  # [R, S, Wp+1]
-    cnt = brow[:, :, Wp].astype(jnp.int32)
-    pairs = brow[:, :, :Wp]
-    halves = jnp.stack(
-        [pairs & jnp.uint32(0xFFFF), pairs >> jnp.uint32(16)], axis=-1
-    ).reshape(*pairs.shape[:-1], 2 * Wp)                       # slot order
+    row = jnp.take(table_merged, pre, axis=0)                  # [R, S, Wrow]
+    tag_pairs = row[:, :, :Wt]
+    tags = jnp.stack(
+        [tag_pairs & jnp.uint32(0xFFFF), tag_pairs >> jnp.uint32(16)],
+        axis=-1,
+    ).reshape(R, S, 2 * Wt)[:, :, :Wc]                          # slot order
+    packed = row[:, :, Wt:Wt + Wc]
+    cnt = row[:, :, Wrow - 1].astype(jnp.int32)
     key16 = (keys & jnp.uint32(0xFFFF))[:, :, None]
-    m = (halves == key16) & (
-        jnp.arange(2 * Wp)[None, None, :] < cnt[:, :, None]
+    slot = jnp.arange(Wc)
+    p_ok = (
+        valid[:, :, None]
+        & (tags == key16)
+        & (slot[None, None, :] < cnt[:, :, None])
     )
-    hit = valid & m.any(axis=-1)
-    off = jnp.argmax(m, axis=-1).astype(jnp.int32)
-    idx = jnp.clip(table_lut[pre] + off, 0, max(U - 1, 0))
-
-    # fixed-width posting rows (last entry = true length): one contiguous
-    # row gather, then slice the (static) cap — no per-element gather
-    # anywhere in the posting lookup
-    Pmax = table_padded.shape[1] - 1
-    P = min(max_postings, Pmax)
-    rows = jnp.take(table_padded, idx, axis=0)                 # [R, S, Pmax+1]
-    packed = rows[:, :, :P]
-    p_len = rows[:, :, Pmax].astype(jnp.int32)
-    slot = jnp.arange(P)
-    p_ok = hit[:, :, None] & (slot[None, None, :] < p_len[:, :, None])
     gene = (packed >> (POS_BITS + 1)).astype(jnp.int32)
     pflip = ((packed >> POS_BITS) & 1).astype(jnp.int32)
     pos = (packed & ((1 << POS_BITS) - 1)).astype(jnp.int32)
@@ -259,7 +255,10 @@ def _findCandidates(
     )
     vote = (gene * 2 + orient) * max_diag + diag // DIAG_BUCKET
     SENTINEL = n_genes * 2 * max_diag + 1
-    vote = jnp.where(p_ok, vote, SENTINEL).reshape(R, S * P)
+    vote = jnp.where(p_ok, vote, SENTINEL).reshape(R, S * Wc)
+    # (a barrel-shift compaction of each query's contiguous match run
+    # down to max_post slots before the sort was measured SLOWER on TPU
+    # than sorting the full S*Wc width — docs/BENCH_NOTES.md round 4)
 
     # run-length count per distinct key without searchsorted: sort, mark
     # run starts, and take (next run-start index - own index) via a
@@ -312,25 +311,22 @@ def findCandidates(
     codes: np.ndarray,
     lens: np.ndarray | None = None,
     stride: int = 8,
-    max_postings: int = 64,
     top_c: int = 4,
     min_votes: int = 2,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Candidate (gene, orient, diag-bucket) keys per FORWARD-strand read.
     key // (2*max_diag) = gene, (key // max_diag) % 2 = orientation
     (1 = read aligns reverse-complemented), (key % max_diag) * DIAG_BUCKET
-    = window diagonal estimate."""
+    = window diagonal estimate.  (Posting caps are baked into the table
+    at build time — SeedTable.fromIndex's per-key 32-entry ceiling.)"""
     if lens is None:
         lens = np.full(len(codes), codes.shape[1], np.int32)
     cand, votes = _findCandidates(
         jnp.asarray(codes),
         jnp.asarray(lens.astype(np.int32)),
-        table.bkeys,
-        table.padded,
-        table.lut,
+        table.merged,
         table.k,
         stride,
-        max_postings,
         top_c,
         table.n_genes,
         table.max_diag,

@@ -183,16 +183,13 @@ def revCompDevice(
 
 
 def _candidatesFor(arr: DeviceIndexArrays, codes, lens, top_c, stride,
-                   max_postings, min_votes):
+                   min_votes):
     return _findCandidates(
         codes,
         lens,
-        arr.table.bkeys,
-        arr.table.padded,
-        arr.table.lut,
+        arr.table.merged,
         arr.table.k,
         stride,
-        max_postings,
         top_c,
         arr.table.n_genes,
         arr.table.max_diag,
@@ -268,7 +265,6 @@ def cohortStep(
     rc2: jax.Array,
     top_c: int = 2,
     stride: int = 8,
-    max_postings: int = 32,
     min_votes: int = 2,
     cn_bins: int = 128,
     axis_name: str | None = "data",
@@ -288,7 +284,7 @@ def cohortStep(
     codes_fwd = jnp.concatenate([codes1, codes2], axis=0)      # [2R, RL]
     lens_fwd = jnp.concatenate([len1, len2]).astype(jnp.int32)
     cand, _ = _candidatesFor(
-        arr, codes_fwd, lens_fwd, top_c, stride, max_postings, min_votes
+        arr, codes_fwd, lens_fwd, top_c, stride, min_votes
     )
     gene, orient, diag = decodeCandidates(cand, md)
 
@@ -321,19 +317,13 @@ class SplitCohortStep:
         self.top_c = top_c
         md = arr.table.max_diag
 
-        # gathers cost per slot whether masked or not, so cap the posting
-        # gather at the longest real list (paralog-shared k-mers routinely
-        # post to ~all gene copies — truncating below that loses true
-        # placements; the round-robin-by-gene posting order makes any
-        # residual truncation drop same-gene repeats first).  32 matches
-        # cohortStep's max_postings default.
-        max_post = min(32, arr.table.max_post)
-
+        # posting caps are baked into the merged table at build time
+        # (SeedTable.fromIndex's per-key 32-entry ceiling)
         @jax.jit
         def seed(codes1, codes2, len1, len2):
             codes = jnp.concatenate([codes1, codes2], axis=0)   # [2R, RL]
             lens = jnp.concatenate([len1, len2]).astype(jnp.int32)
-            cand, _ = _candidatesFor(arr, codes, lens, top_c, 8, max_post, 2)
+            cand, _ = _candidatesFor(arr, codes, lens, top_c, 8, 2)
             gene, orient, diag = decodeCandidates(cand, md)
             return gene, orient, diag
 

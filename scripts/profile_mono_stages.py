@@ -59,18 +59,16 @@ def main():
     def stageSeed(b):
         codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
         cand, votes = _findCandidates(
-            codes_fwd, lens_dev, table.bkeys, table.padded, table.lut,
-            table.k, a.stride, a.max_postings, C, table.n_genes, md,
-            a.min_votes,
+            codes_fwd, lens_dev, table.merged,
+            table.k, a.stride, C, table.n_genes, md, a.min_votes,
         )
         return cand, votes
 
     def stageScore(b):
         codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
         cand, _ = _findCandidates(
-            codes_fwd, lens_dev, table.bkeys, table.padded, table.lut,
-            table.k, a.stride, a.max_postings, C, table.n_genes, md,
-            a.min_votes,
+            codes_fwd, lens_dev, table.merged,
+            table.k, a.stride, C, table.n_genes, md, a.min_votes,
         )
         gene, orient, diag = decodeCandidates(cand, md)
         return scoreDenseGrid(
@@ -88,29 +86,25 @@ def main():
         codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
         keys, offsets, valid, qflip = _packKmers(codes_fwd, table.k, a.stride)
         R, S = keys.shape
-        Wp = table.bkeys.shape[1] - 1
+        Wrow = table.merged.shape[1]
+        Wc = (2 * (Wrow - 1)) // 3
+        Wt = Wrow - 1 - Wc
         pre = (keys >> jnp.uint32(32 - LUT_BITS)).astype(jnp.int32)
-        brow = jnp.take(table.bkeys, pre, axis=0)
-        cnt = brow[:, :, Wp].astype(jnp.int32)
-        pairs = brow[:, :, :Wp]
-        halves = jnp.stack(
-            [pairs & jnp.uint32(0xFFFF), pairs >> jnp.uint32(16)], axis=-1
-        ).reshape(R, S, 2 * Wp)
+        row = jnp.take(table.merged, pre, axis=0)
+        tag_pairs = row[:, :, :Wt]
+        tags = jnp.stack(
+            [tag_pairs & jnp.uint32(0xFFFF), tag_pairs >> jnp.uint32(16)],
+            axis=-1,
+        ).reshape(R, S, 2 * Wt)[:, :, :Wc]
+        packed_p = row[:, :, Wt:Wt + Wc]
+        cnt = row[:, :, Wrow - 1].astype(jnp.int32)
         key16 = (keys & jnp.uint32(0xFFFF))[:, :, None]
-        mm = (halves == key16) & (
-            jnp.arange(2 * Wp)[None, None, :] < cnt[:, :, None]
+        slot = jnp.arange(Wc)
+        p_ok = (
+            valid[:, :, None]
+            & (tags == key16)
+            & (slot[None, None, :] < cnt[:, :, None])
         )
-        hit = valid & mm.any(axis=-1)
-        off = jnp.argmax(mm, axis=-1).astype(jnp.int32)
-        U = table.padded.shape[0]
-        idx = jnp.clip(table.lut[pre] + off, 0, max(U - 1, 0))
-        Pmax = table.padded.shape[1] - 1
-        P = min(a.max_postings, Pmax)
-        rows_p = jnp.take(table.padded, idx, axis=0)
-        packed_p = rows_p[:, :, :P]
-        p_len = rows_p[:, :, Pmax].astype(jnp.int32)
-        slot = jnp.arange(P)
-        p_ok = hit[:, :, None] & (slot[None, None, :] < p_len[:, :, None])
         gene = (packed_p >> (POS_BITS + 1)).astype(jnp.int32)
         pflip = ((packed_p >> POS_BITS) & 1).astype(jnp.int32)
         pos = (packed_p & ((1 << POS_BITS) - 1)).astype(jnp.int32)
@@ -122,14 +116,13 @@ def main():
         )
         vote = (gene * 2 + orient) * md + diag // DIAG_BUCKET
         SENT = table.n_genes * 2 * md + 1
-        return jnp.where(p_ok, vote, SENT).reshape(R, S * P)
+        return jnp.where(p_ok, vote, SENT).reshape(R, S * Wc)
 
     def stageScoreXla(b):
         codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
         cand, _ = _findCandidates(
-            codes_fwd, lens_dev, table.bkeys, table.padded, table.lut,
-            table.k, a.stride, a.max_postings, C, table.n_genes, md,
-            a.min_votes,
+            codes_fwd, lens_dev, table.merged,
+            table.k, a.stride, C, table.n_genes, md, a.min_votes,
         )
         gene, orient, diag = decodeCandidates(cand, md)
         return scoreDenseGrid(
