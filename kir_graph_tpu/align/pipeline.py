@@ -172,6 +172,7 @@ class GraphAligner:
         self._row_len = row_len
         self._pair_select = self._buildPairSelect()
         self._device_mono = self._buildDeviceMonolith()
+        self._device_mono_tb = self._buildDeviceMonoTb()
 
     def _buildDeviceMonolith(self):
         """ONE jitted dispatch for the whole pre-traceback device phase:
@@ -182,7 +183,7 @@ class GraphAligner:
         packed [9, N] winner array."""
         from functools import partial
 
-        from ..parallel.cohort import _selRows, decodeCandidates, scoreDenseGrid
+        from ..parallel.cohort import decodeCandidates, scoreDenseGrid
         from .seeding import _findCandidates
 
         table, p = self.table, self.p
@@ -207,7 +208,7 @@ class GraphAligner:
             gene_d, orient_d, diag_d = decodeCandidates(cand_d, md)
             cost_d, end_d, lin_d = scoreDenseGrid(
                 win, md, p, codes_dev, lens_dev, gene_d, diag_d,
-                sel=_selRows(orient_d, N), use_pallas=use_pallas,
+                orient=orient_d, use_pallas=use_pallas,
             )
             return pair_select(
                 cost_d, gene_d, orient_d, diag_d, end_d, lin_d, lens_dev
@@ -217,6 +218,83 @@ class GraphAligner:
         # wraps it in shard_map over a device mesh)
         self._mono_fn = mono
         return partial(jax.jit, static_argnums=(1, 2))(mono)
+
+    def _buildDeviceMonoTb(self):
+        """Monolith + fused hard-job traceback: ONE dispatch computes the
+        winners AND the pointer-DP delta streams for the gapped minority,
+        so the host neither re-uploads the hard reads' codes nor pays a
+        second dispatch round-trip per chunk — the traceback executes on
+        device inside the same program, overlapping the caller's
+        host_work window (docs/BENCH_NOTES.md round 4).
+
+        Returns (w [9, N] i16 — as _device_mono, pkx i8) where pkx packs
+        BOTH the hard-job metadata and the traceback rows into one array
+        so the whole thing crosses the link in ONE transfer (each
+        device->host fetch on a tunneled TPU costs a round-trip):
+        rows [0, mrows) = int32 meta bitcast to bytes — HB compacted
+        hard job rows (mate*N + pair, ascending: exactly
+        np.nonzero(~easy)'s order over the host's mate-concatenated job
+        arrays) followed by the true hard count; rows [mrows, mrows+HB)
+        = bandedTracebackPacked rows, valid for the first count rows iff
+        count <= HB (on overflow the host falls back to the dispatch
+        path).  HB = max(512, pairs/16): the gapped share is ~2.5% of
+        mate jobs on 30x Illumina (profile_device_annotate.py), 6.25%
+        of pairs leaves headroom without bloating the download."""
+        from functools import partial
+
+        from .dp import bandedTracebackPacked
+
+        mono = self._mono_fn
+        p = self.p
+        backbone, altdel = self._backbone, self._altdel
+
+        def monoTb(buf, RL, uniform_len=None):
+            w = mono(buf, RL, uniform_len)
+            N = buf.shape[0] // 2
+            HB = max(512, N // 16)
+            codes_all, _, lens_all = _prepStreams(
+                buf, RL, uniform_len=uniform_len
+            )
+            # decode the packed winner rows (mirrors the host decode in
+            # alignPairs) — g/d rows 0-3, byte-packed flags rows 5-8
+            g = w[0:2].astype(jnp.int32)                       # [2, N]
+            w0 = w[2:4].astype(jnp.int32) * DIAG_BUCKET - DIAG_BUCKET
+            by = w[5:9].astype(jnp.int32) & 0xFFFF
+            isrc = jnp.stack([by[0] & 0xFF, by[0] >> 8])       # [2, N]
+            mapped = (by[2] >> 8) > 0
+            easy = jnp.stack([by[3] & 0xFF, by[3] >> 8])
+            hard = mapped[None, :] & (easy == 0)               # [2, N]
+
+            # compact hard jobs to <= HB slots (mate-major order)
+            flat = hard.reshape(-1)                            # [2N]
+            slot = jnp.cumsum(flat) - 1
+            tgt = jnp.where(flat & (slot < HB), slot, 1 << 30)
+            jobrow = jnp.zeros(HB, jnp.int32).at[tgt].set(
+                jnp.arange(2 * N, dtype=jnp.int32), mode="drop"
+            )
+            count = flat.sum().astype(jnp.int32)
+            valid = jnp.arange(HB) < count
+            mate = jobrow // N
+            i = jobrow - mate * N
+            hg = jnp.where(valid, jnp.clip(g.reshape(-1)[jobrow], 0), 0)
+            hw0 = jnp.where(valid, w0.reshape(-1)[jobrow], 0)
+            ho = isrc.reshape(-1)[jobrow]
+            hcodes = codes_all[(2 * mate + ho) * N + i]
+            hlens = jnp.where(valid, lens_all[mate * N + i], 1)
+            pk = bandedTracebackPacked(
+                backbone, altdel, hg, hw0, hcodes, hlens, p, PAD_L
+            )
+            meta = jnp.concatenate([jobrow, count[None]])
+            mb = 4 * (HB + 1)
+            mrows = -(-mb // (RL + 2))
+            meta_rows = jnp.pad(
+                jax.lax.bitcast_convert_type(meta, jnp.int8).reshape(-1),
+                (0, mrows * (RL + 2) - mb),
+            ).reshape(mrows, RL + 2)
+            return w, jnp.concatenate([meta_rows, pk], axis=0)
+
+        self._mono_tb_fn = monoTb
+        return partial(jax.jit, static_argnums=(1, 2))(monoTb)
 
     def _buildPairSelect(self):
         """Jitted concordant pairing + winner selection over the dense
@@ -387,6 +465,7 @@ class GraphAligner:
     def _tracebackJobs(
         self, gene, w0, codes, lens, easy, end_off,
         dest_row, dest_which, dst0, dst1, chunk: int = 32768,
+        device_hard=None,
     ):
         """Traceback columns for winner jobs, scattered into the
         per-mate column buffers.
@@ -463,6 +542,14 @@ class GraphAligner:
         if len(eidx):
             finalize(eidx, None, None, all_easy=True)
         hard = np.nonzero(~easy)[0]
+        if device_hard is not None:
+            # the fused monolith already ran the pointer DP for these
+            # jobs (same mate-major order as `hard` — _buildDeviceMonoTb)
+            start_col, delta = device_hard
+            assert len(start_col) == len(hard), (len(start_col), len(hard))
+            if len(hard):
+                finalize(hard, start_col, delta, all_easy=False)
+            return
         for s in range(0, len(hard), chunk):
             hi = hard[s : s + chunk]
             n = len(hi)
@@ -498,8 +585,10 @@ class GraphAligner:
     # halves the per-chunk fixed costs (dispatch RTT, winner download,
     # annotate split) — measured +35% end-to-end on 2-chunk batches vs
     # 32k; the 2x bucket ladder below keeps ~31k-pair samples at a 32k
-    # shape instead of padding into this
-    CHUNK_PAIRS = 65536
+    # shape instead of padding into this.  Env-tunable for per-link
+    # tuning (the fixed-cost/compute balance is a property of the
+    # tunnel, not the algorithm).
+    CHUNK_PAIRS = int(os.environ.get("KGT_CHUNK_PAIRS", "65536"))
 
     def alignPairs(
         self,
@@ -604,18 +693,34 @@ class GraphAligner:
         # --- device: upload decode + seed + score + concordant pairing +
         # winner selection + ungapped-shortcut decision, fused into ONE
         # dispatch; download ONE packed array (one round-trip each way)
-        w_d = self._device_mono(
+        w_d, pkx_d = self._device_mono_tb(
             jnp.asarray(buf), RL, _uniformLen(l1c, l2c)
         )
         if host_work is not None:
-            # everything device-side for this batch is dispatched; run
-            # the caller's host work (e.g. annotation of the previous
-            # chunk) while the kernels execute.  No scratch buffer has
-            # been written yet, so previous AlignResult views stay valid
-            # until this returns.
+            # everything device-side for this batch is dispatched —
+            # including the hard-job traceback, fused into the same
+            # program; run the caller's host work (e.g. annotation of
+            # the previous chunk) while the kernels execute.  No scratch
+            # buffer has been written yet, so previous AlignResult views
+            # stay valid until this returns.
             host_work()
         with _seg("download_winners"):
             w = np.asarray(w_d)  # [9, N] int16
+        device_hard = None
+        with _seg("download_tb"):
+            pkx = np.asarray(pkx_d)  # ONE transfer: meta rows + pk rows
+            HB = max(512, (buf.shape[0] // 2) // 16)  # mirrors monoTb
+            mrows = -(-(4 * (HB + 1)) // (RL + 2))
+            assert mrows + HB == pkx.shape[0], (mrows, HB, pkx.shape)
+            meta = np.frombuffer(
+                pkx[:mrows].tobytes()[: 4 * (HB + 1)], np.int32
+            )
+            n_hard = int(meta[-1])
+            if n_hard <= HB:
+                device_hard = unpackTraceback(
+                    np.ascontiguousarray(pkx[mrows:mrows + n_hard])
+                )
+            # else: overflow — _tracebackJobs re-dispatches the old path
         g1, g2, d1, d2 = w[0:4].astype(np.int32)
         best = w[4].view(np.float16)
         by = w[5:9].astype(np.int32)  # byte-packed lo|hi<<8, all in [0,127]
@@ -671,6 +776,7 @@ class GraphAligner:
                 ),
                 dst0=cols_l,
                 dst1=cols_r,
+                device_hard=device_hard,
             )
 
         return AlignResult(

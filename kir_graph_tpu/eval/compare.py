@@ -240,3 +240,72 @@ def calcSummaryByResolution(results: Iterable[MatchResult]) -> dict[str, int]:
         if r.match_type == MatchType.MATCH7:
             summary["match7"] += 1
     return summary
+
+
+def calcSummaryByGene(
+    results: Iterable[MatchResult],
+) -> dict[str, dict[str, int]]:
+    """Per-gene resolution summary (reference kg_eval.py:167-229 groups
+    the cohort comparison by gene for its per-gene accuracy plot)."""
+    by_gene: dict[str, list[MatchResult]] = {}
+    for r in results:
+        gene = getGeneName(r.answer_allele or r.predit_allele)
+        by_gene.setdefault(gene, []).append(r)
+    return {
+        gene: calcSummaryByResolution(rs)
+        for gene, rs in sorted(by_gene.items())
+    }
+
+
+def saveCompareReport(results: CohortMatchResult, prefix: str) -> None:
+    """Human-debugging surface for a cohort regression (reference
+    kg_eval.py:167-229): per-call CSV, per-gene CSV, and a dependency-free
+    per-gene accuracy chart.
+
+    Writes `{prefix}.sample.csv`, `{prefix}.gene.csv`, `{prefix}.gene.html`.
+    """
+    rows = [
+        {
+            "id": sid,
+            "match": r.match_type.name,
+            "answer": r.answer_allele_full,
+            "predict": r.predit_allele_full,
+            "base_diff": r.base_diff,
+        }
+        for sid, rs in sorted(results.items())
+        for r in sorted(rs)
+    ]
+    pd.DataFrame(rows).to_csv(f"{prefix}.sample.csv", index=False)
+
+    by_gene = calcSummaryByGene(r for rs in results.values() for r in rs)
+    gene_rows = []
+    for gene, s in by_gene.items():
+        n = s["total"]
+        gene_rows.append(
+            {
+                "gene": gene,
+                **s,
+                "acc_gene": s["match_gene"] / n if n else 0.0,
+                "acc_7digit": s["match7"] / n if n else 0.0,
+            }
+        )
+    pd.DataFrame(gene_rows).to_csv(f"{prefix}.gene.csv", index=False)
+
+    from ..plot import barFigure, savePlot
+
+    genes = [g["gene"] for g in gene_rows]
+    figs = [
+        barFigure(
+            "per-gene accuracy (gene-level)",
+            genes, [g["acc_gene"] for g in gene_rows], y_range=(0.0, 1.0),
+        ),
+        barFigure(
+            "per-gene accuracy (7-digit)",
+            genes, [g["acc_7digit"] for g in gene_rows], y_range=(0.0, 1.0),
+        ),
+        barFigure(
+            "per-gene call errors (FN + FP)",
+            genes, [float(g["FN"] + g["FP"]) for g in gene_rows],
+        ),
+    ]
+    savePlot(f"{prefix}.gene.html", figs)

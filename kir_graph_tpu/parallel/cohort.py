@@ -207,7 +207,7 @@ def decodeCandidates(cand, md: int):
 
 
 def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
-                   sel=None, use_pallas: bool = False,
+                   sel=None, orient=None, use_pallas: bool = False,
                    want_lin: bool = True):
     """DP-score a dense [R, C] candidate grid -> (cost [R, C], end [R, C],
     lin [R, C]), lin being the pure-diagonal cost at each candidate's
@@ -218,14 +218,34 @@ def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
     (the latter run at ~100M elem/s on TPU — 10x slower than the DP kernel
     itself at bench shapes).
 
-    `sel` [R, C] (optional) selects each candidate's oriented read row
-    from the `codes` pool (canonical seeding: per-candidate orientation);
-    without it row r of `codes` serves all of row r's candidates.
+    Candidate read rows, one of:
+    * `orient` [R, C] (the canonical-seeding fast path): `codes` is the
+      4-stream pool [m1f, m1rc, m2f, m2rc] and each candidate's row is
+      fully determined by its grid position plus this orientation bit —
+      so the rows are built from static slices + repeat + an elementwise
+      select, NO row gather.  Row gathers on this hardware cost per ROW
+      (docs/ROOFLINE.md), and this path replaces the score stage's
+      [R*C]-row codes gather with pure bandwidth.
+    * `sel` [R, C]: generic row selector into the `codes` pool (gather).
+    * neither: row r of `codes` serves all of row r's candidates.
     """
     R, C = gene.shape
     rows = jnp.where(gene >= 0, gene * md + diag, 0).reshape(-1)
     wbytes = jnp.take(win, rows, axis=0)
-    if sel is None:
+    if orient is not None:
+        # grid rows are [mate1 pairs | mate2 pairs]; pool rows are
+        # (2*mate + orient)*Rp + r_local — slice the pool into its fwd
+        # and rc halves in grid-row order, fan each out C-wide (static
+        # reshape/broadcast), and pick per candidate by orientation
+        Rp = codes.shape[0] // 4
+        fwd = jnp.concatenate([codes[:Rp], codes[2 * Rp:3 * Rp]], axis=0)
+        rc = jnp.concatenate([codes[Rp:2 * Rp], codes[3 * Rp:]], axis=0)
+        rcodes = jnp.where(
+            (orient.reshape(-1) == 1)[:, None],
+            jnp.repeat(rc, C, axis=0),
+            jnp.repeat(fwd, C, axis=0),
+        )
+    elif sel is None:
         rcodes = jnp.repeat(codes, C, axis=0)
     else:
         rcodes = jnp.take(codes, sel.reshape(-1), axis=0)
@@ -291,10 +311,9 @@ def cohortStep(
     # --- ONE dense scoring pass over [2R, C]; each candidate reads its
     # oriented codes row from the 4-stream pool
     codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
-    sel = _selRows(orient, R)
     cost, end, _ = scoreDenseGrid(
         arr.win, md, arr.params, codes_all, lens_fwd, gene, diag,
-        sel=sel, use_pallas=use_pallas, want_lin=False,
+        orient=orient, use_pallas=use_pallas, want_lin=False,
     )
 
     return _pairAndReduce(
@@ -331,10 +350,9 @@ class SplitCohortStep:
         def score(codes1, rc1, codes2, rc2, len1, len2, gene, orient, diag):
             codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
             lens = jnp.concatenate([len1, len2]).astype(jnp.int32)
-            R = codes1.shape[0]
             cost, end, _ = scoreDenseGrid(
                 arr.win, md, arr.params, codes_all, lens, gene,
-                diag, sel=_selRows(orient, R), use_pallas=use_pallas,
+                diag, orient=orient, use_pallas=use_pallas,
                 want_lin=False,
             )
             return cost, end

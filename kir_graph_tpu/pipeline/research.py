@@ -131,6 +131,11 @@ def main(args: argparse.Namespace) -> dict:
 
     results = compareCohort(answer, predict)
     summary = calcSummaryByResolution(r for rs in results.values() for r in rs)
+    # human-debugging surface: per-call CSV, per-gene CSV + chart
+    # (reference kg_eval.py:167-229)
+    from ..eval.compare import saveCompareReport
+
+    saveCompareReport(results, str(out / "compare"))
 
     cn_answer = {sid: allele2CN(alleles) for sid, alleles in answer.items()}
     cn_predict = {sid: allele2CN(alleles) for sid, alleles in predict.items()}

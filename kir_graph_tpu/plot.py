@@ -84,6 +84,52 @@ def lineFigure(
     return Figure(title, "".join(parts))
 
 
+def barFigure(
+    title: str,
+    labels: Sequence[str],
+    values: Sequence[float],
+    w: int = 720,
+    h: int = 240,
+    y_range: tuple[float, float] | None = None,
+) -> Figure:
+    """Categorical bar chart with per-bar x labels (vertical text)."""
+    vals = np.asarray(values, float)
+    if not len(vals):
+        return Figure(title, "<svg></svg>")
+    y0, y1 = y_range if y_range is not None else (min(vals.min(), 0), vals.max() or 1)
+    n = len(vals)
+    slot = (w - 60) / n
+    bw = max(slot * 0.7, 1.0)
+    parts = [
+        f'<svg width="{w}" height="{h}" class="kgt-fig" '
+        f'viewBox="0 0 {w} {h}" xmlns="http://www.w3.org/2000/svg">'
+        f'<rect width="{w}" height="{h}" fill="white" stroke="#ccc"/>'
+    ]
+    for i, (label, v) in enumerate(zip(labels, vals)):
+        x = 40 + i * slot + (slot - bw) / 2
+        frac = (min(max(v, y0), y1) - y0) / max(y1 - y0, 1e-9)
+        bh = frac * (h - 70)
+        y = h - 50 - bh
+        parts.append(
+            f'<rect x="{x:.1f}" y="{y:.1f}" width="{bw:.1f}" '
+            f'height="{bh:.1f}" fill="#3366cc"/>'
+        )
+        parts.append(
+            f'<text x="{x + bw / 2:.1f}" y="{h - 46}" font-size="8" '
+            f'transform="rotate(90 {x + bw / 2:.1f} {h - 46})">'
+            f"{_html.escape(str(label))}</text>"
+        )
+        parts.append(
+            f'<text x="{x + bw / 2 - 8:.1f}" y="{max(y - 2, 10):.1f}" '
+            f'font-size="8">{v:.3g}</text>'
+        )
+    parts.append(
+        f'<text x="4" y="12" font-size="10">y: {y0:.3g}..{y1:.3g}</text>'
+    )
+    parts.append("</svg>")
+    return Figure(title, "".join(parts))
+
+
 def histFigure(title: str, values, bins: int = 60, w: int = 720, h: int = 240) -> Figure:
     values = np.asarray(values, float)
     if not len(values):

@@ -45,9 +45,13 @@ def main():
     assert out is not None
 
     RL = aligner.p.read_len
+    from kir_graph_tpu.align.pipeline import _uniformLen
+    UL = _uniformLen(l1, l2)  # production passes this (device_annotate.py
+    # dispatchChunk); without it the kernel compiles the degraded
+    # take_along_axis revcomp the product never runs
     buf, N0, N = da._packChunk(c1, l1, c2, l2)
     buf_dev = sync(jnp.asarray(buf))
-    t0 = time.time(); w_dev = sync(aligner._device_mono(buf_dev, RL))
+    t0 = time.time(); w_dev = sync(aligner._device_mono(buf_dev, RL, UL))
     t_mono = time.time() - t0
     t0 = time.time(); w = np.asarray(w_dev)
     t_wdl = time.time() - t0
@@ -58,7 +62,7 @@ def main():
     hr_dev = sync(jnp.asarray(hard_rows))
     for _ in range(2):
         t0 = time.time()
-        out_dev, pileup, depth = da._kernel(buf_dev, w_dev, hr_dev, RL, Hb)
+        out_dev, pileup, depth = da._kernel(buf_dev, w_dev, hr_dev, RL, Hb, uniform_len=UL)
         sync(out_dev); sync(pileup)
         t_kern = time.time() - t0
     t0 = time.time(); out_np = np.asarray(out_dev)
@@ -74,10 +78,10 @@ def main():
 
     # staged prefixes of the kernel (static `stage` early returns)
     for stage in (21, 22, 1, 2, 3, 4, 5):
-        r = da._kernel(buf_dev, w_dev, hr_dev, RL, Hb, stage)
+        r = da._kernel(buf_dev, w_dev, hr_dev, RL, Hb, stage, uniform_len=UL)
         sync(r)
         t0 = time.time()
-        sync(da._kernel(buf_dev, w_dev, hr_dev, RL, Hb, stage))
+        sync(da._kernel(buf_dev, w_dev, hr_dev, RL, Hb, stage, uniform_len=UL))
         print(f"stage<={stage}    {(time.time()-t0)*1e3:8.1f} ms")
 
     # kernel sub-variant: traceback-only cost (same Hb) vs full

@@ -34,7 +34,7 @@ def main():
     from kir_graph_tpu.align.seeding import _findCandidates
     from kir_graph_tpu.native_io import packUploadNative
     from kir_graph_tpu.parallel.cohort import (
-        _selRows, decodeCandidates, scoreDenseGrid,
+        decodeCandidates, scoreDenseGrid,
     )
 
     a = GraphAligner(index)
@@ -53,11 +53,16 @@ def main():
     assert packUploadNative(c1p, c2p, l1p, l2p, buf)
     buf_d = jnp.asarray(buf)
 
+    from kir_graph_tpu.align.pipeline import _uniformLen
+    UL = _uniformLen(l1p, l2p)  # production passes this; without it
+    # revcomp degrades to the take_along_axis path and the profile
+    # measures a program the product never runs
+
     def stagePrep(b):
-        return _prepStreams(b, RL)
+        return _prepStreams(b, RL, uniform_len=UL)
 
     def stageSeed(b):
-        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
+        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL, uniform_len=UL)
         cand, votes = _findCandidates(
             codes_fwd, lens_dev, table.merged,
             table.k, a.stride, C, table.n_genes, md, a.min_votes,
@@ -65,7 +70,7 @@ def main():
         return cand, votes
 
     def stageScore(b):
-        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
+        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL, uniform_len=UL)
         cand, _ = _findCandidates(
             codes_fwd, lens_dev, table.merged,
             table.k, a.stride, C, table.n_genes, md, a.min_votes,
@@ -73,7 +78,7 @@ def main():
         gene, orient, diag = decodeCandidates(cand, md)
         return scoreDenseGrid(
             a.arr.win, md, p, codes_dev, lens_dev, gene, diag,
-            sel=_selRows(orient, Nb), use_pallas=a.use_pallas,
+            orient=orient, use_pallas=a.use_pallas,
         )
 
     def stageSeedVotes(b):
@@ -83,7 +88,7 @@ def main():
             DIAG_BUCKET, LUT_BITS, POS_BITS, _packKmers,
         )
 
-        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
+        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL, uniform_len=UL)
         keys, offsets, valid, qflip = _packKmers(codes_fwd, table.k, a.stride)
         R, S = keys.shape
         Wrow = table.merged.shape[1]
@@ -119,7 +124,7 @@ def main():
         return jnp.where(p_ok, vote, SENT).reshape(R, S * Wc)
 
     def stageScoreXla(b):
-        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL)
+        codes_dev, codes_fwd, lens_dev = _prepStreams(b, RL, uniform_len=UL)
         cand, _ = _findCandidates(
             codes_fwd, lens_dev, table.merged,
             table.k, a.stride, C, table.n_genes, md, a.min_votes,
@@ -127,7 +132,7 @@ def main():
         gene, orient, diag = decodeCandidates(cand, md)
         return scoreDenseGrid(
             a.arr.win, md, p, codes_dev, lens_dev, gene, diag,
-            sel=_selRows(orient, Nb), use_pallas=False,
+            orient=orient, use_pallas=False,
         )
 
     stages = [
@@ -135,7 +140,7 @@ def main():
         ("seed votes (no sort)", jax.jit(stageSeedVotes)),
         ("+seed", jax.jit(stageSeed)),
         ("+score", jax.jit(stageScore)),
-        ("+pairSelect (full mono)", lambda b: a._device_mono(b, RL)),
+        ("+pairSelect (full mono)", lambda b: a._device_mono(b, RL, UL)),
     ]
     for name, fn in stages:
         out = fn(buf_d)

@@ -161,3 +161,33 @@ def test_add_base_matchness():
     assert near.match_type == MatchType.MATCH5
     assert near.base_diff == 1
     assert near.answer_allele_length == 12
+
+
+def test_summary_by_gene_and_report(tmp_path):
+    from kir_graph_tpu.eval.compare import calcSummaryByGene, saveCompareReport
+
+    answer = {
+        "00": ["KIR2DL1*0010101", "KIR3DL3*0030101"],
+        "01": ["KIR2DL1*0020101"],
+    }
+    predict = {
+        "00": ["KIR2DL1*0010101", "KIR3DL3*0040101"],
+        "01": ["KIR2DL1*0020101", "KIR2DS2*00104"],
+    }
+    results = compareCohort(answer, predict)
+    by_gene = calcSummaryByGene(r for rs in results.values() for r in rs)
+    assert by_gene["KIR2DL1"]["match7"] == 2
+    assert by_gene["KIR3DL3"]["match_gene"] == 1
+    assert by_gene["KIR3DL3"]["match7"] == 0
+    assert by_gene["KIR2DS2"]["FP"] == 1
+
+    prefix = str(tmp_path / "cmp")
+    saveCompareReport(results, prefix)
+    sample = pd.read_csv(prefix + ".sample.csv")
+    assert set(sample["match"]) >= {"MATCH7", "MATCHGENE", "FP"}
+    assert len(sample) == 4
+    gene = pd.read_csv(prefix + ".gene.csv")
+    row = gene[gene["gene"] == "KIR2DL1"].iloc[0]
+    assert row["acc_7digit"] == 1.0
+    html = open(prefix + ".gene.html").read()
+    assert "per-gene accuracy (7-digit)" in html and "<svg" in html
