@@ -226,3 +226,42 @@ def test_revcomp_uniform_fast_path_bit_identical():
     assert _uniformLen(np.full(3, 151, np.int32), np.full(3, 151, np.int32)) == 151
     mixed = np.array([150, 151, 150], np.int32)
     assert _uniformLen(mixed, mixed) is None
+
+
+def test_fused_traceback_overflow_falls_back(synth_genes, synth_index, monkeypatch):
+    """When the monolith's hard-job count exceeds the static HB cap the
+    host must re-dispatch the old traceback path — force an overflow by
+    rewriting the downloaded count and assert identical columns."""
+    import jax.numpy as jnp
+
+    al = GraphAligner(synth_index)
+    gene_key = list(synth_genes)[0]
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, 0), (gene_key, 1)],
+        depth=6, seed=3, error_rate=0.01,
+    )
+    ref = al.alignPairs(c1, l1, c2, l2)
+    ref_cols = (ref.cols_l.copy(), ref.cols_r.copy(), ref.gene.copy())
+
+    orig = al._device_mono_tb
+
+    def overflowed(buf, RL, ul=None):
+        w, pkx = orig(buf, RL, ul)
+        pkx = np.asarray(pkx).copy()
+        HB = max(512, (buf.shape[0] // 2) // 16)
+        mrows = -(-(4 * (HB + 1)) // (RL + 2))
+        meta = np.frombuffer(
+            pkx[:mrows].tobytes()[: 4 * (HB + 1)], np.int32
+        ).copy()
+        meta[-1] = HB + 1  # lie: "more hard jobs than slots"
+        mb = meta.view(np.int8)
+        flat = np.zeros(mrows * (RL + 2), np.int8)
+        flat[: len(mb)] = mb
+        pkx[:mrows] = flat.reshape(mrows, RL + 2)
+        return w, jnp.asarray(pkx)
+
+    monkeypatch.setattr(al, "_device_mono_tb", overflowed)
+    got = al.alignPairs(c1, l1, c2, l2)
+    np.testing.assert_array_equal(got.gene, ref_cols[2])
+    np.testing.assert_array_equal(got.cols_l, ref_cols[0])
+    np.testing.assert_array_equal(got.cols_r, ref_cols[1])
