@@ -590,6 +590,77 @@ class GraphAligner:
     # tunnel, not the algorithm).
     CHUNK_PAIRS = int(os.environ.get("KGT_CHUNK_PAIRS", "65536"))
 
+    def _padToBucket(self, codes1, len1, codes2, len2):
+        """Pad a <= CHUNK_PAIRS batch up to its shape bucket."""
+        N0 = len(codes1)
+        Nb = self._bucket(N0, self.CHUNK_PAIRS)
+        if Nb > N0:
+            pad = Nb - N0
+
+            def padc(c):
+                return np.concatenate(
+                    [c, np.full((pad, c.shape[1]), BASE_PAD, np.int8)]
+                )
+
+            def padl(l):
+                return np.concatenate([l, np.full(pad, 1, l.dtype)])
+
+            codes1, codes2 = padc(codes1), padc(codes2)
+            len1, len2 = padl(len1), padl(len2)
+        return codes1, len1, codes2, len2, N0
+
+    def _packUpload(self, codes1, len1, codes2, len2, buf_key="upload_buf"):
+        """Fill the fused upload buffer (nibble-packed codes + length
+        trailer) in persistent scratch -> (buf, l1c, l2c)."""
+        from ..native_io import packUploadNative
+
+        N = len(codes1)
+        RL = self.p.read_len
+        with _seg("pack_upload"):
+            W = -(-RL // 2) + 2
+            buf = self._hostBuf(buf_key, (2 * N, W), np.uint8)
+            l1c = np.ascontiguousarray(len1, dtype=np.int32)
+            l2c = np.ascontiguousarray(len2, dtype=np.int32)
+            if not packUploadNative(
+                np.ascontiguousarray(codes1, dtype=np.int8),
+                np.ascontiguousarray(codes2, dtype=np.int8),
+                l1c, l2c, buf,
+            ):
+                lens_fwd = np.concatenate([l1c, l2c])
+                buf[:, :-2] = packCodes4bit(
+                    np.concatenate([codes1, codes2], axis=0)
+                )
+                buf[:, -2] = (lens_fwd & 0xFF).astype(np.uint8)
+                buf[:, -1] = (lens_fwd >> 8).astype(np.uint8)
+        return buf, l1c, l2c
+
+    def prepareUpload(self, codes1, len1, codes2, len2):
+        """Pack + START uploading a (<= CHUNK_PAIRS) chunk ahead of its
+        alignPairs call, so the host->device transfer (~40-70 MB/s on a
+        tunneled TPU — 150+ ms per 64k chunk, measured on the critical
+        path) streams while the PREVIOUS chunk's kernels execute.  Call
+        from inside the previous alignPairs' host_work window; pass the
+        returned handle as alignPairs(..., prepared=handle).
+
+        Double-buffered scratch: the prefetch pack must never overwrite
+        host memory whose upload may still be in flight."""
+        assert len(codes1) <= self.CHUNK_PAIRS
+        codes1, len1, codes2, len2, N0 = self._padToBucket(
+            codes1, len1, codes2, len2
+        )
+        toggle = self.__dict__.setdefault("_pf_toggle", 0)
+        self._pf_toggle = 1 - toggle
+        buf, l1c, l2c = self._packUpload(
+            codes1, len1, codes2, len2, buf_key=f"upload_buf_pf{toggle}"
+        )
+        return {
+            "buf_dev": jnp.asarray(buf),
+            "buf_shape": buf.shape,
+            "codes1": codes1, "len1": len1,
+            "codes2": codes2, "len2": len2,
+            "l1c": l1c, "l2c": l2c, "n0": N0,
+        }
+
     def alignPairs(
         self,
         codes1: np.ndarray,
@@ -597,6 +668,7 @@ class GraphAligner:
         codes2: np.ndarray,
         len2: np.ndarray,
         host_work=None,
+        prepared=None,
     ) -> AlignResult:
         """Align mate pairs.  `host_work`, when given, is invoked once at
         the point where this batch's seed/score/pair-select kernels have
@@ -606,7 +678,25 @@ class GraphAligner:
         in that window).  host_work must not touch this aligner's
         persistent scratch buffers' current contents (the previous
         AlignResult views are still safe: scratch writes happen after
-        host_work returns)."""
+        host_work returns).  `prepared` is a prepareUpload() handle for
+        THIS chunk: the upload is already in flight and the packed host
+        arrays inside it are used verbatim."""
+        if prepared is not None:
+            assert prepared["n0"] == len(codes1)
+            result = self._alignPairsInner(
+                prepared["codes1"], prepared["len1"],
+                prepared["codes2"], prepared["len2"],
+                host_work=host_work, prepared=prepared,
+            )
+            N0 = prepared["n0"]
+            if len(prepared["codes1"]) > N0:
+                result = AlignResult(
+                    **{
+                        k: getattr(result, k)[:N0]
+                        for k in AlignResult.__dataclass_fields__
+                    }
+                )
+            return result
         N0 = len(codes1)
         if N0 > self.CHUNK_PAIRS:
             # copy each chunk's fields BEFORE the next chunk runs: chunk
@@ -628,24 +718,13 @@ class GraphAligner:
                     out[k][s : s + len(v)] = v
             return AlignResult(**out)
         # bucket the pair count so XLA shapes repeat across batches
-        Nb = self._bucket(N0, self.CHUNK_PAIRS)
-        if Nb > N0:
-            pad = Nb - N0
-
-            def padc(c):
-                return np.concatenate(
-                    [c, np.full((pad, c.shape[1]), BASE_PAD, np.int8)]
-                )
-
-            def padl(l):
-                return np.concatenate([l, np.full(pad, 1, l.dtype)])
-
-            codes1, codes2 = padc(codes1), padc(codes2)
-            len1, len2 = padl(len1), padl(len2)
+        codes1, len1, codes2, len2, _ = self._padToBucket(
+            codes1, len1, codes2, len2
+        )
         result = self._alignPairsInner(
             codes1, len1, codes2, len2, host_work=host_work
         )
-        if Nb > N0:
+        if len(codes1) > N0:
             result = AlignResult(
                 **{
                     k: getattr(result, k)[:N0]
@@ -661,6 +740,7 @@ class GraphAligner:
         codes2: np.ndarray,
         len2: np.ndarray,
         host_work=None,
+        prepared=None,
     ) -> AlignResult:
         N = len(codes1)
         RL = self.p.read_len
@@ -670,31 +750,22 @@ class GraphAligner:
         # streams are derived on device (4x fewer bytes and one
         # round-trip across the link).  Packing is one threaded native
         # pass into persistent scratch (numpy fallback: concatenate +
-        # packCodes4bit).
-        from ..native_io import packUploadNative
-
-        with _seg("pack_upload"):
-            W = -(-RL // 2) + 2
-            buf = self._hostBuf("upload_buf", (2 * N, W), np.uint8)
-            l1c = np.ascontiguousarray(len1, dtype=np.int32)
-            l2c = np.ascontiguousarray(len2, dtype=np.int32)
-            if not packUploadNative(
-                np.ascontiguousarray(codes1, dtype=np.int8),
-                np.ascontiguousarray(codes2, dtype=np.int8),
-                l1c, l2c, buf,
-            ):
-                lens_fwd = np.concatenate([l1c, l2c])
-                buf[:, :-2] = packCodes4bit(
-                    np.concatenate([codes1, codes2], axis=0)
-                )
-                buf[:, -2] = (lens_fwd & 0xFF).astype(np.uint8)
-                buf[:, -1] = (lens_fwd >> 8).astype(np.uint8)
+        # packCodes4bit).  A prepareUpload() handle skips all of this —
+        # its transfer is already in flight.
+        if prepared is not None:
+            buf_dev = prepared["buf_dev"]
+            buf_shape = prepared["buf_shape"]
+            l1c, l2c = prepared["l1c"], prepared["l2c"]
+        else:
+            buf, l1c, l2c = self._packUpload(codes1, len1, codes2, len2)
+            buf_dev = jnp.asarray(buf)
+            buf_shape = buf.shape
 
         # --- device: upload decode + seed + score + concordant pairing +
         # winner selection + ungapped-shortcut decision, fused into ONE
         # dispatch; download ONE packed array (one round-trip each way)
         w_d, pkx_d = self._device_mono_tb(
-            jnp.asarray(buf), RL, _uniformLen(l1c, l2c)
+            buf_dev, RL, _uniformLen(l1c, l2c)
         )
         if host_work is not None:
             # everything device-side for this batch is dispatched —
@@ -709,7 +780,7 @@ class GraphAligner:
         device_hard = None
         with _seg("download_tb"):
             pkx = np.asarray(pkx_d)  # ONE transfer: meta rows + pk rows
-            HB = max(512, (buf.shape[0] // 2) // 16)  # mirrors monoTb
+            HB = max(512, (buf_shape[0] // 2) // 16)  # mirrors monoTb
             mrows = -(-(4 * (HB + 1)) // (RL + 2))
             assert mrows + HB == pkx.shape[0], (mrows, HB, pkx.shape)
             meta = np.frombuffer(
@@ -739,16 +810,23 @@ class GraphAligner:
         # oriented-read buffers for the annotator: reverse-complement only
         # the rows whose winner is the rc stream (host rc of the full
         # batch would double the work for nothing)
+        l1, l2 = len1.astype(np.int32), len2.astype(np.int32)
         with _seg("orient_bufs"):
+            from ..native_io import orientRowsNative
+
             oc1 = self._hostBuf("oc1", (N, RL), np.int8)
             oc2 = self._hostBuf("oc2", (N, RL), np.int8)
-            np.copyto(oc1, codes1)
-            if isrc1.any():
-                oc1[isrc1] = revCompCodes(codes1[isrc1], len1[isrc1])
-            np.copyto(oc2, codes2)
-            if isrc2.any():
-                oc2[isrc2] = revCompCodes(codes2[isrc2], len2[isrc2])
-        l1, l2 = len1.astype(np.int32), len2.astype(np.int32)
+            for oc, codes, ln, isrc in (
+                (oc1, codes1, l1, isrc1), (oc2, codes2, l2, isrc2),
+            ):
+                codes = np.ascontiguousarray(codes, dtype=np.int8)
+                if not orientRowsNative(
+                    codes, np.ascontiguousarray(ln),
+                    np.ascontiguousarray(isrc, dtype=np.uint8), oc,
+                ):
+                    np.copyto(oc, codes)
+                    if isrc.any():
+                        oc[isrc] = revCompCodes(codes[isrc], ln[isrc])
 
         midx = np.nonzero(mapped)[0]
         with _seg("cols_fill"):

@@ -204,11 +204,27 @@ def alignAnnotateEvidence(
         depth_sum = depth if depth_sum is None else depth_sum + depth
         pileup_sum = pileup if pileup_sum is None else pileup_sum + pileup
 
+    prepared: dict[int, dict] = {}
     for s in range(0, N, chunk):
+        nxt = s + chunk
+
+        def hostWork(nxt=nxt):
+            # overlap window: annotate the previous chunk AND start the
+            # NEXT chunk's host->device upload (the transfer is the
+            # single largest critical-path item on a tunneled link —
+            # docs/BENCH_NOTES.md round 4)
+            if nxt < N:
+                prepared[nxt] = aligner.prepareUpload(
+                    codes1[nxt : nxt + chunk], len1[nxt : nxt + chunk],
+                    codes2[nxt : nxt + chunk], len2[nxt : nxt + chunk],
+                )
+            annotatePending()
+
         result_next = aligner.alignPairs(
             codes1[s : s + chunk], len1[s : s + chunk],
             codes2[s : s + chunk], len2[s : s + chunk],
-            host_work=annotatePending,
+            host_work=hostWork,
+            prepared=prepared.pop(s, None),
         )
         pending = (s, result_next)
     annotatePending()

@@ -190,6 +190,39 @@ def finalizeColsNative(
     return True
 
 
+def orientRowsNative(
+    codes: np.ndarray,   # [n, L] int8
+    lens: np.ndarray,    # [n] int32
+    flags: np.ndarray,   # [n] uint8 (1 -> reverse-complement)
+    out: np.ndarray,     # [n, L] int8
+) -> bool:
+    """Winner-oriented read buffer in one threaded native pass
+    (native/annotate.cpp kgt_orient_rows).  Returns False when the
+    native lib is absent/disabled; the caller runs its numpy fallback."""
+    lib = _loadLib()
+    if (
+        not lib
+        or not hasattr(lib, "kgt_orient_rows")
+        or os.environ.get("KGT_NO_NATIVE")
+    ):
+        return False
+    for a, dt in (
+        (codes, np.int8), (lens, np.int32),
+        (flags, np.uint8), (out, np.int8),
+    ):
+        if a.dtype != dt or not a.flags.c_contiguous:
+            return False
+    n, L = codes.shape
+    lib.kgt_orient_rows(
+        ctypes.c_int64(n), ctypes.c_int32(L),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return True
+
+
 def packUploadNative(
     codes1: np.ndarray, codes2: np.ndarray,
     len1: np.ndarray, len2: np.ndarray,

@@ -529,4 +529,32 @@ void kgt_pack_reads(
   });
 }
 
+// Winner-oriented read buffer: out[r] = flags[r] ? revcomp(codes[r])
+// : codes[r], pad (code 4) kept at the row tail — one threaded pass
+// replacing numpy's full-buffer copy + fancy-indexed revcomp on the
+// rc-winning rows (alignPairs' orient_bufs segment).
+void kgt_orient_rows(
+    int64_t n, int32_t L,
+    const int8_t* codes,   // [n, L]
+    const int32_t* lens,   // [n]
+    const uint8_t* flags,  // [n] 1 -> reverse-complement the row
+    int8_t* out) {         // [n, L]
+  parallelRows(n, [&](int64_t r_lo, int64_t r_hi) {
+    for (int64_t r = r_lo; r < r_hi; ++r) {
+      const int8_t* src = codes + (int64_t)r * L;
+      int8_t* dst = out + (int64_t)r * L;
+      if (!flags[r]) {
+        std::memcpy(dst, src, (size_t)L);
+        continue;
+      }
+      const int32_t ln = lens[r];
+      for (int32_t i = 0; i < ln; ++i) {
+        const int8_t c = src[ln - 1 - i];
+        dst[i] = c < 4 ? (int8_t)(3 - c) : c;
+      }
+      for (int32_t i = ln; i < L; ++i) dst[i] = 4;
+    }
+  });
+}
+
 }  // extern "C"

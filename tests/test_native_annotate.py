@@ -146,3 +146,28 @@ def test_native_finalize_cols_matches_numpy(synth_genes, synth_index,
     assert keep["gene"].sum() and (keep["cols_l"] >= 0).any()
     for k in fields:
         np.testing.assert_array_equal(keep[k], getattr(want, k), err_msg=k)
+
+
+def test_orient_rows_native_matches_numpy(monkeypatch):
+    """kgt_orient_rows == copy + revCompCodes on the rc rows, including
+    N bases, mixed lengths and tail padding."""
+    import numpy as np
+
+    from kir_graph_tpu.align.encode import revCompCodes
+    from kir_graph_tpu.native_io import orientRowsNative
+
+    monkeypatch.setenv("KGT_MIN_ROWS", "1")  # force the threaded path
+    rng = np.random.default_rng(5)
+    n, L = 257, 24
+    codes = np.full((n, L), 4, np.int8)
+    lens = rng.integers(8, L + 1, n).astype(np.int32)
+    for r in range(n):
+        codes[r, : lens[r]] = rng.integers(0, 5, lens[r])  # incl. N (4)
+    flags = (rng.random(n) < 0.5).astype(np.uint8)
+    out = np.empty_like(codes)
+    assert orientRowsNative(codes, lens, flags, out)
+
+    want = codes.copy()
+    m = flags.astype(bool)
+    want[m] = revCompCodes(codes[m], lens[m])
+    np.testing.assert_array_equal(out, want)
