@@ -7,6 +7,7 @@ from kir_graph_tpu.align import (
     VariantAnnotator,
     encodeReads,
 )
+from kir_graph_tpu.align.pipeline import AlignResult
 from kir_graph_tpu.sim.reads import simulatePairedReads
 from kir_graph_tpu.sim.synth_db import alleleUngappedSeq
 
@@ -265,3 +266,21 @@ def test_fused_traceback_overflow_falls_back(synth_genes, synth_index, monkeypat
     np.testing.assert_array_equal(got.gene, ref_cols[2])
     np.testing.assert_array_equal(got.cols_l, ref_cols[0])
     np.testing.assert_array_equal(got.cols_r, ref_cols[1])
+
+
+def test_prepare_upload_path_bit_identical(synth_genes, synth_index):
+    """alignPairs(prepared=prepareUpload(...)) == plain alignPairs."""
+    al = GraphAligner(synth_index)
+    gene_key = list(synth_genes)[1]
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, 0), (gene_key, 2)],
+        depth=5, seed=9, error_rate=0.005,
+    )
+    ref = al.alignPairs(c1, l1, c2, l2)
+    ref_snap = {
+        k: getattr(ref, k).copy() for k in AlignResult.__dataclass_fields__
+    }
+    prepared = al.prepareUpload(c1, l1, c2, l2)
+    got = al.alignPairs(c1, l1, c2, l2, prepared=prepared)
+    for k, v in ref_snap.items():
+        np.testing.assert_array_equal(getattr(got, k), v, err_msg=k)
