@@ -832,8 +832,14 @@ class GraphAligner:
         with _seg("cols_fill"):
             cols_l = self._hostBuf("cols_l", (N, RL), np.int32)
             cols_r = self._hostBuf("cols_r", (N, RL), np.int32)
-            cols_l.fill(-1)
-            cols_r.fill(-1)
+            # mapped rows are fully overwritten by the column finalize
+            # (easy synthesis and hard traceback both write every column
+            # of both mates) — only unmapped rows need the -1 pad, so
+            # skip the full 2x[N, RL] memset on the ~100%-mapped norm
+            unm = ~mapped
+            if unm.any():
+                cols_l[unm] = -1
+                cols_r[unm] = -1
         if len(midx):
             # both mates' winners in ONE traceback dispatch; columns are
             # finalized (junction shift applied) and scattered straight
