@@ -33,6 +33,16 @@ from .seeding import DIAG_BUCKET, SeedTable
 
 PAD_L = 64  # front padding of window coordinate space
 
+
+def tracebackLayout(n_pairs: int, RL: int) -> tuple[int, int]:
+    """Static layout of the fused-traceback download for an n_pairs
+    chunk: (HB hard-job slots, mrows int8 rows holding the int32 meta).
+    The device program (_buildDeviceMonoTb), the host decode and the
+    tests all derive the split from here — change it in one place."""
+    HB = max(512, n_pairs // 16)
+    mrows = -(-(4 * (HB + 1)) // (RL + 2))
+    return HB, mrows
+
 # Fine-grained host-segment wall times, populated only when KGT_PROFILE
 # is set (scripts/profile_host_path.py reads this to attribute the
 # "host numpy/other" bucket).
@@ -251,7 +261,7 @@ class GraphAligner:
         def monoTb(buf, RL, uniform_len=None):
             w = mono(buf, RL, uniform_len)
             N = buf.shape[0] // 2
-            HB = max(512, N // 16)
+            HB, mrows = tracebackLayout(N, RL)
             codes_all, _, lens_all = _prepStreams(
                 buf, RL, uniform_len=uniform_len
             )
@@ -286,7 +296,6 @@ class GraphAligner:
             )
             meta = jnp.concatenate([jobrow, count[None]])
             mb = 4 * (HB + 1)
-            mrows = -(-mb // (RL + 2))
             meta_rows = jnp.pad(
                 jax.lax.bitcast_convert_type(meta, jnp.int8).reshape(-1),
                 (0, mrows * (RL + 2) - mb),
@@ -544,12 +553,24 @@ class GraphAligner:
         hard = np.nonzero(~easy)[0]
         if device_hard is not None:
             # the fused monolith already ran the pointer DP for these
-            # jobs (same mate-major order as `hard` — _buildDeviceMonoTb)
-            start_col, delta = device_hard
-            assert len(start_col) == len(hard), (len(start_col), len(hard))
-            if len(hard):
-                finalize(hard, start_col, delta, all_easy=False)
-            return
+            # jobs; verify the device's compacted (mate*N + pair) rows
+            # match this call's hard-job order exactly before trusting
+            # the delta rows (a layout drift then falls back to the
+            # dispatch path instead of mis-assigning tracebacks)
+            jobrow, start_col, delta = device_hard
+            N_rows = dst0.shape[0]
+            expect = (
+                dest_which[hard].astype(np.int64) * N_rows
+                + dest_row[hard]
+            )
+            if len(jobrow) == len(hard) and np.array_equal(jobrow, expect):
+                if len(hard):
+                    finalize(hard, start_col, delta, all_easy=False)
+                return
+            logger.warning(
+                "[Align] fused-traceback job order mismatch "
+                f"({len(jobrow)} vs {len(hard)}); re-dispatching"
+            )
         for s in range(0, len(hard), chunk):
             hi = hard[s : s + chunk]
             n = len(hi)
@@ -648,8 +669,16 @@ class GraphAligner:
         codes1, len1, codes2, len2, N0 = self._padToBucket(
             codes1, len1, codes2, len2
         )
-        toggle = self.__dict__.setdefault("_pf_toggle", 0)
-        self._pf_toggle = 1 - toggle
+        # per-thread toggle: _hostBuf scratch is thread-keyed (concurrent
+        # per-sample chains may share one aligner), so the double-buffer
+        # cursor must be too — a shared cursor could hand one thread the
+        # same buffer twice in a row while its first upload is in flight
+        import threading
+
+        toggles = self.__dict__.setdefault("_pf_toggles", {})
+        tid = threading.get_ident()
+        toggle = toggles.get(tid, 0)
+        toggles[tid] = 1 - toggle
         buf, l1c, l2c = self._packUpload(
             codes1, len1, codes2, len2, buf_key=f"upload_buf_pf{toggle}"
         )
@@ -660,6 +689,16 @@ class GraphAligner:
             "codes2": codes2, "len2": len2,
             "l1c": l1c, "l2c": l2c, "n0": N0,
         }
+
+    @staticmethod
+    def _trimResult(result: "AlignResult", n0: int) -> "AlignResult":
+        """Slice every field of a bucket-padded result back to n0 rows."""
+        return AlignResult(
+            **{
+                k: getattr(result, k)[:n0]
+                for k in AlignResult.__dataclass_fields__
+            }
+        )
 
     def alignPairs(
         self,
@@ -690,12 +729,7 @@ class GraphAligner:
             )
             N0 = prepared["n0"]
             if len(prepared["codes1"]) > N0:
-                result = AlignResult(
-                    **{
-                        k: getattr(result, k)[:N0]
-                        for k in AlignResult.__dataclass_fields__
-                    }
-                )
+                result = self._trimResult(result, N0)
             return result
         N0 = len(codes1)
         if N0 > self.CHUNK_PAIRS:
@@ -725,12 +759,7 @@ class GraphAligner:
             codes1, len1, codes2, len2, host_work=host_work
         )
         if len(codes1) > N0:
-            result = AlignResult(
-                **{
-                    k: getattr(result, k)[:N0]
-                    for k in AlignResult.__dataclass_fields__
-                }
-            )
+            result = self._trimResult(result, N0)
         return result
 
     def _alignPairsInner(
@@ -780,17 +809,20 @@ class GraphAligner:
         device_hard = None
         with _seg("download_tb"):
             pkx = np.asarray(pkx_d)  # ONE transfer: meta rows + pk rows
-            HB = max(512, (buf_shape[0] // 2) // 16)  # mirrors monoTb
-            mrows = -(-(4 * (HB + 1)) // (RL + 2))
+            HB, mrows = tracebackLayout(buf_shape[0] // 2, RL)
             assert mrows + HB == pkx.shape[0], (mrows, HB, pkx.shape)
             meta = np.frombuffer(
                 pkx[:mrows].tobytes()[: 4 * (HB + 1)], np.int32
             )
             n_hard = int(meta[-1])
             if n_hard <= HB:
-                device_hard = unpackTraceback(
+                start_col, delta = unpackTraceback(
                     np.ascontiguousarray(pkx[mrows:mrows + n_hard])
                 )
+                # meta[:n_hard] = the device's compacted job rows
+                # (mate*N + pair): _tracebackJobs cross-checks them
+                # against its own hard-job order before trusting pk
+                device_hard = (meta[:n_hard], start_col, delta)
             # else: overflow — _tracebackJobs re-dispatches the old path
         g1, g2, d1, d2 = w[0:4].astype(np.int32)
         best = w[4].view(np.float16)

@@ -213,6 +213,10 @@ def orientRowsNative(
         if a.dtype != dt or not a.flags.c_contiguous:
             return False
     n, L = codes.shape
+    # the native pass writes through raw pointers — a mismatch the old
+    # numpy path rejected loudly must not become silent OOB writes
+    if out.shape != (n, L) or lens.shape != (n,) or flags.shape != (n,):
+        return False
     lib.kgt_orient_rows(
         ctypes.c_int64(n), ctypes.c_int32(L),
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),

@@ -207,7 +207,7 @@ def decodeCandidates(cand, md: int):
 
 
 def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
-                   sel=None, orient=None, use_pallas: bool = False,
+                   orient=None, use_pallas: bool = False,
                    want_lin: bool = True):
     """DP-score a dense [R, C] candidate grid -> (cost [R, C], end [R, C],
     lin [R, C]), lin being the pure-diagonal cost at each candidate's
@@ -219,15 +219,14 @@ def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
     itself at bench shapes).
 
     Candidate read rows, one of:
-    * `orient` [R, C] (the canonical-seeding fast path): `codes` is the
+    * `orient` [R, C] (the canonical-seeding path): `codes` is the
       4-stream pool [m1f, m1rc, m2f, m2rc] and each candidate's row is
       fully determined by its grid position plus this orientation bit —
       so the rows are built from static slices + repeat + an elementwise
-      select, NO row gather.  Row gathers on this hardware cost per ROW
-      (docs/ROOFLINE.md), and this path replaces the score stage's
-      [R*C]-row codes gather with pure bandwidth.
-    * `sel` [R, C]: generic row selector into the `codes` pool (gather).
-    * neither: row r of `codes` serves all of row r's candidates.
+      select, NO row gather (row gathers on this hardware cost per ROW,
+      docs/ROOFLINE.md; measured equivalent to the gather at bench
+      shapes, kept for the simpler dataflow).
+    * None: row r of `codes` serves all of row r's candidates.
     """
     R, C = gene.shape
     rows = jnp.where(gene >= 0, gene * md + diag, 0).reshape(-1)
@@ -245,10 +244,8 @@ def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
             jnp.repeat(rc, C, axis=0),
             jnp.repeat(fwd, C, axis=0),
         )
-    elif sel is None:
-        rcodes = jnp.repeat(codes, C, axis=0)
     else:
-        rcodes = jnp.take(codes, sel.reshape(-1), axis=0)
+        rcodes = jnp.repeat(codes, C, axis=0)
     rlens = jnp.repeat(lens, C)
     if use_pallas:
         from ..ops.dp_pallas import bandedScorePallasBytes
@@ -264,15 +261,6 @@ def scoreDenseGrid(win, md: int, p: AlignParams, codes, lens, gene, diag,
     w0 = diag * DIAG_BUCKET - DIAG_BUCKET
     end_abs = w0 + (rlens.reshape(R, C) - 1) + end_off.reshape(R, C)
     return cost, end_abs, lin.reshape(R, C) if lin is not None else None
-
-
-def _selRows(orient, R: int):
-    """Stream row per candidate: [2R, C] mate-stacked candidates ->
-    row in the [m1f, m1rc, m2f, m2rc] codes pool."""
-    ridx2 = jnp.arange(2 * R)[:, None]
-    mate = (ridx2 >= R).astype(jnp.int32)
-    r_local = ridx2 - mate * R
-    return (2 * mate + orient) * R + r_local
 
 
 def cohortStep(

@@ -248,9 +248,10 @@ def test_fused_traceback_overflow_falls_back(synth_genes, synth_index, monkeypat
 
     def overflowed(buf, RL, ul=None):
         w, pkx = orig(buf, RL, ul)
+        from kir_graph_tpu.align.pipeline import tracebackLayout
+
         pkx = np.asarray(pkx).copy()
-        HB = max(512, (buf.shape[0] // 2) // 16)
-        mrows = -(-(4 * (HB + 1)) // (RL + 2))
+        HB, mrows = tracebackLayout(buf.shape[0] // 2, RL)
         meta = np.frombuffer(
             pkx[:mrows].tobytes()[: 4 * (HB + 1)], np.int32
         ).copy()
