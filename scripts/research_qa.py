@@ -22,12 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 from kir_graph_tpu.pipeline.research import createParser, main  # noqa: E402
 
 RUNS = [
-    # name, samples, depth, novel_per_sample, read profile
-    ("n100_d30", 100, 30.0, 0, "uniform"),
-    ("n100_d15", 100, 15.0, 0, "uniform"),
-    ("n25_d30_novel", 25, 30.0, 1, "uniform"),
+    # name, samples, depth, novel_per_sample, read profile, strategy
+    ("n100_d30", 100, 30.0, 0, "uniform", "full"),
+    ("n100_d15", 100, 15.0, 0, "uniform", "full"),
+    ("n25_d30_novel", 25, 30.0, 1, "uniform", "full"),
     # art-like position-dependent quality model (3' error tail)
-    ("n25_d30_hiseq", 25, 30.0, 0, "hiseq"),
+    ("n25_d30_hiseq", 25, 30.0, 0, "hiseq", "full"),
+    # the reference's production WGS configuration
+    # (kir/graphkir.py:70-75 runs --allele-strategy exonfirst)
+    ("n100_d30_exonfirst", 100, 30.0, 0, "hiseq", "exonfirst"),
 ]
 
 
@@ -41,7 +44,7 @@ def run() -> None:
         # clobbering the rest of the committed summary
         with open(prior) as f:
             results = json.load(f)
-    for name, samples, depth, novel, profile in RUNS:
+    for name, samples, depth, novel, profile, strategy in RUNS:
         if only and only not in name:
             continue
         t0 = time.time()
@@ -56,11 +59,12 @@ def run() -> None:
             "--gene-length", "4000",
             "--novel-per-sample", str(novel),
             "--read-profile", profile,
+            "--allele-strategy", strategy,
             "--log-level", "WARNING",
         ])
         report = main(args)
         report["wall_s"] = round(time.time() - t0, 1)
-        report["config"] = {"samples": samples, "depth": depth, "novel": novel}
+        report["config"] = {"samples": samples, "depth": depth, "novel": novel, "strategy": strategy}
         results[name] = report
         print(json.dumps({name: report}, default=str), flush=True)
         with open(os.path.join(base, "qa_summary.json"), "w") as f:
