@@ -285,3 +285,49 @@ def test_prepare_upload_path_bit_identical(synth_genes, synth_index):
     got = al.alignPairs(c1, l1, c2, l2, prepared=prepared)
     for k, v in ref_snap.items():
         np.testing.assert_array_equal(getattr(got, k), v, err_msg=k)
+
+
+def test_fused_traceback_order_mismatch_falls_back(
+    synth_genes, synth_index, monkeypatch
+):
+    """A device/host hard-job order disagreement must trigger the
+    re-dispatch fallback (not silently mis-assign delta streams)."""
+    import jax.numpy as jnp
+
+    al = GraphAligner(synth_index)
+    gene_key = list(synth_genes)[1]
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, 0), (gene_key, 1)],
+        depth=6, seed=4, error_rate=0.01,
+    )
+    ref = al.alignPairs(c1, l1, c2, l2)
+    ref_cols = (ref.cols_l.copy(), ref.cols_r.copy())
+
+    from kir_graph_tpu.align.pipeline import tracebackLayout
+
+    orig = al._device_mono_tb
+    scrambled_hard = []
+
+    def scrambled(buf, RL, ul=None):
+        w, pkx = orig(buf, RL, ul)
+        pkx = np.asarray(pkx).copy()
+        HB, mrows = tracebackLayout(buf.shape[0] // 2, RL)
+        meta = np.frombuffer(
+            pkx[:mrows].tobytes()[: 4 * (HB + 1)], np.int32
+        ).copy()
+        scrambled_hard.append(int(meta[-1]))
+        if int(meta[-1]) >= 2:
+            meta[0], meta[1] = meta[1], meta[0]  # corrupt the job order
+        mb = meta.view(np.int8)
+        flat = np.zeros(mrows * (RL + 2), np.int8)
+        flat[: len(mb)] = mb
+        pkx[:mrows] = flat.reshape(mrows, RL + 2)
+        return w, jnp.asarray(pkx)
+
+    monkeypatch.setattr(al, "_device_mono_tb", scrambled)
+    got = al.alignPairs(c1, l1, c2, l2)
+    # the fixture must actually produce >= 2 hard jobs, else nothing
+    # was scrambled and this test silently proves nothing
+    assert scrambled_hard and scrambled_hard[0] >= 2
+    np.testing.assert_array_equal(got.cols_l, ref_cols[0])
+    np.testing.assert_array_equal(got.cols_r, ref_cols[1])
