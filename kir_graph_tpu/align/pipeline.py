@@ -735,15 +735,33 @@ class GraphAligner:
         if N0 > self.CHUNK_PAIRS:
             # copy each chunk's fields BEFORE the next chunk runs: chunk
             # results are views of the aligner's persistent scratch and
-            # the next call overwrites them
+            # the next call overwrites them.  Each chunk's host_work
+            # window prefetches the NEXT chunk's upload (same overlap
+            # the stream driver uses — the transfer is the critical-path
+            # item on a tunneled link).
             out: dict[str, np.ndarray] = {}
+            prefetched: dict[int, dict] = {}
             for s in range(0, N0, self.CHUNK_PAIRS):
+                nxt = s + self.CHUNK_PAIRS
+
+                def chunkWork(s=s, nxt=nxt):
+                    if nxt < N0:
+                        prefetched[nxt] = self.prepareUpload(
+                            codes1[nxt : nxt + self.CHUNK_PAIRS],
+                            len1[nxt : nxt + self.CHUNK_PAIRS],
+                            codes2[nxt : nxt + self.CHUNK_PAIRS],
+                            len2[nxt : nxt + self.CHUNK_PAIRS],
+                        )
+                    if s == 0 and host_work is not None:
+                        host_work()
+
                 part = self.alignPairs(
                     codes1[s : s + self.CHUNK_PAIRS],
                     len1[s : s + self.CHUNK_PAIRS],
                     codes2[s : s + self.CHUNK_PAIRS],
                     len2[s : s + self.CHUNK_PAIRS],
-                    host_work=host_work if s == 0 else None,
+                    host_work=chunkWork,
+                    prepared=prefetched.pop(s, None),
                 )
                 for k in AlignResult.__dataclass_fields__:
                     v = getattr(part, k)
