@@ -128,11 +128,23 @@ class AlignResult:
 
 
 class GraphAligner:
+    # Query-side seed sampling stride.  12 was accepted over the
+    # original 8 with a measured bit-identity sweep (docs/BENCH_NOTES.md
+    # round 4): pass masks, evidence, depth and pileup are identical on
+    # the bench sim (0.2% err), hiseq-profile 0.8% and uniform 1.5%
+    # batches; the only reads whose mapped-status changes are NM>4
+    # fails the product filter drops regardless (k=24, min_votes=2: a
+    # clean segment of k+2*stride-1 = 47 bases guarantees two sampled
+    # seeds, vs 39 at stride 8 — both far under the ~60+ expected
+    # longest clean run of an NM=4 read).  Seeding is ~40% of the device
+    # monolith, so this is +30-37% streamed throughput.
+    DEFAULT_STRIDE = 12
+
     def __init__(
         self,
         index: KirIndex,
         params: AlignParams | None = None,
-        stride: int = 8,
+        stride: int | None = None,
         top_c: int = 4,
         min_votes: int = 2,
         max_pair_buckets: int = 70,   # max mate diagonal distance in buckets
@@ -149,7 +161,7 @@ class GraphAligner:
 
             use_pallas = pallasAvailable() and jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
-        self.stride = stride
+        self.stride = self.DEFAULT_STRIDE if stride is None else stride
         self.top_c = top_c
         self.min_votes = min_votes
         self.max_pair_buckets = max_pair_buckets

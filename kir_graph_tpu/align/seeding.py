@@ -310,7 +310,7 @@ def findCandidates(
     table: SeedTable,
     codes: np.ndarray,
     lens: np.ndarray | None = None,
-    stride: int = 8,
+    stride: int = 12,
     top_c: int = 4,
     min_votes: int = 2,
 ) -> tuple[np.ndarray, np.ndarray]:

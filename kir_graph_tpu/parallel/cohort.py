@@ -272,7 +272,7 @@ def cohortStep(
     rc1: jax.Array,
     rc2: jax.Array,
     top_c: int = 2,
-    stride: int = 8,
+    stride: int = 12,  # GraphAligner.DEFAULT_STRIDE rationale
     min_votes: int = 2,
     cn_bins: int = 128,
     axis_name: str | None = "data",
@@ -330,7 +330,7 @@ class SplitCohortStep:
         def seed(codes1, codes2, len1, len2):
             codes = jnp.concatenate([codes1, codes2], axis=0)   # [2R, RL]
             lens = jnp.concatenate([len1, len2]).astype(jnp.int32)
-            cand, _ = _candidatesFor(arr, codes, lens, top_c, 8, 2)
+            cand, _ = _candidatesFor(arr, codes, lens, top_c, 12, 2)
             gene, orient, diag = decodeCandidates(cand, md)
             return gene, orient, diag
 
