@@ -826,6 +826,18 @@ class GraphAligner:
         w_d, pkx_d = self._device_mono_tb(
             buf_dev, RL, _uniformLen(l1c, l2c)
         )
+        # start the device->host copies NOW: the runtime performs them as
+        # soon as the monolith finishes, i.e. DURING the host_work window
+        # below, so the blocking np.asarray calls later find the bytes
+        # already on host instead of serializing transfer-after-window
+        # (measured on the tunneled link: docs/BENCH_NOTES.md round 4).
+        # KGT_NO_ASYNC_D2H=1 restores the old behaviour for A/B runs.
+        if not os.environ.get("KGT_NO_ASYNC_D2H"):
+            for _out in (w_d, pkx_d):
+                try:
+                    _out.copy_to_host_async()
+                except Exception:  # backend without async D2H: harmless
+                    break
         if host_work is not None:
             # everything device-side for this batch is dispatched —
             # including the hard-job traceback, fused into the same

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..index.variants import IdAllocator, Variant
 from .annotate import EvidenceArrays, VariantAnnotator
-from .pipeline import GraphAligner
+from .pipeline import GraphAligner, _seg
 
 
 def mergeEvidence(
@@ -214,11 +214,13 @@ def alignAnnotateEvidence(
             # single largest critical-path item on a tunneled link —
             # docs/BENCH_NOTES.md round 4)
             if nxt < N:
-                prepared[nxt] = aligner.prepareUpload(
-                    codes1[nxt : nxt + chunk], len1[nxt : nxt + chunk],
-                    codes2[nxt : nxt + chunk], len2[nxt : nxt + chunk],
-                )
-            annotatePending()
+                with _seg("window_prefetch"):
+                    prepared[nxt] = aligner.prepareUpload(
+                        codes1[nxt : nxt + chunk], len1[nxt : nxt + chunk],
+                        codes2[nxt : nxt + chunk], len2[nxt : nxt + chunk],
+                    )
+            with _seg("window_annotate"):
+                annotatePending()
 
         result_next = aligner.alignPairs(
             codes1[s : s + chunk], len1[s : s + chunk],
@@ -227,7 +229,8 @@ def alignAnnotateEvidence(
             prepared=prepared.pop(s, None),
         )
         pending = (s, result_next)
-    annotatePending()
+    with _seg("tail_annotate"):
+        annotatePending()
 
     return mergeEvidence(annotator, evs), depth_sum, pileup_sum
 
