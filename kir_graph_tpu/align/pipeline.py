@@ -28,7 +28,7 @@ from ..utils import logger
 from .dp import (
     AlignParams, bandedTracebackPacked, decodeDeltas, unpackTraceback,
 )
-from .encode import packCodes4bit, revCompCodes
+from .encode import packCodes2bit, packCodes4bit, revCompCodes
 from .seeding import DIAG_BUCKET, SeedTable
 
 PAD_L = 64  # front padding of window coordinate space
@@ -61,25 +61,49 @@ def _seg(name: str):
         SEG_TIMES[name] = SEG_TIMES.get(name, 0.0) + (time.time() - t0)
 
 
-def _prepStreams(buf: jnp.ndarray, L: int, uniform_len: int | None = None):
-    """Nibble-packed forward mates -> the aligner's 4-stream code pool
+def _prepStreams(
+    buf: jnp.ndarray,
+    L: int,
+    uniform_len: int | None = None,
+    exc: jnp.ndarray | None = None,
+):
+    """Packed forward mates -> the aligner's 4-stream code pool
     [c1, rc1, c2, rc2] plus the 2-stream forward pool and the device
     lengths, all on device.
 
     Reads cross the (slow, tunneled) host->device link as ONE buffer:
-    codes packed 2 per byte, plus a 2-byte per-read length trailer
+    codes packed 2 per byte (`exc is None`, lossless nibbles) or 4 per
+    byte plus an N-base exception list (`exc` = flat read*L+pos indices,
+    -1 padded — the upload is the single largest link item, and true
+    N bases are ~0.1% of Illumina bases, so shipping them as a side
+    list halves the transfer), plus a 2-byte per-read length trailer
     (uploading lengths separately would cost a second per-transfer
     round-trip).  Unpack, pad-masking and reverse-complement happen on
-    device in one fused dispatch.  Nibbles are lossless for code 4 (N
-    base), so scoring/N-exclusion semantics are identical to an int8
-    upload."""
+    device in one fused dispatch.  Both layouts reconstruct identical
+    code rows: N/pad code 4 survives, so scoring/N-exclusion semantics
+    match an int8 upload bit-for-bit (tests/test_align.py)."""
     from ..parallel.cohort import revCompDevice, unpackCodes4bit
 
     lens = (
         buf[:, -2].astype(jnp.int32)
         | (buf[:, -1].astype(jnp.int32) << 8)
     )
-    fwd = unpackCodes4bit(buf[:, :-2], L)
+    if exc is None:
+        fwd = unpackCodes4bit(buf[:, :-2], L)
+    else:
+        b = buf[:, :-2]
+        j = jnp.arange(L)
+        byte = b[:, j // 4]
+        shift = (2 * (j % 4)).astype(jnp.uint8)
+        fwd = ((byte >> shift) & 3).astype(jnp.int8)
+        # N positions packed as 0 (4 & 3) by the host: a scatter-ADD of
+        # 4 restores code 4 exactly; -1 pad entries add 0 at (0, 0)
+        ok = exc >= 0
+        r = jnp.where(ok, exc // L, 0)
+        c = jnp.where(ok, exc % L, 0)
+        fwd = fwd.at[r, c].add(
+            jnp.where(ok, jnp.int8(4), jnp.int8(0)), mode="drop"
+        )
     col = jnp.arange(L)[None, :]
     fwd = jnp.where(col < lens[:, None], fwd, BASE_PAD).astype(jnp.int8)
     n = fwd.shape[0] // 2
@@ -218,9 +242,9 @@ class GraphAligner:
         n_genes = table.n_genes
         pair_select = self._pair_select
 
-        def mono(buf, RL, uniform_len=None):
+        def mono(buf, RL, uniform_len=None, exc=None):
             codes_dev, codes_fwd, lens_dev = _prepStreams(
-                buf, RL, uniform_len=uniform_len
+                buf, RL, uniform_len=uniform_len, exc=exc
             )
             N = codes_fwd.shape[0] // 2
             cand_d, _ = _findCandidates(
@@ -270,12 +294,12 @@ class GraphAligner:
         p = self.p
         backbone, altdel = self._backbone, self._altdel
 
-        def monoTb(buf, RL, uniform_len=None):
-            w = mono(buf, RL, uniform_len)
+        def monoTb(buf, RL, uniform_len=None, exc=None):
+            w = mono(buf, RL, uniform_len, exc=exc)
             N = buf.shape[0] // 2
             HB, mrows = tracebackLayout(N, RL)
             codes_all, _, lens_all = _prepStreams(
-                buf, RL, uniform_len=uniform_len
+                buf, RL, uniform_len=uniform_len, exc=exc
             )
             # decode the packed winner rows (mirrors the host decode in
             # alignPairs) — g/d rows 0-3, byte-packed flags rows 5-8
@@ -667,6 +691,77 @@ class GraphAligner:
                 buf[:, -1] = (lens_fwd >> 8).astype(np.uint8)
         return buf, l1c, l2c
 
+    def _packUpload2bit(
+        self, codes1, len1, codes2, len2, buf_key="upload2_buf"
+    ):
+        """2-bit pack + N-base exception list -> (buf2, exc, l1c, l2c),
+        or None when the in-length N count overflows the exception
+        bucket (caller falls back to the lossless nibble layout).
+
+        Halves the dominant host->device transfer (~10.7 MB -> ~5.5 MB
+        per 64k-pair chunk on the tunneled link): bases ship 4 per byte
+        with N (code 4) packed as 0, plus a flat read*RL+pos index list
+        of the true N positions that a device scatter-ADD restores to
+        code 4 exactly (_prepStreams).  The exception bucket is
+        max(1024, pairs) entries — ~0.4% of bases at 64k chunks, >4x the
+        Illumina N rate; its shape rides the pair bucket, so no extra
+        monolith recompiles."""
+        from ..native_io import packUpload2bitNative
+
+        N = len(codes1)
+        RL = self.p.read_len
+        Wb = -(-RL // 4)
+        with _seg("pack_upload"):
+            l1c = np.ascontiguousarray(len1, dtype=np.int32)
+            l2c = np.ascontiguousarray(len2, dtype=np.int32)
+            c1 = np.ascontiguousarray(codes1, dtype=np.int8)
+            c2 = np.ascontiguousarray(codes2, dtype=np.int8)
+            EB = max(1024, N)
+            exc = np.full(EB, -1, np.int32)
+            buf = self._hostBuf(buf_key, (2 * N, Wb + 2), np.uint8)
+            total = packUpload2bitNative(c1, c2, l1c, l2c, buf, exc)
+            if total < 0:
+                # portable fallback (no native lib): numpy pack + scan
+                parts = []
+                total = 0
+                for half, (cc, ll) in enumerate(((c1, l1c), (c2, l2c))):
+                    rows, cols = np.nonzero(cc == 4)
+                    keep = cols < ll[rows]
+                    rows, cols = rows[keep], cols[keep]
+                    total += len(rows)
+                    if total > EB:
+                        return None
+                    parts.append(
+                        ((rows.astype(np.int64) + half * N) * RL + cols)
+                        .astype(np.int32)
+                    )
+                if total:
+                    exc[:total] = np.concatenate(parts)
+                buf[:N, :Wb] = packCodes2bit(c1)
+                buf[N:, :Wb] = packCodes2bit(c2)
+                lens_fwd = np.concatenate([l1c, l2c])
+                buf[:, -2] = (lens_fwd & 0xFF).astype(np.uint8)
+                buf[:, -1] = (lens_fwd >> 8).astype(np.uint8)
+            elif total > EB:
+                return None
+        return buf, exc, l1c, l2c
+
+    def _packAny(self, codes1, len1, codes2, len2, key_suffix=""):
+        """Pack a chunk for upload: 2-bit + exceptions when enabled and
+        the N count fits (KGT_UPLOAD_2BIT=0 disables), else nibbles.
+        -> (buf, exc_or_None, l1c, l2c)."""
+        if os.environ.get("KGT_UPLOAD_2BIT", "1") != "0":
+            got = self._packUpload2bit(
+                codes1, len1, codes2, len2,
+                buf_key="upload2_buf" + key_suffix,
+            )
+            if got is not None:
+                return got
+        buf, l1c, l2c = self._packUpload(
+            codes1, len1, codes2, len2, buf_key="upload_buf" + key_suffix
+        )
+        return buf, None, l1c, l2c
+
     def prepareUpload(self, codes1, len1, codes2, len2):
         """Pack + START uploading a (<= CHUNK_PAIRS) chunk ahead of its
         alignPairs call, so the host->device transfer (~40-70 MB/s on a
@@ -691,11 +786,12 @@ class GraphAligner:
         tid = threading.get_ident()
         toggle = toggles.get(tid, 0)
         toggles[tid] = 1 - toggle
-        buf, l1c, l2c = self._packUpload(
-            codes1, len1, codes2, len2, buf_key=f"upload_buf_pf{toggle}"
+        buf, exc, l1c, l2c = self._packAny(
+            codes1, len1, codes2, len2, key_suffix=f"_pf{toggle}"
         )
         return {
             "buf_dev": jnp.asarray(buf),
+            "exc_dev": None if exc is None else jnp.asarray(exc),
             "buf_shape": buf.shape,
             "codes1": codes1, "len1": len1,
             "codes2": codes2, "len2": len2,
@@ -720,6 +816,7 @@ class GraphAligner:
         len2: np.ndarray,
         host_work=None,
         prepared=None,
+        host_join=None,
     ) -> AlignResult:
         """Align mate pairs.  `host_work`, when given, is invoked once at
         the point where this batch's seed/score/pair-select kernels have
@@ -729,15 +826,20 @@ class GraphAligner:
         in that window).  host_work must not touch this aligner's
         persistent scratch buffers' current contents (the previous
         AlignResult views are still safe: scratch writes happen after
-        host_work returns).  `prepared` is a prepareUpload() handle for
-        THIS chunk: the upload is already in flight and the packed host
-        arrays inside it are used verbatim."""
+        host_work returns).  `host_join`, when given, is invoked after
+        this batch's blocking downloads but BEFORE any scratch write —
+        the last point where background work started in host_work may
+        still be reading the previous AlignResult's views (the stream
+        driver joins its threaded annotate there).  `prepared` is a
+        prepareUpload() handle for THIS chunk: the upload is already in
+        flight and the packed host arrays inside it are used verbatim."""
         if prepared is not None:
             assert prepared["n0"] == len(codes1)
             result = self._alignPairsInner(
                 prepared["codes1"], prepared["len1"],
                 prepared["codes2"], prepared["len2"],
                 host_work=host_work, prepared=prepared,
+                host_join=host_join,
             )
             N0 = prepared["n0"]
             if len(prepared["codes1"]) > N0:
@@ -774,6 +876,7 @@ class GraphAligner:
                     len2[s : s + self.CHUNK_PAIRS],
                     host_work=chunkWork,
                     prepared=prefetched.pop(s, None),
+                    host_join=host_join if s == 0 else None,
                 )
                 for k in AlignResult.__dataclass_fields__:
                     v = getattr(part, k)
@@ -786,7 +889,8 @@ class GraphAligner:
             codes1, len1, codes2, len2
         )
         result = self._alignPairsInner(
-            codes1, len1, codes2, len2, host_work=host_work
+            codes1, len1, codes2, len2, host_work=host_work,
+            host_join=host_join,
         )
         if len(codes1) > N0:
             result = self._trimResult(result, N0)
@@ -800,6 +904,7 @@ class GraphAligner:
         len2: np.ndarray,
         host_work=None,
         prepared=None,
+        host_join=None,
     ) -> AlignResult:
         N = len(codes1)
         RL = self.p.read_len
@@ -813,18 +918,20 @@ class GraphAligner:
         # its transfer is already in flight.
         if prepared is not None:
             buf_dev = prepared["buf_dev"]
+            exc_dev = prepared.get("exc_dev")
             buf_shape = prepared["buf_shape"]
             l1c, l2c = prepared["l1c"], prepared["l2c"]
         else:
-            buf, l1c, l2c = self._packUpload(codes1, len1, codes2, len2)
+            buf, exc, l1c, l2c = self._packAny(codes1, len1, codes2, len2)
             buf_dev = jnp.asarray(buf)
+            exc_dev = None if exc is None else jnp.asarray(exc)
             buf_shape = buf.shape
 
         # --- device: upload decode + seed + score + concordant pairing +
         # winner selection + ungapped-shortcut decision, fused into ONE
         # dispatch; download ONE packed array (one round-trip each way)
         w_d, pkx_d = self._device_mono_tb(
-            buf_dev, RL, _uniformLen(l1c, l2c)
+            buf_dev, RL, _uniformLen(l1c, l2c), exc=exc_dev
         )
         # start the device->host copies NOW: the runtime performs them as
         # soon as the monolith finishes, i.e. DURING the host_work window
@@ -866,6 +973,12 @@ class GraphAligner:
                 # against its own hard-job order before trusting pk
                 device_hard = (meta[:n_hard], start_col, delta)
             # else: overflow — _tracebackJobs re-dispatches the old path
+        if host_join is not None:
+            # last point where the PREVIOUS AlignResult's scratch views
+            # are untouched: background host work the caller started in
+            # host_work (e.g. the stream driver's threaded annotate)
+            # must finish before the finalize below overwrites them
+            host_join()
         g1, g2, d1, d2 = w[0:4].astype(np.int32)
         best = w[4].view(np.float16)
         by = w[5:9].astype(np.int32)  # byte-packed lo|hi<<8, all in [0,127]

@@ -204,33 +204,68 @@ def alignAnnotateEvidence(
         depth_sum = depth if depth_sum is None else depth_sum + depth
         pileup_sum = pileup if pileup_sum is None else pileup_sum + pileup
 
+    # annotate the previous chunk in a worker thread so it overlaps the
+    # CURRENT chunk's blocking downloads too, not just its kernels: the
+    # main thread releases the GIL inside the device->host copies, and
+    # the annotate core is a GIL-free native call, so the two genuinely
+    # run in parallel.  The thread only READS the previous chunk's
+    # scratch views, which stay valid until the current chunk's finalize
+    # — alignPairs' host_join hook joins exactly there.  chunk_hook
+    # callers keep the in-window path (hooks may assume the caller's
+    # thread); KGT_NO_THREAD_ANNOTATE=1 forces it for A/B runs.
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    use_thread = chunk_hook is None and not _os.environ.get(
+        "KGT_NO_THREAD_ANNOTATE"
+    )
+    pool = ThreadPoolExecutor(max_workers=1) if use_thread else None
+    ann: dict = {"fut": None}
+
+    def joinAnnotate():
+        fut = ann["fut"]
+        if fut is not None:
+            ann["fut"] = None
+            with _seg("join_annotate"):
+                fut.result()  # re-raises worker exceptions here
+
     prepared: dict[int, dict] = {}
-    for s in range(0, N, chunk):
-        nxt = s + chunk
+    try:
+        for s in range(0, N, chunk):
+            nxt = s + chunk
 
-        def hostWork(nxt=nxt):
-            # overlap window: annotate the previous chunk AND start the
-            # NEXT chunk's host->device upload (the transfer is the
-            # single largest critical-path item on a tunneled link —
-            # docs/BENCH_NOTES.md round 4)
-            if nxt < N:
-                with _seg("window_prefetch"):
-                    prepared[nxt] = aligner.prepareUpload(
-                        codes1[nxt : nxt + chunk], len1[nxt : nxt + chunk],
-                        codes2[nxt : nxt + chunk], len2[nxt : nxt + chunk],
-                    )
-            with _seg("window_annotate"):
-                annotatePending()
+            def hostWork(nxt=nxt):
+                # overlap window: annotate the previous chunk AND start
+                # the NEXT chunk's host->device upload (the transfer is
+                # the single largest critical-path item on a tunneled
+                # link — docs/BENCH_NOTES.md round 4)
+                if nxt < N:
+                    with _seg("window_prefetch"):
+                        prepared[nxt] = aligner.prepareUpload(
+                            codes1[nxt : nxt + chunk],
+                            len1[nxt : nxt + chunk],
+                            codes2[nxt : nxt + chunk],
+                            len2[nxt : nxt + chunk],
+                        )
+                if use_thread:
+                    ann["fut"] = pool.submit(annotatePending)
+                else:
+                    with _seg("window_annotate"):
+                        annotatePending()
 
-        result_next = aligner.alignPairs(
-            codes1[s : s + chunk], len1[s : s + chunk],
-            codes2[s : s + chunk], len2[s : s + chunk],
-            host_work=hostWork,
-            prepared=prepared.pop(s, None),
-        )
-        pending = (s, result_next)
-    with _seg("tail_annotate"):
-        annotatePending()
+            result_next = aligner.alignPairs(
+                codes1[s : s + chunk], len1[s : s + chunk],
+                codes2[s : s + chunk], len2[s : s + chunk],
+                host_work=hostWork,
+                prepared=prepared.pop(s, None),
+                host_join=joinAnnotate if use_thread else None,
+            )
+            pending = (s, result_next)
+        with _seg("tail_annotate"):
+            annotatePending()
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
 
     return mergeEvidence(annotator, evs), depth_sum, pileup_sum
 

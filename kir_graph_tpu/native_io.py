@@ -261,6 +261,44 @@ def packUploadNative(
     return True
 
 
+def packUpload2bitNative(
+    codes1: np.ndarray, codes2: np.ndarray,
+    len1: np.ndarray, len2: np.ndarray,
+    out: np.ndarray, exc: np.ndarray,
+) -> int:
+    """Fill the 2-bit upload buffer [2n, L/4+2] + the N-base exception
+    list in one threaded native pass.  Returns the TOTAL N count (may
+    exceed len(exc) — caller falls back to nibbles then), or -1 when
+    the native lib is absent/disabled or L % 4 != 0."""
+    lib = _loadLib()
+    n, L = codes1.shape
+    if (
+        not lib
+        or not hasattr(lib, "kgt_pack_reads2")
+        or os.environ.get("KGT_NO_NATIVE")
+        or L % 4
+    ):
+        return -1
+    for a, dt in (
+        (codes1, np.int8), (codes2, np.int8),
+        (len1, np.int32), (len2, np.int32),
+        (out, np.uint8), (exc, np.int32),
+    ):
+        if a.dtype != dt or not a.flags.c_contiguous:
+            return -1
+    lib.kgt_pack_reads2.restype = ctypes.c_int64
+    return int(lib.kgt_pack_reads2(
+        ctypes.c_int64(n), ctypes.c_int32(L),
+        codes1.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        codes2.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        len1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(exc)),
+    ))
+
+
 def packReadsNative(codes: np.ndarray) -> np.ndarray:
     """2-bit pack via the native library (fallback: encode.packCodes2bit)."""
     lib = _loadLib()

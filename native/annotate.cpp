@@ -20,6 +20,7 @@
 // All semantics (error correction, exon_only, thresholds) match the
 // oracle bit-for-bit; tests/test_native_annotate.py asserts equality.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -527,6 +528,54 @@ void kgt_pack_reads(
       o[H + 1] = (uint8_t)((len >> 8) & 0xFF);
     }
   });
+}
+
+// 2-bit variant of kgt_pack_reads: 4 codes/byte (code & 3, so N packs
+// as 0) plus the same 2-byte length trailer, and a flat r*L+i exception
+// index for every true N base (code 4) inside a read's length — the
+// device restores those to code 4 with one scatter-add.  Threads append
+// exceptions through an atomic cursor (order is irrelevant to the
+// scatter); the return value is the TOTAL N count, which may exceed
+// `eb` — the caller falls back to nibbles then.  L must be a multiple
+// of 4.
+int64_t kgt_pack_reads2(
+    int64_t n, int32_t L,
+    const int8_t* c1, const int8_t* c2,    // [n, L] each
+    const int32_t* l1, const int32_t* l2,  // [n] each
+    uint8_t* out,                          // [2n, L/4 + 2]
+    int32_t* exc, int64_t eb) {
+  const int32_t Q = L / 4, W = Q + 2;
+  std::atomic<int64_t> cursor{0};
+  parallelRows(2 * n, [&](int64_t r_lo, int64_t r_hi) {
+    int32_t local[64];
+    int32_t nloc = 0;
+    auto flush = [&]() {
+      if (!nloc) return;
+      int64_t at = cursor.fetch_add(nloc);
+      for (int32_t j = 0; j < nloc && at + j < eb; ++j)
+        exc[at + j] = local[j];
+      nloc = 0;
+    };
+    for (int64_t r = r_lo; r < r_hi; ++r) {
+      const int8_t* src = r < n ? c1 + r * L : c2 + (r - n) * L;
+      const int32_t len = r < n ? l1[r] : l2[r - n];
+      uint8_t* o = out + r * W;
+      for (int32_t i = 0; i < Q; ++i) {
+        const int8_t* s = src + 4 * i;
+        o[i] = (uint8_t)((s[0] & 3) | ((s[1] & 3) << 2) |
+                         ((s[2] & 3) << 4) | ((s[3] & 3) << 6));
+      }
+      o[Q] = (uint8_t)(len & 0xFF);
+      o[Q + 1] = (uint8_t)((len >> 8) & 0xFF);
+      for (int32_t i = 0; i < len; ++i)
+        if (src[i] == 4) {
+          if (nloc == 64) flush();
+          local[nloc++] = (int32_t)(r * (int64_t)L + i);
+        }
+    }
+    flush();
+  });
+  return cursor.load();
 }
 
 // Winner-oriented read buffer: out[r] = flags[r] ? revcomp(codes[r])

@@ -246,8 +246,8 @@ def test_fused_traceback_overflow_falls_back(synth_genes, synth_index, monkeypat
 
     orig = al._device_mono_tb
 
-    def overflowed(buf, RL, ul=None):
-        w, pkx = orig(buf, RL, ul)
+    def overflowed(buf, RL, ul=None, exc=None):
+        w, pkx = orig(buf, RL, ul, exc=exc)
         from kir_graph_tpu.align.pipeline import tracebackLayout
 
         pkx = np.asarray(pkx).copy()
@@ -308,8 +308,8 @@ def test_fused_traceback_order_mismatch_falls_back(
     orig = al._device_mono_tb
     scrambled_hard = []
 
-    def scrambled(buf, RL, ul=None):
-        w, pkx = orig(buf, RL, ul)
+    def scrambled(buf, RL, ul=None, exc=None):
+        w, pkx = orig(buf, RL, ul, exc=exc)
         pkx = np.asarray(pkx).copy()
         HB, mrows = tracebackLayout(buf.shape[0] // 2, RL)
         meta = np.frombuffer(
@@ -331,3 +331,73 @@ def test_fused_traceback_order_mismatch_falls_back(
     assert scrambled_hard and scrambled_hard[0] >= 2
     np.testing.assert_array_equal(got.cols_l, ref_cols[0])
     np.testing.assert_array_equal(got.cols_r, ref_cols[1])
+
+
+def _resultsEqual(a: AlignResult, b: AlignResult):
+    for k in AlignResult.__dataclass_fields__:
+        np.testing.assert_array_equal(
+            getattr(a, k), getattr(b, k), err_msg=k
+        )
+
+
+def test_2bit_upload_bit_identical(
+    synth_genes, synth_index, monkeypatch
+):
+    """The 2-bit + N-exception upload layout reconstructs the exact
+    same AlignResult as the lossless nibble layout, including reads
+    carrying real N bases."""
+    gene_key = list(synth_genes)[2]
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, 0), (gene_key, 2)],
+        depth=6, seed=11, error_rate=0.01,
+    )
+    # inject N bases (code 4) inside read lengths, incl. two in one
+    # read and one at a length boundary
+    rng = np.random.default_rng(5)
+    for cc, ll in ((c1, l1), (c2, l2)):
+        rows = rng.choice(len(cc), size=max(3, len(cc) // 10), replace=False)
+        for r in rows:
+            cc[r, int(rng.integers(0, ll[r]))] = 4
+    c1[0, 0] = 4
+    c1[0, 1] = 4
+    c2[1, l2[1] - 1] = 4
+
+    monkeypatch.setenv("KGT_UPLOAD_2BIT", "0")
+    al_nib = GraphAligner(synth_index)
+    ref = al_nib.alignPairs(c1, l1, c2, l2)
+    ref = AlignResult(**{
+        k: np.array(getattr(ref, k))
+        for k in AlignResult.__dataclass_fields__
+    })
+
+    monkeypatch.setenv("KGT_UPLOAD_2BIT", "1")
+    al2 = GraphAligner(synth_index)
+    got = al2.alignPairs(c1, l1, c2, l2)
+    _resultsEqual(got, ref)
+
+    # prepared-upload handle rides the same 2-bit layout
+    h = al2.prepareUpload(c1, l1, c2, l2)
+    assert h["exc_dev"] is not None
+    got2 = al2.alignPairs(c1, l1, c2, l2, prepared=h)
+    _resultsEqual(got2, ref)
+
+
+def test_2bit_upload_overflow_falls_back(synth_genes, synth_index):
+    """An N-count past the exception bucket silently uses nibbles."""
+    gene_key = list(synth_genes)[0]
+    sim, c1, l1, c2, l2 = simulateSample(
+        synth_genes, synth_index, [(gene_key, 0)], depth=4, seed=12
+    )
+    al = GraphAligner(synth_index)
+    ref = al.alignPairs(c1, l1, c2, l2)
+    ref_gene = np.array(ref.gene)
+    # saturate mate 1 with N: exceptions overflow max(1024, pairs)
+    c1n = c1.copy()
+    c1n[:, :] = 4
+    got_pack = al._packUpload2bit(c1n, l1, c2, l2)
+    assert got_pack is None
+    buf, exc, _, _ = al._packAny(c1n, l1, c2, l2)
+    assert exc is None  # fell back to the nibble layout
+    # and the all-N batch still aligns (mate 1 unmappable, no crash)
+    res = al.alignPairs(c1n, l1, c2, l2)
+    assert res.gene.shape == ref_gene.shape

@@ -171,3 +171,42 @@ def test_orient_rows_native_matches_numpy(monkeypatch):
     m = flags.astype(bool)
     want[m] = revCompCodes(codes[m], lens[m])
     np.testing.assert_array_equal(out, want)
+
+
+def test_pack2bit_native_matches_numpy():
+    """kgt_pack_reads2 == numpy pack + N-scan (buffer bytes and the
+    exception SET — thread append order is unspecified)."""
+    from kir_graph_tpu.align.encode import packCodes2bit
+    from kir_graph_tpu.native_io import packUpload2bitNative
+
+    rng = np.random.default_rng(9)
+    n, L = 257, 160
+    c1 = rng.integers(0, 5, (n, L)).astype(np.int8)
+    c2 = rng.integers(0, 5, (n, L)).astype(np.int8)
+    l1 = rng.integers(40, L + 1, n).astype(np.int32)
+    l2 = rng.integers(40, L + 1, n).astype(np.int32)
+    Wb = L // 4
+    buf = np.zeros((2 * n, Wb + 2), np.uint8)
+    exc = np.full(2 * n * L, -1, np.int32)
+    total = packUpload2bitNative(c1, c2, l1, l2, buf, exc)
+    if total < 0:
+        pytest.skip("native lib unavailable")
+
+    ref = np.zeros_like(buf)
+    ref[:n, :Wb] = packCodes2bit(c1)
+    ref[n:, :Wb] = packCodes2bit(c2)
+    lens = np.concatenate([l1, l2])
+    ref[:, -2] = (lens & 0xFF).astype(np.uint8)
+    ref[:, -1] = (lens >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(buf, ref)
+
+    want = set()
+    for half, (cc, ll) in enumerate(((c1, l1), (c2, l2))):
+        rows, cols = np.nonzero(cc == 4)
+        keep = cols < ll[rows]
+        want |= set(
+            ((rows[keep] + half * n).astype(np.int64) * L + cols[keep])
+            .tolist()
+        )
+    assert total == len(want)
+    assert set(exc[exc >= 0].tolist()) == want
