@@ -267,7 +267,9 @@ def alignAnnotateEvidence(
         if pool is not None:
             pool.shutdown(wait=True)
 
-    return mergeEvidence(annotator, evs), depth_sum, pileup_sum
+    with _seg("merge_evidence"):
+        merged = mergeEvidence(annotator, evs)
+    return merged, depth_sum, pileup_sum
 
 
 def _deviceAnnotateDriver(
