@@ -834,17 +834,12 @@ class GraphAligner:
         prepareUpload() handle for THIS chunk: the upload is already in
         flight and the packed host arrays inside it are used verbatim."""
         if prepared is not None:
-            assert prepared["n0"] == len(codes1)
-            result = self._alignPairsInner(
-                prepared["codes1"], prepared["len1"],
-                prepared["codes2"], prepared["len2"],
-                host_work=host_work, prepared=prepared,
-                host_join=host_join,
+            return self.finishPairs(
+                self.dispatchPairs(
+                    codes1, len1, codes2, len2, prepared=prepared
+                ),
+                host_work=host_work, host_join=host_join,
             )
-            N0 = prepared["n0"]
-            if len(prepared["codes1"]) > N0:
-                result = self._trimResult(result, N0)
-            return result
         N0 = len(codes1)
         if N0 > self.CHUNK_PAIRS:
             # copy each chunk's fields BEFORE the next chunk runs: chunk
@@ -884,16 +879,47 @@ class GraphAligner:
                         out[k] = np.empty((N0,) + v.shape[1:], v.dtype)
                     out[k][s : s + len(v)] = v
             return AlignResult(**out)
-        # bucket the pair count so XLA shapes repeat across batches
-        codes1, len1, codes2, len2, _ = self._padToBucket(
-            codes1, len1, codes2, len2
+        return self.finishPairs(
+            self.dispatchPairs(codes1, len1, codes2, len2),
+            host_work=host_work, host_join=host_join,
         )
-        result = self._alignPairsInner(
-            codes1, len1, codes2, len2, host_work=host_work,
-            host_join=host_join,
+
+    def dispatchPairs(
+        self, codes1, len1, codes2, len2, prepared=None
+    ) -> dict:
+        """Dispatch one <= CHUNK_PAIRS chunk's device phase (pack,
+        upload, fused monolith, async output copies) without blocking;
+        finish it with finishPairs.  Up to TWO handles may safely be in
+        flight at once (finalize scratch is double-buffered: a finished
+        AlignResult's views stay valid until the SECOND finishPairs
+        call after it).  NOTE: the streamed driver deliberately keeps
+        ONE handle in flight — queuing program k+1 ahead of chunk k's
+        output downloads starves them on a tunneled link's serialized
+        command queue (measured REJECT, docs/BENCH_NOTES.md round 4);
+        2-deep dispatch remains correct for locally attached chips."""
+        if prepared is not None:
+            assert prepared["n0"] == len(codes1)
+            h = self._dispatchInner(
+                prepared["codes1"], prepared["len1"],
+                prepared["codes2"], prepared["len2"],
+                prepared=prepared,
+            )
+            h["n0"] = prepared["n0"]
+            return h
+        assert len(codes1) <= self.CHUNK_PAIRS
+        c1, l1, c2, l2, N0 = self._padToBucket(codes1, len1, codes2, len2)
+        h = self._dispatchInner(c1, l1, c2, l2)
+        h["n0"] = N0
+        return h
+
+    def finishPairs(self, h: dict, host_work=None, host_join=None):
+        """Blocking half of dispatchPairs: downloads + traceback +
+        finalize -> AlignResult (trimmed to the dispatched row count)."""
+        result = self._finishInner(
+            h, host_work=host_work, host_join=host_join
         )
-        if len(codes1) > N0:
-            result = self._trimResult(result, N0)
+        if len(h["codes1"]) > h["n0"]:
+            result = self._trimResult(result, h["n0"])
         return result
 
     def _alignPairsInner(
@@ -906,12 +932,24 @@ class GraphAligner:
         prepared=None,
         host_join=None,
     ) -> AlignResult:
-        N = len(codes1)
+        h = self._dispatchInner(codes1, len1, codes2, len2,
+                                prepared=prepared)
+        return self._finishInner(h, host_work=host_work,
+                                 host_join=host_join)
+
+    def _dispatchInner(
+        self, codes1, len1, codes2, len2, prepared=None
+    ) -> dict:
+        """Device half of one chunk: pack/upload + the fused monolith
+        dispatch + async output copies.  Returns a handle for
+        _finishInner; nothing blocks here, so a second chunk can be
+        dispatched before the first is finished (the device then runs
+        them back to back with no idle gap)."""
         RL = self.p.read_len
 
-        # --- host: build the ONE upload buffer — nibble-packed forward
-        # mates + a 2-byte length trailer per read; reverse-complement
-        # streams are derived on device (4x fewer bytes and one
+        # --- host: build the ONE upload buffer — packed forward mates
+        # + a 2-byte length trailer per read; reverse-complement
+        # streams are derived on device (fewer bytes and one
         # round-trip across the link).  Packing is one threaded native
         # pass into persistent scratch (numpy fallback: concatenate +
         # packCodes4bit).  A prepareUpload() handle skips all of this —
@@ -945,6 +983,20 @@ class GraphAligner:
                     _out.copy_to_host_async()
                 except Exception:  # backend without async D2H: harmless
                     break
+        return {
+            "w_d": w_d, "pkx_d": pkx_d, "buf_shape": buf_shape,
+            "codes1": codes1, "len1": len1,
+            "codes2": codes2, "len2": len2,
+        }
+
+    def _finishInner(
+        self, h: dict, host_work=None, host_join=None
+    ) -> AlignResult:
+        codes1, len1 = h["codes1"], h["len1"]
+        codes2, len2 = h["codes2"], h["len2"]
+        buf_shape = h["buf_shape"]
+        N = len(codes1)
+        RL = self.p.read_len
         if host_work is not None:
             # everything device-side for this batch is dispatched —
             # including the hard-job traceback, fused into the same
@@ -954,10 +1006,10 @@ class GraphAligner:
             # stay valid until this returns.
             host_work()
         with _seg("download_winners"):
-            w = np.asarray(w_d)  # [9, N] int16
+            w = np.asarray(h["w_d"])  # [9, N] int16
         device_hard = None
         with _seg("download_tb"):
-            pkx = np.asarray(pkx_d)  # ONE transfer: meta rows + pk rows
+            pkx = np.asarray(h["pkx_d"])  # ONE transfer: meta + pk rows
             HB, mrows = tracebackLayout(buf_shape[0] // 2, RL)
             assert mrows + HB == pkx.shape[0], (mrows, HB, pkx.shape)
             meta = np.frombuffer(
@@ -996,13 +1048,22 @@ class GraphAligner:
 
         # oriented-read buffers for the annotator: reverse-complement only
         # the rows whose winner is the rc stream (host rc of the full
-        # batch would double the work for nothing)
+        # batch would double the work for nothing).  Scratch is
+        # double-buffered (toggle suffix): with two chunks in flight the
+        # previous AlignResult's views must survive THIS finalize — they
+        # stay valid until the second finish after theirs.
+        import threading
+
+        tog = self.__dict__.setdefault("_fin_toggles", {})
+        tid = threading.get_ident()
+        t = tog.get(tid, 0)
+        tog[tid] = 1 - t
         l1, l2 = len1.astype(np.int32), len2.astype(np.int32)
         with _seg("orient_bufs"):
             from ..native_io import orientRowsNative
 
-            oc1 = self._hostBuf("oc1", (N, RL), np.int8)
-            oc2 = self._hostBuf("oc2", (N, RL), np.int8)
+            oc1 = self._hostBuf(f"oc1_{t}", (N, RL), np.int8)
+            oc2 = self._hostBuf(f"oc2_{t}", (N, RL), np.int8)
             for oc, codes, ln, isrc in (
                 (oc1, codes1, l1, isrc1), (oc2, codes2, l2, isrc2),
             ):
@@ -1017,8 +1078,8 @@ class GraphAligner:
 
         midx = np.nonzero(mapped)[0]
         with _seg("cols_fill"):
-            cols_l = self._hostBuf("cols_l", (N, RL), np.int32)
-            cols_r = self._hostBuf("cols_r", (N, RL), np.int32)
+            cols_l = self._hostBuf(f"cols_l_{t}", (N, RL), np.int32)
+            cols_r = self._hostBuf(f"cols_r_{t}", (N, RL), np.int32)
             # mapped rows are fully overwritten by the column finalize
             # (easy synthesis and hard traceback both write every column
             # of both mates) — only unmapped rows need the -1 pad, so

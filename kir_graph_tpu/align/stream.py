@@ -229,6 +229,14 @@ def alignAnnotateEvidence(
             with _seg("join_annotate"):
                 fut.result()  # re-raises worker exceptions here
 
+    # 1-deep pipeline: chunk k+1's UPLOAD is prefetched inside chunk
+    # k's window, but its monolith dispatch waits until chunk k's
+    # downloads are done.  A 2-deep variant (dispatch k+1 before
+    # finishing k, via dispatchPairs/finishPairs) was measured and
+    # REJECTED on the tunneled TPU: queuing program k+1 ahead of chunk
+    # k's output downloads starves them on the link's serialized
+    # command queue (download_winners 1237 ms vs ~550 for 4 chunks;
+    # 194-250k vs 322-344k reads/s — docs/BENCH_NOTES.md round 4).
     prepared: dict[int, dict] = {}
     try:
         for s in range(0, N, chunk):
