@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -47,6 +48,7 @@ def tracebackLayout(n_pairs: int, RL: int) -> tuple[int, int]:
 # is set (scripts/profile_host_path.py reads this to attribute the
 # "host numpy/other" bucket).
 SEG_TIMES: dict[str, float] = {}
+_SEG_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -58,7 +60,11 @@ def _seg(name: str):
     try:
         yield
     finally:
-        SEG_TIMES[name] = SEG_TIMES.get(name, 0.0) + (time.time() - t0)
+        # the threaded annotate runs _seg on worker AND main threads;
+        # the read-modify-write must be atomic or profile time is lost
+        dt = time.time() - t0
+        with _SEG_LOCK:
+            SEG_TIMES[name] = SEG_TIMES.get(name, 0.0) + dt
 
 
 def _prepStreams(
@@ -711,6 +717,12 @@ class GraphAligner:
         N = len(codes1)
         RL = self.p.read_len
         Wb = -(-RL // 4)
+        # the exception list carries flat read*RL+pos indices in int32
+        # (native AND numpy paths); a raised KGT_CHUNK_PAIRS can push
+        # 2N*RL past int32 and silently wrap the scatter indices -> use
+        # the lossless nibble layout instead
+        if 2 * N * RL > np.iinfo(np.int32).max:
+            return None
         with _seg("pack_upload"):
             l1c = np.ascontiguousarray(len1, dtype=np.int32)
             l2c = np.ascontiguousarray(len2, dtype=np.int32)
@@ -725,7 +737,11 @@ class GraphAligner:
                 parts = []
                 total = 0
                 for half, (cc, ll) in enumerate(((c1, l1c), (c2, l2c))):
-                    rows, cols = np.nonzero(cc == 4)
+                    # >= 4 matches packCodes2bit's masking: any
+                    # out-of-contract code > 4 packs as 0 and gets an
+                    # exception entry, so it reconstructs as N (4)
+                    # instead of silently becoming A
+                    rows, cols = np.nonzero(cc >= 4)
                     keep = cols < ll[rows]
                     rows, cols = rows[keep], cols[keep]
                     total += len(rows)
@@ -780,8 +796,6 @@ class GraphAligner:
         # per-sample chains may share one aligner), so the double-buffer
         # cursor must be too — a shared cursor could hand one thread the
         # same buffer twice in a row while its first upload is in flight
-        import threading
-
         toggles = self.__dict__.setdefault("_pf_toggles", {})
         tid = threading.get_ident()
         toggle = toggles.get(tid, 0)
@@ -960,7 +974,18 @@ class GraphAligner:
             buf_shape = prepared["buf_shape"]
             l1c, l2c = prepared["l1c"], prepared["l2c"]
         else:
-            buf, exc, l1c, l2c = self._packAny(codes1, len1, codes2, len2)
+            # double-buffer the pack scratch per dispatch (per thread,
+            # like prepareUpload's _pf_toggles): dispatchPairs allows a
+            # second handle in flight, and packing it into the SAME host
+            # buffer could overwrite bytes whose host->device transfer
+            # from the first dispatch has not completed yet
+            toggles = self.__dict__.setdefault("_disp_toggles", {})
+            tid = threading.get_ident()
+            toggle = toggles.get(tid, 0)
+            toggles[tid] = 1 - toggle
+            buf, exc, l1c, l2c = self._packAny(
+                codes1, len1, codes2, len2, key_suffix=f"_d{toggle}"
+            )
             buf_dev = jnp.asarray(buf)
             exc_dev = None if exc is None else jnp.asarray(exc)
             buf_shape = buf.shape

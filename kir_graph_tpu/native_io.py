@@ -277,6 +277,10 @@ def packUpload2bitNative(
         or not hasattr(lib, "kgt_pack_reads2")
         or os.environ.get("KGT_NO_NATIVE")
         or L % 4
+        # the native exception index is int32 (read*L + pos); a raised
+        # KGT_CHUNK_PAIRS could overflow it and silently corrupt the
+        # N-restoration scatter -> take the lossless nibble fallback
+        or 2 * n * L > np.iinfo(np.int32).max
     ):
         return -1
     for a, dt in (

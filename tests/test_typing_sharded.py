@@ -94,6 +94,37 @@ def test_sharded_beam_rejects_candidate_steps(typed_world):
         sharded.addCandidate(some)  # second step hits the beam
 
 
+def test_exonfirst_stage2_takes_host_route(typed_world):
+    """Pins the documented contract (parallel/typing.py): exonfirst's
+    candidate-restricted intron completion must run on the HOST beam —
+    a ShardedAlleleTyping wired into its stage 2 raises rather than
+    silently computing on one chip, and the identical candidate steps
+    complete on the host model it is built from."""
+    from kir_graph_tpu.parallel.typing import ShardedAlleleTyping
+
+    ann, ev = typed_world
+    bundle = ann.evidenceBundle(ev)
+    gene_ev, gene_vars = bundle.splitByGene()
+    gene = sorted(gene_ev)[0]
+    host = AlleleTyping.fromEvidence(gene_ev[gene], gene_vars[gene])
+    cands = [
+        [host.id_to_allele[0], host.id_to_allele[1]],
+        [host.id_to_allele[0]],
+    ]
+    # host route (what exonfirst.typingIntron actually does): fine
+    for cand in cands:
+        host.addCandidate(cand)
+    assert host.result[-1].selectBest()
+
+    sharded = ShardedAlleleTyping.fromModel(
+        AlleleTyping.fromEvidence(gene_ev[gene], gene_vars[gene]),
+        _meshOf((8, 1), ("data", "model")),
+    )
+    with pytest.raises(NotImplementedError):
+        for cand in cands:
+            sharded.addCandidate(cand)
+
+
 def test_sharded_cn_grid_matches_host():
     from kir_graph_tpu.cn.models import CNgroup
     from kir_graph_tpu.parallel.typing import shardedCNFit
