@@ -82,6 +82,12 @@ def createParser() -> argparse.ArgumentParser:
         help="Local reference genome FASTA for the WGS extraction stage",
     )
     parser.add_argument(
+        "--wgs-index-folder",
+        help="Folder holding (or to receive) the reference genome "
+        "(hs37d5.fa.gz / hs38noalt.fa.gz); used when --wgs-genome is "
+        "not given (reference main.py:72-90)",
+    )
+    parser.add_argument(
         "--ref-genome", default="hg19", choices=["hg19", "hg38"],
         help="Region coordinate set for WGS extraction",
     )
@@ -193,12 +199,22 @@ def main(args: argparse.Namespace) -> None:
 
     # ---- optional WGS extraction stage
     diploid_depths = ["" for _ in names]
-    if args.wgs_genome and not args.step_skip_extraction:
-        from ..wgs.extract import buildWgsIndex, extractKirReads
+    wgs_genome = args.wgs_genome
+    if not wgs_genome and getattr(args, "wgs_index_folder", None):
+        from ..wgs.genome import buildGenomeIndex
 
+        wgs_genome = buildGenomeIndex(
+            args.wgs_index_folder, args.ref_genome,
+            diploid_gene=args.cn_diploid_gene,
+        )
+    if wgs_genome and not args.step_skip_extraction:
+        from ..wgs.extract import buildWgsIndex, extractKirReads
+        from ..wgs.genome import validateGenome
+
+        validateGenome(wgs_genome, args.ref_genome, args.cn_diploid_gene)
         diploid_gene = args.cn_diploid_gene if not args.cn_cohort else ""
         wgs = buildWgsIndex(
-            args.wgs_genome, args.ref_genome, diploid_gene=diploid_gene
+            wgs_genome, args.ref_genome, diploid_gene=diploid_gene
         )
         new_names, new_reads = [], []
         for i, (name, (fq1, fq2)) in enumerate(zip(names, reads)):

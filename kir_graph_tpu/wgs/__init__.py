@@ -5,3 +5,9 @@ from .extract import (
     buildWgsIndex,
     extractKirReads,
 )
+from .genome import (
+    buildGenomeIndex,
+    downloadHg19,
+    downloadHg38,
+    validateGenome,
+)

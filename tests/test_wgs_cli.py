@@ -131,3 +131,71 @@ def test_wgs_extraction_qa(tmp_path, synth_genes, synth_index):
     assert bg_row["kept_frac"] < 0.05
     # kept KIR reads land on the right graph gene
     assert qa.migration.loc[gname.split("*")[0], gname] > 0
+
+
+# ----------------------------------------------------------------------
+# genome plumbing (reference wgs.py:33-55 + main.py:72-90 surface)
+# ----------------------------------------------------------------------
+def test_build_genome_index_resolves_local_file(tmp_path, monkeypatch):
+    import kir_graph_tpu.wgs.extract as wx
+    import kir_graph_tpu.wgs.genome as wg
+    from kir_graph_tpu.msa.genemsa import writeFasta
+
+    monkeypatch.setattr(
+        wx, "KIR_REGIONS", {"hg19": ["chrT:1-40"], "hg38": []}
+    )
+    fa = tmp_path / "hs37d5.fa.gz"
+    import gzip
+
+    with gzip.open(fa, "wt") as f:
+        f.write(">chrT here be dragons\nACGTACGTAC\nACGT\n")
+    got = wg.buildGenomeIndex(str(tmp_path), "hg19")
+    assert got == str(fa)
+
+
+def test_build_genome_index_accepts_unpacked_copy(tmp_path, monkeypatch):
+    import kir_graph_tpu.wgs.extract as wx
+    import kir_graph_tpu.wgs.genome as wg
+
+    monkeypatch.setattr(wx, "KIR_REGIONS", {"hg19": ["chrT:1-8"]})
+    with open(tmp_path / "hs37d5.fa", "w") as f:
+        f.write(">chrT\nACGTACGT\n")
+    assert wg.buildGenomeIndex(str(tmp_path), "hg19").endswith("hs37d5.fa")
+
+
+def test_build_genome_index_offline_raises_with_url(tmp_path, monkeypatch):
+    import kir_graph_tpu.wgs.genome as wg
+
+    monkeypatch.setattr(wg, "toolAvailable", lambda b: False)
+    with pytest.raises(FileNotFoundError, match="ftp.ncbi.nlm.nih.gov"):
+        wg.buildGenomeIndex(str(tmp_path), "hg38")
+    with pytest.raises(ValueError, match="Unsupported"):
+        wg.buildGenomeIndex(str(tmp_path), "t2t")
+
+
+def test_validate_genome_reports_missing_contigs(tmp_path):
+    import kir_graph_tpu.wgs.genome as wg
+
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">19\nACGT\n>chrX\nACGT\n")
+    # hg19 KIR window is on 19 + GL000209.1; only 19 is present
+    missing = wg.validateGenome(str(fa), "hg19")
+    assert missing == ["GL000209.1"]
+    missing = wg.validateGenome(str(fa), "hg19", diploid_gene="VDR")
+    assert missing == ["12", "GL000209.1"]
+    with pytest.raises(ValueError, match="no FASTA"):
+        empty = tmp_path / "e.fa"
+        empty.write_text("")
+        wg.validateGenome(str(empty), "hg19")
+
+
+def test_cli_wgs_index_folder_flag(tmp_path):
+    from kir_graph_tpu.pipeline.main import createParser
+
+    args = createParser().parse_args(
+        ["--r1", "a", "--r2", "b", "--index-prefix", "i",
+         "--wgs-index-folder", str(tmp_path), "--ref-genome", "hg38"]
+    )
+    assert args.wgs_index_folder == str(tmp_path)
+    assert args.ref_genome == "hg38"
