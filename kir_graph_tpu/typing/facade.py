@@ -1,10 +1,19 @@
 """
 Typing façade: dispatch full / exonfirst / em strategies over the per-gene
-reads with given CN (reference kir_typing.py).
+reads with given CN.
+
+Behavioural parity target: reference kir_typing.py (Typing:31-74,
+TypingWithPosNegAllele:77-151, TypingWithReport:153-204,
+selectKirTypingModel:207-228) — the reference-code oracle pins exact
+agreement, so call semantics must match even where the structure here
+doesn't.  The array-native evidence route (EvidenceBundle CSRs, no
+PairRead materialisation) is this build's default product path; the
+JSON/PairRead route exists for `.variant.json` interoperability.
 """
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 from typing import Any
 
 from ..utils import NumpyEncoder, logger
@@ -22,8 +31,50 @@ from .pairread import (
 )
 
 
+def _genericAllele(gene: str) -> str:
+    """Backbone name -> the bare 'GENE*' fail call (kir_typing.py:126-131)."""
+    return gene.split("*")[0] + "*"
+
+
+@dataclass
+class _GeneSources:
+    """Per-gene typing inputs, whichever ingestion route produced them."""
+
+    per_gene: dict[str, Any]  # gene -> evidence CSR | PairRead list
+    variants: dict[str, Any]
+    from_evidence: bool
+
+    def usable(self, gene: str) -> bool:
+        # CN>0 with no unique passing reads happens on the provided-CN
+        # path; the reference's defaultdicts then type zero alleles and
+        # emit GENE* — callers short-circuit to the same outcome
+        return bool(self.per_gene.get(gene)) and bool(
+            self.variants.get(gene)
+        )
+
+
+def _ingest(
+    filename_variant_json: str,
+    reads_data: ReadsAndVariantsData | None,
+    evidence: EvidenceBundle | None,
+    multiple: bool,
+) -> _GeneSources:
+    if evidence is not None:
+        ev, variants = evidence.splitByGene(multiple=multiple)
+        return _GeneSources(ev, variants, True)
+    if reads_data is None:
+        reads_data = loadReadsAndVariantsData(filename_variant_json)
+    if not multiple:
+        reads_data = removeMultipleMapped(reads_data)
+    return _GeneSources(
+        groupReads(reads_data["reads"]),
+        groupVariants(reads_data["variants"]),
+        False,
+    )
+
+
 class Typing:
-    """Abstract typing driver (reference kir_typing.py:31-74)."""
+    """Strategy base: per-gene typing + cross-gene driver."""
 
     def __init__(self) -> None:
         self._result: dict[str, Any] = {}
@@ -53,7 +104,7 @@ class Typing:
 
 
 class TypingWithPosNegAllele(Typing):
-    """The proposed pos/neg-variant maximum-likelihood method."""
+    """Pos/neg-variant maximum-likelihood typing (the paper's method)."""
 
     def __init__(
         self,
@@ -68,90 +119,60 @@ class TypingWithPosNegAllele(Typing):
         variant_correction: bool = False,
     ):
         super().__init__()
-        self._gene_evidence = None
-        if evidence is not None:
-            # array-native product path: per-gene evidence CSRs, no
-            # PairRead materialisation (except inside exonfirst)
-            self._gene_evidence, self._gene_variants = evidence.splitByGene(
-                multiple=multiple
+        self._src = _ingest(
+            filename_variant_json, reads_data, evidence, multiple
+        )
+        # strategy is fixed at construction: pick the model class and its
+        # extra kwargs once, so typingPerGene stays branch-free
+        self._model_opts: dict[str, Any] = dict(top_n=top_n)
+        if exon_first or exon_only:
+            self._model_cls: type[AlleleTyping] = AlleleTypingExonFirst
+            self._model_opts.update(
+                exon_only=exon_only,
+                candidate_set_threshold=exon_candidate_threshold,
             )
-            self._gene_reads = None
         else:
-            if reads_data is None:
-                reads_data = loadReadsAndVariantsData(filename_variant_json)
-            if not multiple:
-                reads_data = removeMultipleMapped(reads_data)
-            self._gene_reads = groupReads(reads_data["reads"])
-            self._gene_variants = groupVariants(reads_data["variants"])
-        self._top_n = top_n
-        self._exon_first = exon_first
-        self._exon_only = exon_only
-        self._exon_candidate_threshold = exon_candidate_threshold
-        self._variant_correction = variant_correction
+            self._model_cls = AlleleTyping
+            self._model_opts.update(variant_correction=variant_correction)
+
+    def _fit(self, gene: str) -> AlleleTyping:
+        factory = (
+            self._model_cls.fromEvidence
+            if self._src.from_evidence
+            else self._model_cls
+        )
+        return factory(
+            self._src.per_gene[gene],
+            self._src.variants[gene],
+            force_homo=False if isHetrozygous(gene) else None,
+            **self._model_opts,
+        )
 
     def typingPerGene(self, gene: str, cn: int) -> tuple[list[str], int]:
         logger.debug(f"[Allele] {gene=} {cn=}")
-        force_homo = False if isHetrozygous(gene) else None
-
-        # CN>0 but no unique passing reads (e.g. provided-CN path): the
-        # reference's defaultdicts yield empty reads+variants -> zero alleles
-        # -> "fail" -> GENE* (kir_typing.py:126-131). Short-circuit that.
-        gene_src = (
-            self._gene_evidence
-            if self._gene_evidence is not None
-            else self._gene_reads
-        )
-        if not gene_src.get(gene) or not self._gene_variants.get(gene):
+        if not self._src.usable(gene):
             logger.warning(f"[Allele] {gene} has no reads; returning fail")
-            pure_gene = gene.split("*")[0]
-            return [f"{pure_gene}*"] * cn, 0
-
-        # one dispatch table instead of four constructor calls: the
-        # evidence path (array-native CSR, no PairRead objects) and the
-        # list path share kwargs per strategy
-        use_ev = self._gene_evidence is not None
-        src = (
-            self._gene_evidence[gene] if use_ev else self._gene_reads[gene]
+            return [_genericAllele(gene)] * cn, 0
+        model = self._fit(gene)
+        best = model.typing(cn).selectBest()
+        self._result[gene] = model.result
+        fallback = _genericAllele(gene)
+        return (
+            [a if a != "fail" else fallback for a in best],
+            model.getReadsNum(),
         )
-        if self._exon_first or self._exon_only:
-            build = (
-                AlleleTypingExonFirst.fromEvidence
-                if use_ev
-                else AlleleTypingExonFirst
-            )
-            extra = dict(
-                exon_only=self._exon_only,
-                candidate_set_threshold=self._exon_candidate_threshold,
-            )
-        else:
-            build = AlleleTyping.fromEvidence if use_ev else AlleleTyping
-            extra = dict(variant_correction=self._variant_correction)
-        typ = build(
-            src,
-            self._gene_variants[gene],
-            force_homo=force_homo,
-            top_n=self._top_n,
-            **extra,
-        )
-        res = typ.typing(cn)
-        self._result[gene] = typ.result
-        pure_gene = gene.split("*")[0]  # KIR2DL1*BACKBONE -> KIR2DL1
-        called = [
-            a if a != "fail" else f"{pure_gene}*" for a in res.selectBest()
-        ]
-        return called, typ.getReadsNum()
 
     def getAllPossibleTyping(self) -> list[dict[Any, Any]]:
-        possible = []
+        rows: list[dict[Any, Any]] = []
         for gene, result in self._result.items():
-            for rank, (value, alleles) in enumerate(
-                result[-1].selectAllPossible(0.9)
-            ):
-                row: dict[Any, Any] = {"gene": gene, "rank": rank, "value": value}
-                for i, allele in enumerate(alleles):
-                    row[str(i + 1)] = allele
-                possible.append(row)
-        return possible
+            ranked = result[-1].selectAllPossible(0.9)
+            for rank, (value, alleles) in enumerate(ranked):
+                row: dict[Any, Any] = dict(gene=gene, rank=rank, value=value)
+                row.update(
+                    {str(i + 1): a for i, a in enumerate(alleles)}
+                )
+                rows.append(row)
+        return rows
 
 
 class TypingWithReport(Typing):
@@ -165,32 +186,36 @@ class TypingWithReport(Typing):
     ):
         super().__init__()
         if reads_data is None:
-            if evidence is not None:
-                reads_data = evidence.toReadsData()
-            else:
-                reads_data = loadReadsAndVariantsData(filename_variant_json)
-        reads_data = removeMultipleMapped(reads_data)
-        self._gene_reads = preprocessHisatReads(reads_data)
+            reads_data = (
+                evidence.toReadsData()
+                if evidence is not None
+                else loadReadsAndVariantsData(filename_variant_json)
+            )
+        self._gene_reads = preprocessHisatReads(
+            removeMultipleMapped(reads_data)
+        )
 
     def typingPerGene(self, gene: str, cn: int) -> tuple[list[str], int]:
         if not self._gene_reads.get(gene):
             logger.warning(f"[Allele] {gene} has no reads; returning fail")
-            pure_gene = gene.split("*")[0]
-            return [f"{pure_gene}*"] * cn, 0
-        report = hisat2TypingPerGene(self._gene_reads[gene])
-        report = sorted(report, key=lambda i: -i.prob)
-
+            return [_genericAllele(gene)] * cn, 0
+        ranked = sorted(
+            hisat2TypingPerGene(self._gene_reads[gene]),
+            key=lambda r: -r.prob,
+        )
+        # apportion the CN budget by abundance: each allele claims
+        # round(prob * cn) copies (>=1), top-down until the budget runs
+        # out; est_prob division kept verbatim for float-exact parity
         est_prob = 1 / cn
-        called = []
-        for allele in report:
-            pred_count = max(1, round(allele.prob / est_prob))
-            for _ in range(min(cn, pred_count)):
-                called.append(allele.allele)
-            allele.cn = pred_count
-            cn -= pred_count
+        called: list[str] = []
+        for entry in ranked:
+            claimed = max(1, round(entry.prob / est_prob))
+            called.extend([entry.allele] * min(cn, claimed))
+            entry.cn = claimed
+            cn -= claimed
             if cn <= 0:
                 break
-        self._result[gene] = report
+        self._result[gene] = ranked
         return called, len(self._gene_reads[gene])
 
     def save(self, filename: str) -> None:
@@ -209,24 +234,21 @@ def selectKirTypingModel(
     **kwargs: Any,
 ) -> Typing:
     """full | exonfirst[_t] | em (reference kir_typing.py:207-228)."""
+    if method == "em":
+        for k in ("top_n", "variant_correction"):
+            kwargs.pop(k, None)
+        return TypingWithReport(filename_variant_json, **kwargs)
     if method == "full":
         return TypingWithPosNegAllele(filename_variant_json, **kwargs)
-    if method.startswith("exonfirst"):
-        fields = method.split("_")
-        # bare "exonfirst" -> 0.0 mirrors the reference exactly
-        # (kir_typing.py:217); like the reference's main.py:190, the CLI
-        # rewrites bare exonfirst to exonfirst_1 before reaching here
-        threshold = 0.0
-        if len(fields) == 2:
-            threshold = float(method[len("exonfirst_"):])
+    head, _, tail = method.partition("_")
+    if head == "exonfirst":
+        # bare "exonfirst" -> threshold 0.0, mirroring the reference
+        # (kir_typing.py:217); like its main.py:190, the CLI rewrites
+        # bare exonfirst to exonfirst_1 before reaching here
         return TypingWithPosNegAllele(
             filename_variant_json,
             exon_first=True,
-            exon_candidate_threshold=threshold,
+            exon_candidate_threshold=float(tail) if tail else 0.0,
             **kwargs,
         )
-    if method == "em":
-        kwargs.pop("top_n", None)
-        kwargs.pop("variant_correction", None)
-        return TypingWithReport(filename_variant_json, **kwargs)
     raise NotImplementedError(method)

@@ -147,7 +147,7 @@ def test_multiple_mapped_removed(gene):
         reads_data={"variants": gene.variants, "reads": reads}, top_n=50
     )
     # only NH==1 reads enter typing
-    assert len(t._gene_reads[gene.name]) == 50
+    assert len(t._src.per_gene[gene.name]) == 50
 
 
 def test_beam_extend_matches_bruteforce():
