@@ -355,6 +355,13 @@ def main() -> None:
     lb1 = np.concatenate([l1e] * reps)[:n_big]
     cb2 = np.concatenate([c2e] * reps)[:n_big]
     lb2 = np.concatenate([l2e] * reps)[:n_big]
+    # one untimed pass first: the streamed driver compiles its own shapes
+    # (prefetch/monolith buckets) — folding that 60-80s into iteration 1
+    # would poison the median the JSON reports
+    _, sdepth, _ = alignAnnotateEvidence(
+        aligner, annotator, cb1, lb1, cb2, lb2, chunk=stream_chunk
+    )
+    jax.block_until_ready(sdepth)
     stream_times = []
     for _ in range(3):
         t0 = time.time()
@@ -364,27 +371,85 @@ def main() -> None:
         )
         jax.block_until_ready(sdepth)
         stream_times.append(time.time() - t0)
-    dt_stream = min(stream_times)
+    # median-of-3 with min/max recorded: the tunneled link's bandwidth
+    # swings run to run, so the spread IS part of the result
+    dt_stream = sorted(stream_times)[1]
     stream_reads_per_s = 2 * n_big / dt_stream
+    stream_max = 2 * n_big / min(stream_times)
+    stream_min = 2 * n_big / max(stream_times)
     log(
         f"[bench] exact path streamed ({n_big} pairs, {n_chunks} chunks): "
-        f"{stream_reads_per_s:,.0f} reads/s "
+        f"median {stream_reads_per_s:,.0f} reads/s "
+        f"[{stream_min:,.0f}..{stream_max:,.0f}] "
         f"(iters {[round(t, 2) for t in stream_times]})"
     )
+
+    # product tail on the SAME sample's device outputs: depth -> CN ->
+    # allele typing under each strategy (full AND the reference's real-WGS
+    # default exonfirst, /root/reference/kir/graphkir.py:70-75, AND em) —
+    # the production configuration's hot tail, timed per sample
+    from kir_graph_tpu.cn.predict import depthToCN
+    from kir_graph_tpu.typing.facade import selectKirTypingModel
+
+    depth_np = np.asarray(depth_e)
+    t0 = time.time()
+    gene_depth = {
+        gname: float(np.percentile(
+            depth_np[gi, : int(index.lengths[gi])], 75
+        ))
+        for gi, gname in enumerate(index.gene_names)
+    }
+    try:
+        cn_maps, _model = depthToCN(
+            [gene_depth], assume_3DL3_diploid=not small
+        )
+        gene_cn = cn_maps[0]
+    except Exception as e:  # CN fit is content-dependent; keep benching
+        log(f"[bench] CN fit failed ({type(e).__name__}: {e}); "
+            "typing with CN=2 everywhere")
+        gene_cn = {g: 2 for g in index.gene_names}
+    cn_s = time.time() - t0
+    log(f"[bench] CN stage {cn_s:.2f}s "
+        f"(cn counts: {sorted(set(gene_cn.values()))})")
+
+    bundle = annotator.evidenceBundle(ev)
+    typing_s: dict[str, float] = {}
+    typing_calls: dict[str, int] = {}
+    for method in ("full", "exonfirst_1", "em"):
+        t0 = time.time()
+        model = selectKirTypingModel(
+            method, evidence=bundle, top_n=600, variant_correction=True
+        )
+        called, _warn = model.typing(gene_cn)
+        key = method.split("_")[0]
+        typing_s[key] = round(time.time() - t0, 3)
+        typing_calls[key] = len(called)
+        log(f"[bench] typing[{key}] {typing_s[key]:.2f}s "
+            f"({len(called)} alleles called)")
 
     print(
         json.dumps(
             {
-                "metric": "reads aligned/s/chip (device cohort step)",
-                "value": round(reads_per_s, 1),
+                # headline = the product path users actually run (FASTQ ->
+                # evidence/depth, streamed, cohort steady state), median
+                # of 3 same-session iterations
+                "metric": "reads aligned/s/chip (exact product path, streamed)",
+                "value": round(stream_reads_per_s, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(reads_per_s / HISAT2_BASELINE_READS_PER_S, 2),
+                "vs_baseline": round(
+                    stream_reads_per_s / HISAT2_BASELINE_READS_PER_S, 2
+                ),
+                "exact_streamed_min_reads_per_s": round(stream_min, 1),
+                "exact_streamed_max_reads_per_s": round(stream_max, 1),
                 "exact_path_reads_per_s": round(exact_reads_per_s, 1),
                 "exact_path_vs_baseline": round(
                     exact_reads_per_s / HISAT2_BASELINE_READS_PER_S, 2
                 ),
-                "exact_streamed_reads_per_s": round(stream_reads_per_s, 1),
+                "device_step_reads_per_s": round(reads_per_s, 1),
                 "pairread_compat_materialize_s": round(dt_pairread, 3),
+                "cn_s_per_sample": round(cn_s, 3),
+                "typing_s_per_sample": typing_s,
+                "typing_alleles_called": typing_calls,
                 "baseline_reads_per_s": HISAT2_BASELINE_READS_PER_S,
                 "platform": jax.devices()[0].platform,
                 **({"degraded": True} if BENCH_DEGRADED else {}),

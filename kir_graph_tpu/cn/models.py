@@ -12,6 +12,7 @@ the pooled histogram is a psum (see parallel/cohort.py).
 from __future__ import annotations
 
 import json
+import os
 from functools import partial
 from typing import Any
 
@@ -89,6 +90,68 @@ def _cnGroupProb(
         raise NotImplementedError(start_base)
     y = _normPdf(x[None, :], base * cn[:, None], dev[:, None])
     return y * (x_max / bin_num)
+
+
+def cnOnDevice() -> bool:
+    """Venue rule for the CN kernels (mirrors typing's
+    typingOnDevice): the grid is [bases x CN x bins] ~ 1 MFLOP — far
+    below what amortises a dispatch over a high-latency link, so the
+    numpy twins run by default; KGT_CN_DEVICE=1 forces the jitted path
+    (the sharded cohort fit in parallel/typing.py is always on device)."""
+    return os.environ.get("KGT_CN_DEVICE", "") == "1"
+
+
+def _cnDevs(
+    base_dev: float, y0_dev: float, dev_decay: float,
+    dev_decay_neg: float, max_cn: int, start_base: int,
+) -> np.ndarray:
+    cn = np.arange(0, max_cn, dtype=np.float32)
+    if start_base == 1:
+        return np.where(
+            cn == 0, base_dev * y0_dev, base_dev * (dev_decay * (cn - 1) + 1)
+        ).astype(np.float32)
+    if start_base == 2:
+        return np.where(
+            cn < 2,
+            base_dev * (dev_decay_neg * (2 - cn) + 1),
+            base_dev * (dev_decay * (cn - 2) + 1),
+        ).astype(np.float32)
+    raise NotImplementedError(start_base)
+
+
+def _cnGroupProbHost(
+    base: float, x_max: float, base_dev: float, y0_dev: float,
+    dev_decay: float, dev_decay_neg: float,
+    bin_num: int, max_cn: int, start_base: int,
+) -> np.ndarray:
+    """numpy twin of _cnGroupProb (same float32 arithmetic)."""
+    x = np.linspace(0.0, x_max, bin_num, dtype=np.float32)
+    cn = np.arange(0, max_cn, dtype=np.float32)
+    dev = _cnDevs(base_dev, y0_dev, dev_decay, dev_decay_neg,
+                  max_cn, start_base)
+    z = (x[None, :] - np.float32(base) * cn[:, None]) / dev[:, None]
+    y = np.exp(-0.5 * z * z) / (dev[:, None] * np.sqrt(2 * np.pi, dtype=np.float32))
+    return (y * np.float32(x_max / bin_num)).astype(np.float32)
+
+
+def _cnGroupGridSearchHost(
+    density: np.ndarray, bases: np.ndarray, x_max: float,
+    base_dev: float, y0_dev: float, dev_decay: float, dev_decay_neg: float,
+    bin_num: int, max_cn: int, start_base: int,
+) -> np.ndarray:
+    """numpy twin of _cnGroupGridSearch, vectorised over bases
+    ([B, CN, bins] ~ a few MB at product scale)."""
+    x = np.linspace(0.0, x_max, bin_num, dtype=np.float32)
+    dev = _cnDevs(base_dev, y0_dev, dev_decay, dev_decay_neg,
+                  max_cn, start_base)
+    cn = np.arange(0, max_cn, dtype=np.float32)
+    mean = bases.astype(np.float32)[:, None, None] * cn[None, :, None]
+    z = (x[None, None, :] - mean) / dev[None, :, None]
+    y = np.exp(-0.5 * z * z) / (dev[None, :, None] * np.sqrt(2 * np.pi, dtype=np.float32))
+    max_prob = (y * np.float32(x_max / bin_num)).max(axis=1)   # [B, bins]
+    return (
+        np.log(max_prob + np.float32(1e-9)) * density[None, :].astype(np.float32)
+    ).sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("bin_num", "max_cn", "start_base"))
@@ -187,24 +250,39 @@ class CNgroup(Dist):
 
         density, _ = np.histogram(values, bins=self.bin_num, range=(0, self.x_max))
         bases = np.linspace(lower_bound, upper_bound, self.bin_num)
-        lik = np.asarray(
-            _cnGroupGridSearch(
-                jnp.asarray(density, dtype=jnp.float32),
-                jnp.asarray(bases, dtype=jnp.float32),
-                float(self.x_max),
-                float(self.base_dev),
-                float(self.y0_dev),
-                float(self.dev_decay),
-                float(self.dev_decay_neg),
-                self.bin_num,
-                self.max_cn,
+        if cnOnDevice():
+            lik = np.asarray(
+                _cnGroupGridSearch(
+                    jnp.asarray(density, dtype=jnp.float32),
+                    jnp.asarray(bases, dtype=jnp.float32),
+                    float(self.x_max),
+                    float(self.base_dev),
+                    float(self.y0_dev),
+                    float(self.dev_decay),
+                    float(self.dev_decay_neg),
+                    self.bin_num,
+                    self.max_cn,
+                    self.start_base,
+                )
+            )
+        else:
+            lik = _cnGroupGridSearchHost(
+                density, bases, float(self.x_max), float(self.base_dev),
+                float(self.y0_dev), float(self.dev_decay),
+                float(self.dev_decay_neg), self.bin_num, self.max_cn,
                 self.start_base,
             )
-        )
         self.likelihood = np.stack([bases, lik], axis=1)
         self.base = float(bases[int(np.argmax(lik))])
 
     def calcCNGroupProb(self, base: float) -> np.ndarray:
+        if not cnOnDevice():
+            return _cnGroupProbHost(
+                base, float(self.x_max), float(self.base_dev),
+                float(self.y0_dev), float(self.dev_decay),
+                float(self.dev_decay_neg), self.bin_num, self.max_cn,
+                self.start_base,
+            )
         return np.asarray(
             _cnGroupProb(
                 jnp.float32(base),
@@ -238,6 +316,19 @@ def _kdeLogDensity(x: jax.Array, data: jax.Array, bandwidth: float) -> jax.Array
     z = (x[:, None] - data[None, :]) / bandwidth
     log_k = -0.5 * z * z - jnp.log(bandwidth * jnp.sqrt(2 * jnp.pi))
     return jax.scipy.special.logsumexp(log_k, axis=1) - jnp.log(data.shape[0])
+
+
+def _kdeLogDensityHost(
+    x: np.ndarray, data: np.ndarray, bandwidth: float
+) -> np.ndarray:
+    """numpy twin of _kdeLogDensity (same float32 arithmetic)."""
+    z = (x[:, None] - data[None, :]) / np.float32(bandwidth)
+    log_k = -0.5 * z * z - np.float32(
+        np.log(bandwidth * np.sqrt(2 * np.pi))
+    )
+    m = log_k.max(axis=1, keepdims=True)
+    lse = m[:, 0] + np.log(np.exp(log_k - m).sum(axis=1))
+    return (lse - np.float32(np.log(data.shape[0]))).astype(np.float32)
 
 
 def _localMinima(y: np.ndarray, order: int) -> np.ndarray:
@@ -298,9 +389,17 @@ class KDEcut(Dist):
         self.x_max = float(np.max(values))
         data = np.asarray(values, dtype=np.float32) / self.x_max
         x = np.linspace(0, 1.1, self.points)
-        y = np.asarray(
-            _kdeLogDensity(jnp.asarray(x, dtype=jnp.float32), jnp.asarray(data), self.bandwidth)
-        )
+        if cnOnDevice():
+            y = np.asarray(
+                _kdeLogDensity(
+                    jnp.asarray(x, dtype=jnp.float32),
+                    jnp.asarray(data), self.bandwidth,
+                )
+            )
+        else:
+            y = _kdeLogDensityHost(
+                x.astype(np.float32), data, self.bandwidth
+            )
         self.prob = y.tolist()
         self.local_min = [float(x[i]) for i in _localMinima(y, self.neighbor)]
         self.data = list(values)

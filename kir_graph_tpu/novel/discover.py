@@ -192,9 +192,11 @@ class GroupPileup:
 def splitReadsByAlleles(
     model: TypingWithPosNegAllele, predict_alleles: list[str]
 ) -> Iterable[tuple[str, tuple[str, ...], list[PairRead], dict[str, Variant]]]:
-    for gene, reads in model._gene_reads.items():
+    # PairRead ingestion route: _src.per_gene holds the read lists
+    assert not model._src.from_evidence
+    for gene, reads in model._src.per_gene.items():
         typ = AlleleTyping(
-            reads, model._gene_variants[gene], no_empty=False,
+            reads, model._src.variants[gene], no_empty=False,
             variant_correction=False,
         )
         assign = groupReadByAllele(typ, predict_alleles, reads)
@@ -256,7 +258,7 @@ def discoverNovel(
                     f"({len(gene_names)} vs {pileup.shape[0]}); falling "
                     "back to reads-derived names"
                 )
-                gene_names = sorted(data._gene_reads.keys())
+                gene_names = sorted(data._src.per_gene.keys())
 
     msas: dict[str, Genemsa] = {}
     allele_reads: GroupPairRead = {}

@@ -9,6 +9,7 @@ candidate bookkeeping (dedup, ranking) stays on host where it is tiny.
 from __future__ import annotations
 
 import io
+import os
 from dataclasses import dataclass, field
 from typing import Iterable, Optional
 
@@ -23,8 +24,11 @@ from .kernels import (
     LOG_HIT,
     LOG_MISS,
     beamExtend,
+    beamExtendHost,
     fractionOfReads,
+    fractionOfReadsHost,
     logProbsFromCounts,
+    logProbsFromCountsHost,
 )
 from .pairread import PairRead
 
@@ -189,6 +193,25 @@ def rescoreF64(result: TypingResult, lp64: np.ndarray) -> TypingResult:
     ).sortByScoreAndEveness()
 
 
+def typingOnDevice(R: int, A: int, top_n: int) -> bool:
+    """Pick the beam's execution venue for one gene.
+
+    The score reduction is R*A*top_n fused max+add ops — microscopic
+    next to alignment.  On an attached chip the device beam is free; on
+    a tunneled link each dispatch costs 100-500 ms and the host twins
+    (kernels.py *Host) win by ~7x at KIR scale (docs/BENCH_NOTES.md
+    round 5).  Auto rule: go to the device only when the reduction is
+    big enough to amortise dispatch (>2e9 ops).  KGT_TYPING_DEVICE=1/0
+    forces either path; the sharded cohort path is always on device.
+    """
+    env = os.environ.get("KGT_TYPING_DEVICE", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return R * A * max(top_n, 1) > 2_000_000_000
+
+
 class AlleleTyping:
     """Beam search over allele sets, one allele added per CN step."""
 
@@ -227,7 +250,12 @@ class AlleleTyping:
         if not hasattr(self, "_prob_counts"):
             self._prob_counts = None  # set by the constructors when R,V > 0
         self.log_probs = log_probs  # np.float32 [R, A]
-        self._log_probs_dev = jnp.asarray(self.log_probs)
+        self._on_device = typingOnDevice(
+            log_probs.shape[0], log_probs.shape[1], self.top_n
+        )
+        self._log_probs_dev = (
+            jnp.asarray(self.log_probs) if self._on_device else None
+        )
         self._allele_col_sum = (
             self.log_probs.sum(axis=0)
             if self.log_probs.size
@@ -322,12 +350,17 @@ class AlleleTyping:
             n_pos = np.bincount(prow_p, minlength=R).astype(np.float32)
             n_neg = np.bincount(prow_n, minlength=R).astype(np.float32)
             self._prob_counts = (count_diff, n_pos, n_neg, membership)
-            log_probs = np.asarray(
-                logProbsFromCounts(
-                    jnp.asarray(count_diff), jnp.asarray(n_pos),
-                    jnp.asarray(n_neg), jnp.asarray(membership),
+            if typingOnDevice(R, A, top_n):
+                log_probs = np.asarray(
+                    logProbsFromCounts(
+                        jnp.asarray(count_diff), jnp.asarray(n_pos),
+                        jnp.asarray(n_neg), jnp.asarray(membership),
+                    )
                 )
-            )
+            else:
+                log_probs = logProbsFromCountsHost(
+                    count_diff, n_pos, n_neg, membership
+                )
         self._finishInit(log_probs, allele_names)
         return self
 
@@ -425,6 +458,10 @@ class AlleleTyping:
                     count_diff[r, i] -= 1
                     n_neg[r] += 1
         self._prob_counts = (count_diff, n_pos, n_neg, membership)
+        if not typingOnDevice(R, A, self.top_n):
+            return logProbsFromCountsHost(
+                count_diff, n_pos, n_neg, membership
+            )
         out = logProbsFromCounts(
             jnp.asarray(count_diff), jnp.asarray(n_pos), jnp.asarray(n_neg),
             jnp.asarray(membership),
@@ -506,8 +543,19 @@ class AlleleTyping:
         """Score all T*|allele_index| set extensions, dedup, top-k.
 
         Returns (value [k], t_sel [k], a_loc [k] — index into
-        allele_index —, new_prob device [R, k]); masked slots carry -inf.
+        allele_index —, new_prob [R, k], device- or host-resident per
+        the venue choice); masked slots carry -inf.
         """
+        if not self._on_device:
+            value, idx, new_prob = beamExtendHost(
+                self.log_probs[:, allele_index],
+                np.asarray(prev.allele_prob),
+                prev.set_h1, prev.set_h2,
+                self._ah1[allele_index], self._ah2[allele_index],
+                k,
+            )
+            A = len(allele_index)
+            return value, idx // A, idx % A, new_prob
         value_d, idx_d, new_prob = beamExtend(
             self._log_probs_dev[:, allele_index],
             jnp.asarray(prev.allele_prob),
@@ -522,6 +570,10 @@ class AlleleTyping:
 
     def _fractionStep(self, top_id: np.ndarray, top_prob) -> np.ndarray:
         """fraction [K, n] of reads whose set-max each member attains."""
+        if not self._on_device:
+            return fractionOfReadsHost(
+                self.log_probs, top_id, np.asarray(top_prob)
+            )
         return np.asarray(
             fractionOfReads(
                 self._log_probs_dev, jnp.asarray(top_id), top_prob
@@ -529,7 +581,10 @@ class AlleleTyping:
         )
 
     def _gatherColumns(self, ids: np.ndarray):
-        """Device [R, len(ids)] slice of the log-prob matrix."""
+        """[R, len(ids)] slice of the log-prob matrix (stays resident on
+        the beam's venue across steps)."""
+        if not self._on_device:
+            return self.log_probs[:, ids]
         return self._log_probs_dev[:, ids]
 
     def _emptyResult(self, n: int | None = None) -> TypingResult:

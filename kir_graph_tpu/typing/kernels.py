@@ -85,6 +85,79 @@ def fractionOfReads(
     return belong.sum(axis=0) / log_probs.shape[0]            # [T, n]
 
 
+# ----------------------------------------------------------------------
+# host twins: identical semantics in plain numpy.
+#
+# Typing's matrices are tiny relative to alignment (R~2-10k reads x
+# A~40-400 alleles x T<=top_n sets: tens of MFLOPs per gene).  On a
+# locally attached chip the device beam is essentially free, but when the
+# accelerator sits behind a high-latency tunnel every dispatch costs
+# 100-500 ms and the device path loses by an order of magnitude (measured
+# 29 s vs 4 s per 15-gene sample, docs/BENCH_NOTES.md round 5).  The
+# AlleleTyping driver picks a path per gene (KGT_TYPING_DEVICE=1/0
+# forces); both produce the same calls, and the final f64 host rescore
+# (rescoreF64) re-derives exact values either way.
+# ----------------------------------------------------------------------
+def logProbsFromCountsHost(
+    count_diff: np.ndarray,
+    n_pos: np.ndarray,
+    n_neg: np.ndarray,
+    membership: np.ndarray,
+) -> np.ndarray:
+    core = count_diff @ membership
+    return (
+        core * np.float32(LOG_HIT - LOG_MISS)
+        + n_pos[:, None] * np.float32(LOG_MISS)
+        + n_neg[:, None] * np.float32(LOG_HIT)
+    ).astype(np.float32)
+
+
+def beamExtendHost(
+    log_probs: np.ndarray,
+    prev_prob: np.ndarray,
+    prev_h1: np.ndarray,
+    prev_h2: np.ndarray,
+    ah1: np.ndarray,
+    ah2: np.ndarray,
+    k: int,
+    chunk: int = 32,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """numpy beamExtend: same dedup (commutative two-hash, first flat
+    index kept) and same stable descending top-k tie order."""
+    R, A = log_probs.shape
+    T = prev_prob.shape[1]
+    scores = np.empty((T, A), np.float32)
+    for s in range(0, T, chunk):  # bound the [R, chunk, A] intermediate
+        pc = prev_prob[:, s : s + chunk]
+        scores[s : s + chunk] = np.maximum(
+            log_probs[:, None, :], pc[:, :, None]
+        ).sum(axis=0, dtype=np.float32)
+    flat = scores.reshape(-1)
+    h1 = (prev_h1[:, None] + ah1[None, :]).reshape(-1)
+    h2 = (prev_h2[:, None] + ah2[None, :]).reshape(-1)
+    # lexsort: last key is primary -> (h1, h2, flat index) like the
+    # device lax.sort(num_keys=3)
+    order = np.lexsort((np.arange(T * A), h2, h1))
+    sh1, sh2 = h1[order], h2[order]
+    is_first = np.ones(T * A, bool)
+    is_first[1:] = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
+    keep = np.zeros(T * A, bool)
+    keep[order] = is_first
+    masked = np.where(keep, flat, -np.inf)
+    idx = np.argsort(-masked, kind="stable")[:k].astype(np.int32)
+    new_prob = np.maximum(prev_prob[:, idx // A], log_probs[:, idx % A])
+    return masked[idx], idx, new_prob
+
+
+def fractionOfReadsHost(
+    log_probs: np.ndarray, ids: np.ndarray, top_prob: np.ndarray
+) -> np.ndarray:
+    sel = log_probs[:, ids]
+    belong = (sel == top_prob[:, :, None]).astype(np.float32)
+    belong /= belong.sum(axis=2, keepdims=True)
+    return belong.sum(axis=0) / log_probs.shape[0]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def beamExtend(
     log_probs: jax.Array,   # [R, A] (already column-selected)

@@ -133,3 +133,32 @@ def test_predict_samples_cn_files(tmp_path, truth):
         cn = loadCN(fn)
         assert cn == truth
     assert (tmp_path / "model.json").exists()
+
+
+def test_cn_venue_host_matches_device(monkeypatch):
+    """numpy CN twins vs jitted kernels: same base, same assignments
+    (KGT_CN_DEVICE=1 forces the device path)."""
+    import numpy as np
+
+    from kir_graph_tpu.cn.models import CNgroup, KDEcut
+
+    rng = np.random.Generator(np.random.Philox(7))
+    values = list(
+        np.concatenate(
+            [rng.normal(30 * cn, 2.0, size=n).clip(min=0.0)
+             for cn, n in ((1, 6), (2, 18), (3, 6))]
+        )
+    )
+    got = {}
+    for venue in ("0", "1"):
+        monkeypatch.setenv("KGT_CN_DEVICE", venue)
+        g = CNgroup()
+        g.fit(values)
+        k = KDEcut()
+        k.fit(values)
+        got[venue] = (g.base, g.assignCN(values), k.local_min,
+                      k.assignCN(values))
+    assert got["0"][1] == got["1"][1]
+    assert abs(got["0"][0] - got["1"][0]) < 1e-3 * got["1"][0]
+    assert got["0"][3] == got["1"][3]
+    np.testing.assert_allclose(got["0"][2], got["1"][2], atol=1e-4)

@@ -221,3 +221,29 @@ def test_homo_typing_with_all_reads_corrected_away_returns_fail():
     t = AlleleTyping(reads, [v], variant_correction=True, force_homo=True)
     res = t.typing(2)
     assert res.selectBest() == ["fail", "fail"]
+
+
+def test_typing_venue_host_matches_device(gene, monkeypatch):
+    """The host beam twins (kernels.py *Host) must call the same alleles
+    as the device path — KGT_TYPING_DEVICE forces each venue.  top_n
+    exceeds the distinct-set count so the beam never truncates: any
+    f32 reduction-order difference between venues is then erased by the
+    shared f64 rescore and the results must agree exactly."""
+    a1, a2 = gene.alleles[0], gene.alleles[5]
+    reads = makeReads(gene, a1, n_reads=120, seed=21) + makeReads(
+        gene, a2, n_reads=120, seed=22
+    )
+    n_sets = len(gene.alleles) * (len(gene.alleles) + 1) // 2
+    results = {}
+    for venue in ("0", "1"):
+        monkeypatch.setenv("KGT_TYPING_DEVICE", venue)
+        t = AlleleTyping(reads, gene.variants, top_n=n_sets + 1)
+        assert t._on_device == (venue == "1")
+        res = t.typing(2)
+        results[venue] = (
+            res.selectBest(),
+            res.value.round(6).tolist(),
+            [tuple(ids) for ids in res.allele_id],
+        )
+    assert results["0"][0] == results["1"][0] == sorted([a1, a2])
+    assert results["0"][2] == results["1"][2]  # full survivor order
