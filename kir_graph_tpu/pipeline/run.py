@@ -149,9 +149,11 @@ class SamplePipeline:
         if exon_region_only:
             out = depth_file + ".exon"
             if not os.path.exists(out + ".tsv"):
-                filterDepth(
-                    depth_file + ".tsv", out + ".tsv", self.index.exonRegions()
-                )
+                with TIMER.stage("depth.exon_filter"):
+                    filterDepth(
+                        depth_file + ".tsv", out + ".tsv",
+                        self.index.exonRegions(),
+                    )
             return out + ".tsv"
         return depth_file + ".tsv"
 
@@ -172,17 +174,27 @@ class SamplePipeline:
             name = name[:-4]
         name += suffix
         if not os.path.exists(name + ".tsv"):
-            predictSamplesCN(
-                [depth_file],
-                [name + ".tsv"],
-                diploid_depth=diploid_depth,
-                cluster_method=cn_algorithm,
-                cluster_method_kwargs=cluster_method_kwargs or {},
-                assume_3DL3_diploid=assume_3DL3_diploid,
-                save_cn_model_path=name + ".json",
-                select_mode=cn_select,
-            )
+            with TIMER.stage("cn.fit"):
+                self._cnSampleInner(
+                    depth_file, name, cn_select, cn_algorithm,
+                    assume_3DL3_diploid, diploid_depth, cluster_method_kwargs,
+                )
         return name + ".tsv"
+
+    def _cnSampleInner(
+        self, depth_file, name, cn_select, cn_algorithm,
+        assume_3DL3_diploid, diploid_depth, cluster_method_kwargs,
+    ) -> None:
+        predictSamplesCN(
+            [depth_file],
+            [name + ".tsv"],
+            diploid_depth=diploid_depth,
+            cluster_method=cn_algorithm,
+            cluster_method_kwargs=cluster_method_kwargs or {},
+            assume_3DL3_diploid=assume_3DL3_diploid,
+            save_cn_model_path=name + ".json",
+            select_mode=cn_select,
+        )
 
     # ------------------------------------------------------------------
     def typeSample(
@@ -207,11 +219,12 @@ class SamplePipeline:
             from ..typing.evidence import loadEvidence
 
             try:
-                bundle = loadEvidence(
-                    evid_path,
-                    self.annotator.catalogVariants(),
-                    [tb.name for tb in self.annotator.tables],
-                )
+                with TIMER.stage("typing.load_evidence"):
+                    bundle = loadEvidence(
+                        evid_path,
+                        self.annotator.catalogVariants(),
+                        [tb.name for tb in self.annotator.tables],
+                    )
                 t = selectKirTypingModel(
                     method, evidence=bundle, top_n=top_n,
                     variant_correction=True,
@@ -230,7 +243,8 @@ class SamplePipeline:
                 variant_correction=True,
             )
         cn = loadCN(cn_file)
-        called_alleles, warning_genes = t.typing(cn)
+        with TIMER.stage(f"typing.{method}"):
+            called_alleles, warning_genes = t.typing(cn)
         logger.info(f"[Allele] {called_alleles} ({processed})")
         pd.DataFrame(
             {

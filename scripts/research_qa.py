@@ -17,7 +17,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# CPU by default (deterministic grading runs); KGT_QA_TPU=1 keeps the
+# session backend so the SAME cohort configs run end-to-end on the chip
+# (VERDICT round-4 item 1: per-stage TPU wall times through the real
+# stage driver, reconciled with the streamed bench number)
+if not os.environ.get("KGT_QA_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 from kir_graph_tpu.pipeline.research import createParser, main  # noqa: E402
 
