@@ -233,6 +233,11 @@ def main(args: argparse.Namespace) -> None:
     for name, (fq1, fq2) in zip(names, reads):
         prefix = pipe.mapSample(name, fq1, fq2)
         processed.append(prefix)
+    # artifact writes run on a background thread overlapping the next
+    # sample's align; everything must be on disk before depth/CN/typing
+    # read it back
+    pipe.flushWrites()
+    for prefix in processed:
         depth_files.append(pipe.depthStage(prefix, exon_region_only=args.cn_exon))
 
     # ---- copy number

@@ -111,6 +111,7 @@ def _sampleChain(
                 diploid = out + ".diploid"
         name = out
     prefix = pipe.mapSample(name, fq1, fq2)
+    pipe.flushWrites()  # depth/typing stages read the artifacts back
     depth = pipe.depthStage(prefix)
     return {"prefix": prefix, "depth": depth, "diploid": diploid}
 

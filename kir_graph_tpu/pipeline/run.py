@@ -37,6 +37,30 @@ class SamplePipeline:
         # a mismatched pair)
         self.aligner = GraphAligner(index, annot_editdist=num_editdist)
         self.annotator = VariantAnnotator(index, num_editdist=num_editdist)
+        # background artifact writer: per-sample file emission (~1 s of
+        # JSON/TSV/npz serialisation) overlaps the NEXT sample's align.
+        # All inputs are host-owned copies (the bundle is built on the
+        # main thread before the annotator can register new novel
+        # variants); consumers flush before reading (flushWrites).
+        self._writer = None
+        self._write_futs: dict[str, object] = {}
+
+    def _writerPool(self):
+        if self._writer is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._writer = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="kgt-write"
+            )
+        return self._writer
+
+    def flushWrites(self) -> None:
+        """Block until every queued sample's artifacts are on disk
+        (re-raises writer exceptions).  Call before any stage that reads
+        the mapped outputs back (CN's depth TSV, typing's evidence)."""
+        futs, self._write_futs = self._write_futs, {}
+        for fut in futs.values():
+            fut.result()
 
     # ------------------------------------------------------------------
     def mapSample(self, name: str, fq1: str, fq2: str) -> str:
@@ -48,6 +72,9 @@ class SamplePipeline:
         """
         out_prefix = name + ".variant"
         depth_tsv = out_prefix + ".no_multi.depth.tsv"
+        pending = self._write_futs.pop(out_prefix, None)
+        if pending is not None:  # re-mapping a sample queued for write
+            pending.result()
         if os.path.exists(out_prefix + ".json") and os.path.exists(depth_tsv):
             logger.info(f"[Graph] {out_prefix} exists, skip mapping")
             return out_prefix
@@ -90,40 +117,59 @@ class SamplePipeline:
             )
             passed = ev.pass_mask
 
-        with TIMER.stage("io.write_outputs"):
-            from ..typing.evidence import saveEvidence
-
+        with TIMER.stage("io.prepare_outputs"):
+            # host-owned snapshot for the background writer: the bundle
+            # captures the variant catalog NOW (the next sample's
+            # annotate may register novel variants), device depth/pileup
+            # become host copies, placement rows concatenate
             bundle = self.annotator.evidenceBundle(ev)
-            # typing-ready array artifact (product path) + the
-            # reference-compatible .variant.json (interop/compat)
-            saveEvidence(bundle, out_prefix + ".evidence.npz")
-            writeReadsAndVariantsData(bundle.toReadsData(), out_prefix + ".json")
-            self.writeDepthTsv(depth, depth_tsv)
-            np.save(out_prefix + ".pileup.npy", pileup)
-            # compact per-passing-pair placements: lets novel discovery
-            # pileup the assigned read group only (the reference's
-            # qname-filtered no_multi BAM pileup, novel_discover.py:237-264)
-            np.savez_compressed(
-                out_prefix + ".placements.npz",
-                **{
-                    k: np.concatenate([p[k] for p in placements])
-                    for k in placements[0]
-                },
-            )
-            # mapping stats (samtools-flagstat stand-in, reference
-            # plot.py:44-68)
-            import json
+            depth_np = np.asarray(depth)
+            pileup_np = np.asarray(pileup)
+            placement_arrs = {
+                k: np.concatenate([p[k] for p in placements])
+                for k in placements[0]
+            }
+            stat = {
+                "total": map_stats["total"] * 2,
+                "mapped": map_stats["mapped"] * 2,
+                "passed": int(passed.sum()) * 2,
+                "unique": map_stats["unique"] * 2,
+            }
 
-            with open(out_prefix + ".stat.json", "w") as f:
-                json.dump(
-                    {
-                        "total": map_stats["total"] * 2,
-                        "mapped": map_stats["mapped"] * 2,
-                        "passed": int(passed.sum()) * 2,
-                        "unique": map_stats["unique"] * 2,
-                    },
-                    f,
+        def writeOutputs():
+            with TIMER.stage("io.write_outputs"):
+                from ..typing.evidence import saveEvidence
+
+                # typing-ready array artifact (product path) + the
+                # reference-compatible .variant.json (interop/compat)
+                saveEvidence(bundle, out_prefix + ".evidence.npz")
+                writeReadsAndVariantsData(
+                    bundle.toReadsData(), out_prefix + ".json"
                 )
+                self.writeDepthTsv(depth_np, depth_tsv)
+                np.save(out_prefix + ".pileup.npy", pileup_np)
+                # compact per-passing-pair placements: lets novel
+                # discovery pileup the assigned read group only (the
+                # reference's qname-filtered no_multi BAM pileup,
+                # novel_discover.py:237-264)
+                np.savez_compressed(
+                    out_prefix + ".placements.npz", **placement_arrs
+                )
+                # mapping stats (samtools-flagstat stand-in, reference
+                # plot.py:44-68)
+                import json
+
+                with open(out_prefix + ".stat.json", "w") as f:
+                    json.dump(stat, f)
+
+        if os.environ.get("KGT_SYNC_WRITES"):
+            writeOutputs()
+        else:
+            # pure-IO serialisation overlaps the next sample's align;
+            # flushWrites() joins before anything reads the files back
+            self._write_futs[out_prefix] = self._writerPool().submit(
+                writeOutputs
+            )
         return out_prefix
 
     def writeDepthTsv(self, depth: np.ndarray, filename: str) -> None:

@@ -65,6 +65,7 @@ def oracle_sample(tmp_path_factory, synth_genes, synth_index):
 
     pipe = SamplePipeline(synth_index)
     processed = pipe.mapSample(str(d / "o"), r1, r2)
+    pipe.flushWrites()
     depth_tsv = processed + ".no_multi.depth.tsv"
     ref_json = processed + ".refcompat.json"
     writeReferenceCompatJson(processed + ".json", ref_json)
