@@ -205,13 +205,16 @@ def main() -> None:
         # tunneled TPUs; measured +6% over the split driver).  Set
         # BENCH_SPLIT=1 for the 3-stage driver with per-stage timing.
         @jax.jit
-        def mono(c1, l1, c2, l2, r1, r2):
-            return cohortStep(arr, c1, l1, c2, l2, r1, r2,
+        def mono(A, c1, l1, c2, l2, r1, r2):
+            # A (DeviceIndexArrays pytree) is an argument, not a
+            # closure: closed-over device arrays embed as MLIR
+            # constants and every compile re-fetches them over the link
+            return cohortStep(A, c1, l1, c2, l2, r1, r2,
                               axis_name=None, use_pallas=use_pallas)
 
         class _MonoStep:
             def __call__(self, c1, l1, c2, l2, r1, r2, timings=None):
-                out = mono(c1, l1, c2, l2, r1, r2)
+                out = mono(arr, c1, l1, c2, l2, r1, r2)
                 if timings is not None:
                     jax.block_until_ready(out)
                 return out

@@ -109,23 +109,27 @@ class DeviceAnnotator:
         al = self.aligner
         p = al.p
         Lmax, Gt, Vtot = self.Lmax, self.Gt, self.Vtot
-        seq_g, snp_g = self.t_seq, self.t_snp
-        ignore_g = self.t_ignore
-        lo_at, hi_at = self.t_lo, self.t_hi
-        dk, dv = self.t_dk, self.t_dv
-        glen_all = self.t_glen
-        row_true, row_pos, row_len = (
-            self.t_row_true, self.t_row_pos, self.t_row_len,
-        )
-        span_ml = jnp.int32(self._del_maxlen)
-        span_sp = jnp.int32(self._del_span)
-        backbone, altdel = al._backbone, al._altdel
+        span_ml = np.int32(self._del_maxlen)
+        span_sp = np.int32(self._del_span)
         editdist = al.annot_editdist
+        # the per-gene tables travel as jit ARGUMENTS: closed-over device
+        # arrays become MLIR constants that every per-bucket compile
+        # fetches device->host during lowering (minutes on a congested
+        # tunnel — same issue as align/pipeline.py's monolith)
+        self._tables = (
+            self.t_seq, self.t_snp, self.t_ignore, self.t_lo, self.t_hi,
+            self.t_dk, self.t_dv, self.t_glen,
+            self.t_row_true, self.t_row_pos, self.t_row_len,
+            al._backbone, al._altdel,
+        )
 
-        def kernel(buf, w, hard_rows, RL, Hb, stage=99, uniform_len=None):
+        def kernel(tables, buf, w, hard_rows, RL, Hb, stage=99,
+                   uniform_len=None):
             # `stage` (static) truncates the program for profiling:
             # 1=cols, 2=snp classify, 3=del runs, 4=nm/spans/mask,
             # 5=streams, 99=full (scripts/profile_device_annotate.py)
+            (seq_g, snp_g, ignore_g, lo_at, hi_at, dk, dv, glen_all,
+             row_true, row_pos, row_len, backbone, altdel) = tables
             def early(*xs):
                 return sum(x.astype(jnp.int32).sum() for x in xs)
             codes_all, _, lens_all = _prepStreams(
@@ -418,9 +422,19 @@ class DeviceAnnotator:
             ])
             return out, pileup, depth
 
-        # unjitted body for the sharded exact path (parallel/exact.py)
-        self._kernel_fn = kernel
-        return partial(jax.jit, static_argnums=(3, 4, 5, 6))(kernel)
+        # unjitted closure for the sharded exact path (parallel/exact.py)
+        def kernelClosure(buf, w, hard_rows, RL, Hb, stage=99,
+                          uniform_len=None):
+            return kernel(
+                self._tables, buf, w, hard_rows, RL, Hb, stage, uniform_len
+            )
+
+        self._kernel_fn = kernelClosure
+        jitted = partial(jax.jit, static_argnums=(4, 5, 6, 7))(kernel)
+        return lambda buf, w, hard_rows, RL, Hb, stage=99, \
+            uniform_len=None: jitted(
+                self._tables, buf, w, hard_rows, RL, Hb, stage, uniform_len
+            )
 
     # ------------------------------------------------------------------
     def annotateChunk(

@@ -248,28 +248,41 @@ class GraphAligner:
         n_genes = table.n_genes
         pair_select = self._pair_select
 
-        def mono(buf, RL, uniform_len=None, exc=None):
+        def monoBody(merged, win_a, buf, RL, uniform_len=None, exc=None):
+            # the index arrays (seed table + window byte-plane, tens of
+            # MB) are ARGUMENTS, not closure captures: a closed-over
+            # device array is embedded as an MLIR constant, which makes
+            # EVERY per-bucket compile fetch it device->host during
+            # lowering and re-ship it inside the HLO — minutes per
+            # compile on a congested tunnel (measured round 5)
             codes_dev, codes_fwd, lens_dev = _prepStreams(
                 buf, RL, uniform_len=uniform_len, exc=exc
             )
             N = codes_fwd.shape[0] // 2
             cand_d, _ = _findCandidates(
-                codes_fwd, lens_dev, table.merged,
+                codes_fwd, lens_dev, merged,
                 table.k, stride, C, n_genes, md, min_votes,
             )
             gene_d, orient_d, diag_d = decodeCandidates(cand_d, md)
             cost_d, end_d, lin_d = scoreDenseGrid(
-                win, md, p, codes_dev, lens_dev, gene_d, diag_d,
+                win_a, md, p, codes_dev, lens_dev, gene_d, diag_d,
                 orient=orient_d, use_pallas=use_pallas,
             )
             return pair_select(
                 cost_d, gene_d, orient_d, diag_d, end_d, lin_d, lens_dev
             )
 
-        # unjitted body kept for the sharded exact path (parallel/exact.py
-        # wraps it in shard_map over a device mesh)
+        def mono(buf, RL, uniform_len=None, exc=None):
+            return monoBody(table.merged, win, buf, RL, uniform_len, exc)
+
+        # unjitted closure body kept for the sharded exact path
+        # (parallel/exact.py wraps it in shard_map over a device mesh)
         self._mono_fn = mono
-        return partial(jax.jit, static_argnums=(1, 2))(mono)
+        self._mono_body = monoBody
+        jitted = partial(jax.jit, static_argnums=(3, 4))(monoBody)
+        return lambda buf, RL, uniform_len=None, exc=None: jitted(
+            table.merged, win, buf, RL, uniform_len, exc=exc
+        )
 
     def _buildDeviceMonoTb(self):
         """Monolith + fused hard-job traceback: ONE dispatch computes the
@@ -296,12 +309,14 @@ class GraphAligner:
 
         from .dp import bandedTracebackPacked
 
-        mono = self._mono_fn
+        mono_body = self._mono_body
+        table, win = self.table, self.arr.win
         p = self.p
-        backbone, altdel = self._backbone, self._altdel
 
-        def monoTb(buf, RL, uniform_len=None, exc=None):
-            w = mono(buf, RL, uniform_len, exc=exc)
+        def monoTb(merged, win_a, backbone, altdel, buf, RL,
+                   uniform_len=None, exc=None):
+            # index arrays ride as jit arguments — see monoBody
+            w = mono_body(merged, win_a, buf, RL, uniform_len, exc=exc)
             N = buf.shape[0] // 2
             HB, mrows = tracebackLayout(N, RL)
             codes_all, _, lens_all = _prepStreams(
@@ -344,8 +359,20 @@ class GraphAligner:
             ).reshape(mrows, RL + 2)
             return w, jnp.concatenate([meta_rows, pk], axis=0)
 
-        self._mono_tb_fn = monoTb
-        return partial(jax.jit, static_argnums=(1, 2))(monoTb)
+        backbone, altdel = self._backbone, self._altdel
+
+        def monoTbClosure(buf, RL, uniform_len=None, exc=None):
+            return monoTb(
+                table.merged, win, backbone, altdel, buf, RL,
+                uniform_len, exc=exc,
+            )
+
+        self._mono_tb_fn = monoTbClosure
+        jitted = partial(jax.jit, static_argnums=(5, 6))(monoTb)
+        return lambda buf, RL, uniform_len=None, exc=None: jitted(
+            table.merged, win, backbone, altdel, buf, RL,
+            uniform_len, exc=exc,
+        )
 
     def _buildPairSelect(self):
         """Jitted concordant pairing + winner selection over the dense

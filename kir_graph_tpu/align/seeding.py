@@ -144,6 +144,17 @@ class SeedTable:
         )
 
 
+# pytree: `merged` is the (big) device leaf, the geometry ints are
+# static metadata — lets a SeedTable ride as a jit ARGUMENT instead of
+# being closed over (closure capture embeds the table as an MLIR
+# constant, which every compile re-fetches through the device link)
+jax.tree_util.register_dataclass(
+    SeedTable,
+    data_fields=["merged"],
+    meta_fields=["bucket_width", "max_post", "k", "n_genes", "max_diag"],
+)
+
+
 def _packKmers(codes: jax.Array, k: int, stride: int):
     """codes [R, L] -> (canonical hashes [R, S] uint32, offsets [S],
     valid [R, S], flip [R, S]).

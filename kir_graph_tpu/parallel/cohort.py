@@ -61,6 +61,21 @@ class DeviceIndexArrays:
     params: AlignParams
 
 
+# pytree: array fields are device leaves, geometry/params are static
+# metadata (AlignParams is frozen, so hashable) — an arr can then be a
+# jit ARGUMENT; closure capture would embed every table as an MLIR
+# constant re-fetched through the device link on each compile
+jax.tree_util.register_dataclass(
+    DeviceIndexArrays,
+    data_fields=[
+        "backbone", "altdel", "win", "lengths", "table",
+        "var_gene", "var_pos", "var_alt", "membership",
+        "remap_gene", "remap_pos", "remap_shift",
+    ],
+    meta_fields=["n_genes", "n_true", "Lmax", "params"],
+)
+
+
 def buildDeviceArrays(index: KirIndex, params: AlignParams | None = None) -> DeviceIndexArrays:
     p = params or AlignParams()
     G, Lmax = index.backbone.shape
@@ -326,32 +341,35 @@ class SplitCohortStep:
 
         # posting caps are baked into the merged table at build time
         # (SeedTable.fromIndex's per-key 32-entry ceiling)
+        # arr rides as a jit argument (registered pytree): closure
+        # capture would embed the tables as MLIR constants re-fetched
+        # over the device link at every compile
         @jax.jit
-        def seed(codes1, codes2, len1, len2):
+        def seed(A, codes1, codes2, len1, len2):
             codes = jnp.concatenate([codes1, codes2], axis=0)   # [2R, RL]
             lens = jnp.concatenate([len1, len2]).astype(jnp.int32)
-            cand, _ = _candidatesFor(arr, codes, lens, top_c, 12, 2)
+            cand, _ = _candidatesFor(A, codes, lens, top_c, 12, 2)
             gene, orient, diag = decodeCandidates(cand, md)
             return gene, orient, diag
 
         @jax.jit
-        def score(codes1, rc1, codes2, rc2, len1, len2, gene, orient, diag):
+        def score(A, codes1, rc1, codes2, rc2, len1, len2, gene, orient, diag):
             codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
             lens = jnp.concatenate([len1, len2]).astype(jnp.int32)
             cost, end, _ = scoreDenseGrid(
-                arr.win, md, arr.params, codes_all, lens, gene,
+                A.win, md, A.params, codes_all, lens, gene,
                 diag, orient=orient, use_pallas=use_pallas,
                 want_lin=False,
             )
             return cost, end
 
         @jax.jit
-        def finalize(cost, gene, orient, diag, end, len1, len2,
+        def finalize(A, cost, gene, orient, diag, end, len1, len2,
                      codes1, rc1, codes2, rc2):
             R = codes1.shape[0]
             codes_all = jnp.concatenate([codes1, rc1, codes2, rc2], axis=0)
             return _pairAndReduce(
-                arr, cost[:R], cost[R:], gene[:R], gene[R:], diag[:R],
+                A, cost[:R], cost[R:], gene[:R], gene[R:], diag[:R],
                 diag[R:], end[:R], end[R:], orient[:R], orient[R:],
                 len1, len2, codes_all, axis_name=None,
             )
@@ -369,19 +387,20 @@ class SplitCohortStep:
         import time as _t
 
         t0 = _t.time()
-        gene, orient, diag = self._seed(codes1, codes2, len1, len2)  # [2R, C]
+        gene, orient, diag = self._seed(self.arr, codes1, codes2, len1, len2)  # [2R, C]
         if timings is not None:
             jax.block_until_ready(gene)
         t1 = _t.time()
         cost, end = self._score(
-            codes1, rc1, codes2, rc2, len1, len2, gene, orient, diag
+            self.arr, codes1, rc1, codes2, rc2, len1, len2, gene,
+            orient, diag,
         )
         if timings is not None:
             jax.block_until_ready(cost)
         t2 = _t.time()
 
         out = self._finalize(
-            cost, gene, orient, diag, end, len1, len2,
+            self.arr, cost, gene, orient, diag, end, len1, len2,
             codes1, rc1, codes2, rc2,
         )
         if timings is not None:

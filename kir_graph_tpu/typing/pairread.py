@@ -7,7 +7,7 @@ JSON schema kept compatible with the reference's `.variant.json`
 from __future__ import annotations
 
 import json
-from dataclasses import asdict, dataclass, field
+from dataclasses import dataclass, field
 
 from ..index.variants import Variant
 
@@ -33,11 +33,15 @@ ReadsAndVariantsData = dict  # {"variants": list[Variant], "reads": list[PairRea
 
 
 def writeReadsAndVariantsData(reads_data: ReadsAndVariantsData, filename: str) -> None:
+    # vars() instead of dataclasses.asdict(): both are flat dataclasses
+    # (str/int/list-of-str fields), and asdict's recursive deep copy
+    # costs ~1 s per 20k reads — the dominant share of a sample's
+    # artifact emission (docs/BENCH_NOTES.md round 5)
     with open(filename, "w") as f:
         json.dump(
             {
-                "variants": [asdict(v) for v in reads_data["variants"]],
-                "reads": [asdict(r) for r in reads_data["reads"]],
+                "variants": [vars(v) for v in reads_data["variants"]],
+                "reads": [vars(r) for r in reads_data["reads"]],
             },
             f,
         )
