@@ -228,17 +228,17 @@ def main(args: argparse.Namespace) -> None:
             diploid_depths[i] = stat
         names, reads = new_names, new_reads
 
-    # ---- map + depth
-    processed, depth_files = [], []
-    for name, (fq1, fq2) in zip(names, reads):
-        prefix = pipe.mapSample(name, fq1, fq2)
-        processed.append(prefix)
-    # artifact writes run on a background thread overlapping the next
-    # sample's align; everything must be on disk before depth/CN/typing
-    # read it back
+    # ---- map + depth (cross-sample pipelined: sample k's host tail and
+    # artifact writes overlap sample k+1's device phase)
+    processed = pipe.mapCohort(
+        [(name, fq1, fq2) for name, (fq1, fq2) in zip(names, reads)]
+    )
+    # everything must be on disk before depth/CN/typing read it back
     pipe.flushWrites()
-    for prefix in processed:
-        depth_files.append(pipe.depthStage(prefix, exon_region_only=args.cn_exon))
+    depth_files = [
+        pipe.depthStage(prefix, exon_region_only=args.cn_exon)
+        for prefix in processed
+    ]
 
     # ---- copy number
     cluster_kwargs = {"base_dev": float(args.cn_dist_dev), "start_base": 2}

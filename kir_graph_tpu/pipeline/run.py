@@ -117,6 +117,17 @@ class SamplePipeline:
             )
             passed = ev.pass_mask
 
+        self._queueOutputs(
+            out_prefix, depth_tsv, ev, depth, pileup, placements, map_stats
+        )
+        return out_prefix
+
+    def _queueOutputs(
+        self, out_prefix, depth_tsv, ev, depth, pileup, placements,
+        map_stats,
+    ) -> None:
+        """Snapshot a mapped sample's outputs on the main thread and
+        queue the pure-IO emission on the background writer."""
         with TIMER.stage("io.prepare_outputs"):
             # host-owned snapshot for the background writer: the bundle
             # captures the variant catalog NOW (the next sample's
@@ -132,7 +143,7 @@ class SamplePipeline:
             stat = {
                 "total": map_stats["total"] * 2,
                 "mapped": map_stats["mapped"] * 2,
-                "passed": int(passed.sum()) * 2,
+                "passed": int(ev.pass_mask.sum()) * 2,
                 "unique": map_stats["unique"] * 2,
             }
 
@@ -170,7 +181,114 @@ class SamplePipeline:
             self._write_futs[out_prefix] = self._writerPool().submit(
                 writeOutputs
             )
-        return out_prefix
+
+    # ------------------------------------------------------------------
+    def mapCohort(self, jobs: list[tuple[str, str, str]]) -> list[str]:
+        """Map a cohort with CROSS-SAMPLE overlap.
+
+        The per-sample one-shot path leaves the device idle during each
+        sample's host tail (annotate, evidence bundling, output
+        snapshot) and the host idle during each device phase.  Here
+        sample k+1's upload is prefetched and its monolith dispatched
+        while sample k's annotate + output queueing run on the host —
+        the same 1-deep overlap align/stream.py uses across chunks,
+        lifted to sample granularity.  Bit-identical outputs: every
+        sample still runs the exact alignPairs -> annotateEvidence
+        pipeline in cohort order (tests/test_e2e.py::test_map_cohort).
+
+        Samples larger than one device chunk (or with a queued write
+        pending) fall back to mapSample, which streams internally.
+        """
+        from ..native_io import loadFastqEncoded
+
+        out = [name + ".variant" for name, _, _ in jobs]
+        todo: list[int] = []
+        for i, (name, fq1, fq2) in enumerate(jobs):
+            pending = self._write_futs.pop(out[i], None)
+            if pending is not None:
+                pending.result()
+            if os.path.exists(out[i] + ".json") and os.path.exists(
+                out[i] + ".no_multi.depth.tsv"
+            ):
+                logger.info(f"[Graph] {out[i]} exists, skip mapping")
+            else:
+                todo.append(i)
+        if not todo:
+            return out
+
+        def load(i):
+            _, fq1, fq2 = jobs[i]
+            with TIMER.stage("io.load_fastq"):
+                c1, l1 = loadFastqEncoded(fq1)
+                c2, l2 = loadFastqEncoded(fq2)
+                assert len(c1) == len(c2), "mate FASTQs must pair up"
+            return c1, l1, c2, l2
+
+        def annotate(i, result):
+            """Host tail of sample i, run inside sample i+1's device
+            window (result's scratch views stay valid until the second
+            finalize after it — alignPairs' double-buffer contract)."""
+            ev, depth, pileup = self.annotator.annotateEvidence(result)
+            map_stats = {
+                "total": len(result.gene),
+                "mapped": int((result.gene >= 0).sum()),
+                "unique": int((ev.pass_mask & (result.nh == 1)).sum()),
+            }
+            rows = np.nonzero(ev.pass_mask)[0]
+            placements = [
+                dict(
+                    pair_rows=rows.astype(np.int32),
+                    gene=result.gene[rows].astype(np.int32),
+                    cols_l=result.cols_l[rows].astype(np.int32),
+                    cols_r=result.cols_r[rows].astype(np.int32),
+                    bases_l=result.bases_l[rows].astype(np.int8),
+                    bases_r=result.bases_r[rows].astype(np.int8),
+                )
+            ]
+            self._queueOutputs(
+                out[i], out[i] + ".no_multi.depth.tsv",
+                ev, depth, pileup, placements, map_stats,
+            )
+
+        chunk = self.aligner.CHUNK_PAIRS
+        with TIMER.stage("align.cohort"):
+            batches: dict[int, tuple] = {todo[0]: load(todo[0])}
+            prepared: dict[int, dict] = {}
+            prev: tuple[int, object] | None = None  # (index, AlignResult)
+            for pos, i in enumerate(todo):
+                batch = batches.pop(i)
+                if len(batch[0]) > chunk or os.environ.get(
+                    "KGT_NO_COHORT_OVERLAP"
+                ):
+                    # oversized: finish the pipeline state, then stream
+                    if prev is not None:
+                        annotate(*prev)
+                        prev = None
+                    prepared.pop(i, None)
+                    self.mapSample(*jobs[i])
+                    if pos + 1 < len(todo):
+                        batches[todo[pos + 1]] = load(todo[pos + 1])
+                    continue
+
+                def work(pos=pos, prev_snapshot=prev):
+                    # runs while sample i's kernels + uploads execute
+                    if pos + 1 < len(todo):
+                        nxt = todo[pos + 1]
+                        nb = batches[nxt] = load(nxt)
+                        if len(nb[0]) <= chunk:
+                            prepared[nxt] = self.aligner.prepareUpload(*nb)
+                    if prev_snapshot is not None:
+                        annotate(*prev_snapshot)
+
+                result = self.aligner.alignPairs(
+                    *batch,
+                    prepared=prepared.pop(i, None),
+                    host_work=work,
+                )
+                prev = (i, result)
+            if prev is not None:
+                annotate(*prev)
+        return out
 
     def writeDepthTsv(self, depth: np.ndarray, filename: str) -> None:
         """[G, Lmax] depth -> samtools-depth-shaped TSV (1-based positions)."""

@@ -124,3 +124,49 @@ def test_cli_resume_skips_mapping(cohort, capsys):
     )
     main(args)  # must be fast / not crash; outputs still there
     assert os.path.exists(str(d / "cohort.allele.tsv"))
+
+
+def test_map_cohort_matches_per_sample(cohort, synth_index, tmp_path):
+    """mapCohort's cross-sample pipelining must produce byte-identical
+    artifacts to the serial mapSample path."""
+    import gzip
+    import json
+    import shutil
+
+    from kir_graph_tpu.pipeline.run import SamplePipeline
+
+    d, csv, truth = cohort
+    rows = pd.read_csv(csv)
+    jobs = []
+    for mode in ("serial", "overlap"):
+        for _, r in rows.iterrows():
+            base = os.path.basename(str(r["name"]))
+            jobs.append((str(tmp_path / f"{mode}.{base}"), r["r1"], r["r2"]))
+    serial_jobs, overlap_jobs = jobs[: len(rows)], jobs[len(rows):]
+
+    pipe = SamplePipeline(synth_index)
+    os.environ["KGT_SYNC_WRITES"] = "1"
+    try:
+        for j in serial_jobs:
+            pipe.mapSample(*j)
+        pipe.flushWrites()
+        out = pipe.mapCohort(overlap_jobs)
+        pipe.flushWrites()
+    finally:
+        os.environ.pop("KGT_SYNC_WRITES", None)
+
+    assert out == [name + ".variant" for name, _, _ in overlap_jobs]
+    for (sn, _, _), (on, _, _) in zip(serial_jobs, overlap_jobs):
+        for suf in (".variant.json", ".variant.no_multi.depth.tsv",
+                    ".variant.stat.json"):
+            with open(sn + suf, "rb") as f1, open(on + suf, "rb") as f2:
+                assert f1.read() == f2.read(), suf
+        a = np.load(sn + ".variant.placements.npz")
+        b = np.load(on + ".variant.placements.npz")
+        assert set(a.files) == set(b.files)
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k])
+        np.testing.assert_array_equal(
+            np.load(sn + ".variant.pileup.npy"),
+            np.load(on + ".variant.pileup.npy"),
+        )
