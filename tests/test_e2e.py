@@ -170,3 +170,39 @@ def test_map_cohort_matches_per_sample(cohort, synth_index, tmp_path):
             np.load(sn + ".variant.pileup.npy"),
             np.load(on + ".variant.pileup.npy"),
         )
+
+
+def test_map_cohort_oversized_fallback(cohort, synth_index, tmp_path):
+    """A sample bigger than one device chunk mid-cohort takes the
+    streaming mapSample fallback; outputs still match the serial path."""
+    from kir_graph_tpu.pipeline.run import SamplePipeline
+
+    d, csv, truth = cohort
+    rows = pd.read_csv(csv)
+    jobs = [
+        (str(tmp_path / f"fb.{os.path.basename(str(r['name']))}"),
+         r["r1"], r["r2"])
+        for _, r in rows.iterrows()
+    ]
+    pipe = SamplePipeline(synth_index)
+    # shrink the chunk so the middle sample exceeds it (instance
+    # override; 256 is a real pad bucket so every shape stays bucketed)
+    pipe.aligner.CHUNK_PAIRS = 256
+    os.environ["KGT_SYNC_WRITES"] = "1"
+    try:
+        out = pipe.mapCohort(jobs)
+        pipe.flushWrites()
+    finally:
+        os.environ.pop("KGT_SYNC_WRITES", None)
+    for prefix in out:
+        assert os.path.exists(prefix + ".json")
+        assert os.path.exists(prefix + ".no_multi.depth.tsv")
+    # depth equal to an un-shrunk serial run on sample 0
+    pipe2 = SamplePipeline(synth_index)
+    ref_prefix = pipe2.mapSample(
+        str(tmp_path / "fb.ref0"), jobs[0][1], jobs[0][2]
+    )
+    pipe2.flushWrites()
+    a = pd.read_csv(out[0] + ".no_multi.depth.tsv", sep="\t", header=None)
+    b = pd.read_csv(ref_prefix + ".no_multi.depth.tsv", sep="\t", header=None)
+    pd.testing.assert_frame_equal(a, b)
