@@ -352,3 +352,54 @@ def test_full_pipeline_on_dat_structured_checkout(tmp_path):
                     with_gff[gname].get(allele)[s:e].replace("-", "")
                     == with_dat[gname].get(allele)[s2:e2].replace("-", "")
                 ), (gname, allele, b.name)
+
+
+def test_build_kir_msa_from_dat_only_checkout(tmp_path):
+    """buildKirMsa end-to-end on the REAL checkout layout (msf + KIR.dat,
+    no gff): block structure flows from the dat into the merged MSAs."""
+    from kir_graph_tpu.msa.builder import buildKirMsa
+    from kir_graph_tpu.msa.genemsa import readFromMSAs
+    from kir_graph_tpu.sim.ipd_checkout import writeIpdCheckout
+    from kir_graph_tpu.sim.synth_db import SynthConfig, makeSyntheticDB
+
+    genes = makeSyntheticDB(SynthConfig(seed=12))
+    db = tmp_path / "ipd"
+    writeIpdCheckout(genes, str(db))
+    # convert gff -> per-allele KIR.dat rows and drop the gff dir (the
+    # ANHIG/IPDKIR repo carries no gff)
+    loaded = readIpdKirDB(str(db), full_length_only=False)
+    with open(db / "KIR.dat", "w") as f:
+        for gname, msa in loaded.items():
+            for allele in msa.alleles:
+                row = msa.get(allele)
+                if "E" in row:
+                    continue
+                pos, feats, ok = 1, [], True
+                for b in msa.blocks:
+                    s, e = msa.get_block_interval(b.name)
+                    n = sum(1 for c in row[s:e] if c != "-")
+                    if n == 0:
+                        ok = False
+                        break
+                    typ = {"five_prime_UTR": "UTR",
+                           "three_prime_UTR": "UTR"}.get(b.type, b.type)
+                    feats.append((pos, pos + n - 1, typ))
+                    pos += n
+                if not ok:
+                    continue
+                f.write(f"ID   {allele};\nDE   {allele}, synthetic\n")
+                for s_, e_, t_ in feats:
+                    f.write(f"FT   {t_:<15s} {s_}..{e_}\n")
+                f.write("//\n")
+    import shutil
+
+    shutil.rmtree(db / "gff")
+
+    out = str(tmp_path / "built")
+    buildKirMsa("ab_2dl1s1", out, db_path=str(db), full_length_only=False)
+    built = readFromMSAs(out)
+    assert built, "no merged MSAs written"
+    for gname, msa in built.items():
+        names = [b.name for b in msa.blocks]
+        assert any(n.startswith("exon") for n in names), (gname, names)
+        assert f"{gname}*BACKBONE" in msa.alleles
