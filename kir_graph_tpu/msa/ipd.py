@@ -296,22 +296,24 @@ def _applyStructure(
     if os.path.exists(gff):
         feats, seqid = _gffFeatures(gff)
         if feats:
-            blocks = parseGff(gff, gene)
+            named = _nameBlocks(feats)
+            blocks = [
+                Block(name, typ, end - start + 1)
+                for start, end, typ, name in named
+            ]
             if sum(b.length for b in blocks) == length:
                 msa.blocks = blocks
                 return
             # real gff rows use UNGAPPED per-allele coordinates: map via
-            # the seqid allele's row when it is in the alignment
-            row_name = seqid if seqid in msa.alleles else ""
-            if not row_name:
-                near = [n for n in msa.alleles if n.split("*")[0] == seqid]
-                row_name = near[0] if near else ""
-            if row_name:
-                mapped = _featsToAlignedBlocks(feats, msa.get(row_name))
+            # the seqid allele's row — ONLY when that exact allele is in
+            # the alignment (guessing a same-gene allele could silently
+            # tile wrong exon/intron boundaries into CN and exonfirst)
+            if seqid in msa.alleles:
+                mapped = _featsToAlignedBlocks(feats, msa.get(seqid))
                 if mapped is not None and sum(b.length for b in mapped) == length:
                     logger.info(
                         f"[MSA] {gene}: gff blocks mapped from ungapped "
-                        f"{row_name} coordinates"
+                        f"{seqid} coordinates"
                     )
                     msa.blocks = mapped
                     return

@@ -209,9 +209,16 @@ def main(args: argparse.Namespace) -> None:
         )
     if wgs_genome and not args.step_skip_extraction:
         from ..wgs.extract import buildWgsIndex, extractKirReads
-        from ..wgs.genome import validateGenome
 
-        validateGenome(wgs_genome, args.ref_genome, args.cn_diploid_gene)
+        if args.wgs_genome:
+            # user-supplied genome: contig-check it (a whole-genome gzip
+            # header scan); the --wgs-index-folder route was already
+            # validated inside buildGenomeIndex — don't scan twice
+            from ..wgs.genome import validateGenome
+
+            validateGenome(
+                wgs_genome, args.ref_genome, args.cn_diploid_gene
+            )
         diploid_gene = args.cn_diploid_gene if not args.cn_cohort else ""
         wgs = buildWgsIndex(
             wgs_genome, args.ref_genome, diploid_gene=diploid_gene

@@ -42,8 +42,11 @@ class SamplePipeline:
         # All inputs are host-owned copies (the bundle is built on the
         # main thread before the annotator can register new novel
         # variants); consumers flush before reading (flushWrites).
+        import threading
+
         self._writer = None
         self._write_futs: dict[str, object] = {}
+        self._write_lock = threading.Lock()
 
     def _writerPool(self):
         if self._writer is None:
@@ -55,15 +58,32 @@ class SamplePipeline:
         return self._writer
 
     def flushWrites(self) -> None:
-        """Block until every queued sample's artifacts are on disk
-        (re-raises writer exceptions).  Call before any stage that reads
-        the mapped outputs back (CN's depth TSV, typing's evidence)."""
-        futs, self._write_futs = self._write_futs, {}
+        """Block until every currently-queued sample's artifacts are on
+        disk (re-raises writer exceptions).  Call before any stage that
+        reads the mapped outputs back (CN's depth TSV, typing's
+        evidence).  Concurrent-safe: flushers wait on a snapshot without
+        stealing other threads' futures (real.py runs per-sample chains
+        on a shared pipeline), so every caller's own queued writes are
+        guaranteed durable when its flush returns."""
+        with self._write_lock:
+            futs = dict(self._write_futs)
+        errs = []
         for fut in futs.values():
-            fut.result()
+            try:
+                fut.result()
+            except Exception as e:  # surfaced to the first flusher
+                errs.append(e)
+        with self._write_lock:
+            for key, fut in futs.items():
+                if self._write_futs.get(key) is fut:
+                    del self._write_futs[key]
+        if errs:
+            raise errs[0]
 
     # ------------------------------------------------------------------
-    def mapSample(self, name: str, fq1: str, fq2: str) -> str:
+    def mapSample(
+        self, name: str, fq1: str, fq2: str, _batch=None
+    ) -> str:
         """FASTQ pair -> {name}.variant.json + {name}.variant.no_multi.depth.tsv
 
         Fuses the reference's hisatMap + extractVariantFromBam + bam2Depth
@@ -72,7 +92,8 @@ class SamplePipeline:
         """
         out_prefix = name + ".variant"
         depth_tsv = out_prefix + ".no_multi.depth.tsv"
-        pending = self._write_futs.pop(out_prefix, None)
+        with self._write_lock:
+            pending = self._write_futs.pop(out_prefix, None)
         if pending is not None:  # re-mapping a sample queued for write
             pending.result()
         if os.path.exists(out_prefix + ".json") and os.path.exists(depth_tsv):
@@ -80,12 +101,15 @@ class SamplePipeline:
             return out_prefix
 
         logger.info(f"[Graph] Aligning {fq1} / {fq2}")
-        with TIMER.stage("io.load_fastq"):
-            from ..native_io import loadFastqEncoded
+        if _batch is not None:  # mapCohort already decoded the FASTQs
+            c1, l1, c2, l2 = _batch
+        else:
+            with TIMER.stage("io.load_fastq"):
+                from ..native_io import loadFastqEncoded
 
-            c1, l1 = loadFastqEncoded(fq1)
-            c2, l2 = loadFastqEncoded(fq2)
-            assert len(c1) == len(c2), "mate FASTQs must pair up"
+                c1, l1 = loadFastqEncoded(fq1)
+                c2, l2 = loadFastqEncoded(fq2)
+                assert len(c1) == len(c2), "mate FASTQs must pair up"
         # pipelined align+annotate: chunk k+1's kernels execute on device
         # while chunk k is annotated on host (align/stream.py; output is
         # bit-identical to the one-shot path).  Placements for novel
@@ -178,9 +202,9 @@ class SamplePipeline:
         else:
             # pure-IO serialisation overlaps the next sample's align;
             # flushWrites() joins before anything reads the files back
-            self._write_futs[out_prefix] = self._writerPool().submit(
-                writeOutputs
-            )
+            fut = self._writerPool().submit(writeOutputs)
+            with self._write_lock:
+                self._write_futs[out_prefix] = fut
 
     # ------------------------------------------------------------------
     def mapCohort(self, jobs: list[tuple[str, str, str]]) -> list[str]:
@@ -204,7 +228,8 @@ class SamplePipeline:
         out = [name + ".variant" for name, _, _ in jobs]
         todo: list[int] = []
         for i, (name, fq1, fq2) in enumerate(jobs):
-            pending = self._write_futs.pop(out[i], None)
+            with self._write_lock:
+                pending = self._write_futs.pop(out[i], None)
             if pending is not None:
                 pending.result()
             if os.path.exists(out[i] + ".json") and os.path.exists(
@@ -261,11 +286,12 @@ class SamplePipeline:
                     "KGT_NO_COHORT_OVERLAP"
                 ):
                     # oversized: finish the pipeline state, then stream
+                    # (the already-decoded batch rides along)
                     if prev is not None:
                         annotate(*prev)
                         prev = None
                     prepared.pop(i, None)
-                    self.mapSample(*jobs[i])
+                    self.mapSample(*jobs[i], _batch=batch)
                     if pos + 1 < len(todo):
                         batches[todo[pos + 1]] = load(todo[pos + 1])
                     continue

@@ -242,13 +242,16 @@ def selectKirTypingModel(
         return TypingWithPosNegAllele(filename_variant_json, **kwargs)
     head, _, tail = method.partition("_")
     if head == "exonfirst":
-        # bare "exonfirst" -> threshold 0.0, mirroring the reference
-        # (kir_typing.py:217); like its main.py:190, the CLI rewrites
-        # bare exonfirst to exonfirst_1 before reaching here
+        # bare "exonfirst" AND >2 fields -> threshold 0.0, mirroring the
+        # reference exactly (kir_typing.py:215-219 parses a threshold
+        # only for exactly two fields; "_" in the tail must NOT reach
+        # float(), whose PEP 515 parsing would read "1_5" as 15.0); the
+        # CLI rewrites bare exonfirst to exonfirst_1 (its main.py:190)
+        threshold = float(tail) if tail and "_" not in tail else 0.0
         return TypingWithPosNegAllele(
             filename_variant_json,
             exon_first=True,
-            exon_candidate_threshold=float(tail) if tail else 0.0,
+            exon_candidate_threshold=threshold,
             **kwargs,
         )
     raise NotImplementedError(method)

@@ -89,6 +89,7 @@ def main() -> None:
         writeFastq(r1, sim.names, sim.r1)
         writeFastq(r2, sim.names, sim.r2)
         processed = pipe.mapSample(os.path.join(workdir, f"s{s}"), r1, r2)
+        pipe.flushWrites()  # artifacts are written on a background thread
         ref_json = processed + ".refcompat.json"
         if not os.path.exists(ref_json):
             writeReferenceCompatJson(processed + ".json", ref_json)

@@ -247,3 +247,20 @@ def test_typing_venue_host_matches_device(gene, monkeypatch):
         )
     assert results["0"][0] == results["1"][0] == sorted([a1, a2])
     assert results["0"][2] == results["1"][2]  # full survivor order
+
+
+def test_exonfirst_threshold_parsing(gene):
+    """Pins the reference's field-count rule (kir_typing.py:215-219):
+    one numeric tail parses, multi-underscore tails fall back to 0.0
+    (Python float() would otherwise read '1_5' as 15.0 via PEP 515)."""
+    a1 = gene.alleles[0]
+    reads = makeReads(gene, a1, n_reads=30, seed=30)
+    data = {"variants": gene.variants, "reads": reads}
+    for method, want in (
+        ("exonfirst_0.9", 0.9),
+        ("exonfirst_1", 1.0),
+        ("exonfirst_1_5", 0.0),
+        ("exonfirst", 0.0),
+    ):
+        t = selectKirTypingModel(method, reads_data=data, top_n=10)
+        assert t._model_opts["candidate_set_threshold"] == want, method
