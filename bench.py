@@ -107,6 +107,58 @@ def _ensureLivePlatform() -> None:
     except Exception:
         pass  # backend already up after all
 
+BENCH_BAD_WEATHER = False
+
+
+def _probeD2HBandwidth() -> float:
+    """In-process device->host bandwidth (MB/s) on a 500 KB transfer.
+    The tunnel's D2H swings 0.03..100 MB/s between windows; at the low
+    end the full bench's ~30 MB of downloads would run for hours.  A
+    small warmup transfer runs first: a fresh process's FIRST transfer
+    pays a seconds-to-minutes connection penalty that is not steady-
+    state bandwidth (measured round 5: 6 s for 100 KB, then 23 MB/s)."""
+    import jax.numpy as jnp
+
+    w = jnp.zeros(100_000, jnp.uint8) + jnp.uint8(1)
+    jax.block_until_ready(w)
+    np.asarray(w)  # connection warmup, untimed
+    x = jnp.zeros(500_000, jnp.uint8) + jnp.uint8(2)
+    jax.block_until_ready(x)
+    t0 = time.time()
+    np.asarray(x)
+    return 0.5 / max(time.time() - t0, 1e-9)
+
+
+def _ensureUsableWeather() -> None:
+    """Shrink the workload (BENCH_SMALL) and flag the capture when the
+    D2H link is in a dead window — a flagged small TPU line lands
+    within the driver's patience; an unflagged full run would not."""
+    global BENCH_BAD_WEATHER
+    if os.environ.get("BENCH_NO_PROBE") or os.environ.get("BENCH_SMALL"):
+        return
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and plat.split(",")[0].strip() == "cpu":
+        return
+    tries = int(os.environ.get("BENCH_PROBE_TRIES", "3"))
+    wait_s = float(os.environ.get("BENCH_PROBE_WAIT_S", "120"))
+    for i in range(max(tries, 1)):
+        try:
+            bw = _probeD2HBandwidth()
+        except Exception:
+            return  # platform probe already vetted init; don't double-fail
+        if bw >= 1.0:
+            log(f"[bench] D2H {bw:.1f} MB/s — weather OK")
+            return
+        log(f"[bench] D2H {bw:.2f} MB/s (dead window), "
+            f"probe {i + 1}/{tries}")
+        if i + 1 < tries:
+            time.sleep(wait_s)
+    log("[bench] link stuck in a dead window; shrinking to BENCH_SMALL "
+        "and flagging the capture")
+    os.environ["BENCH_SMALL"] = "1"
+    BENCH_BAD_WEATHER = True
+
+
 HISAT2_BASELINE_READS_PER_S = 1500.0  # 2-thread HISAT2 graph alignment
 #   (estimate, unmeasurable in-sandbox — see docs/BASELINE_METHOD.md)
 
@@ -164,6 +216,7 @@ def simulateBatch(genes, index, n_pairs: int, seed: int = 3):
 
 def main() -> None:
     _ensureLivePlatform()
+    _ensureUsableWeather()
 
     import jax.numpy as jnp
 
@@ -456,6 +509,9 @@ def main() -> None:
                 "baseline_reads_per_s": HISAT2_BASELINE_READS_PER_S,
                 "platform": jax.devices()[0].platform,
                 **({"degraded": True} if BENCH_DEGRADED else {}),
+                **(
+                    {"degraded_weather": True} if BENCH_BAD_WEATHER else {}
+                ),
             }
         )
     )
