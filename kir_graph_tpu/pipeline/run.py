@@ -52,8 +52,13 @@ class SamplePipeline:
         if self._writer is None:
             from concurrent.futures import ThreadPoolExecutor
 
+            # two workers: the mapCohort align loop produces a sample
+            # every ~0.5 s while one sample's artifact emission costs
+            # ~1 s — a single writer becomes the cohort bottleneck and
+            # the flush barrier pays the difference (measured on the
+            # N=100 TPU run).  Samples' files are disjoint.
             self._writer = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="kgt-write"
+                max_workers=2, thread_name_prefix="kgt-write"
             )
         return self._writer
 
