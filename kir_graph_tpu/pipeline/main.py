@@ -87,6 +87,20 @@ def createParser() -> argparse.ArgumentParser:
         "(hs37d5.fa.gz / hs38noalt.fa.gz); used when --wgs-genome is "
         "not given (reference main.py:72-90)",
     )
+    # reference-surface aliases (reference main.py:335-344): the KIR
+    # index and genome live together in one folder; --index-wgs points
+    # straight at the genome FASTA (our --wgs-genome)
+    parser.add_argument(
+        "--index-folder",
+        help="Folder holding the KIR index (used when --index-prefix is "
+        "not given: picks {folder}/kir.npz or the folder's single "
+        ".npz) and doubling as --wgs-index-folder for the genome",
+    )
+    parser.add_argument(
+        "--index-wgs",
+        help="Path to the WGS reference genome FASTA (alias of "
+        "--wgs-genome, reference main.py:342-344)",
+    )
     parser.add_argument(
         "--ref-genome", default="hg19", choices=["hg19", "hg38"],
         help="Region coordinate set for WGS extraction",
@@ -164,6 +178,32 @@ def main(args: argparse.Namespace) -> None:
         from ..exec_tools import setEngine
 
         setEngine(args.engine)
+
+    # ---- reference-surface aliases (main.py:335-344)
+    if getattr(args, "index_wgs", None) and not args.wgs_genome:
+        args.wgs_genome = args.index_wgs
+    folder = getattr(args, "index_folder", None)
+    if folder:
+        if not args.wgs_index_folder:
+            # the genome is OPTIONAL in --index-folder (reference
+            # main.py:337-339): only route it to the extraction stage
+            # when a genome file is actually there — a bare KIR-index
+            # folder must not trigger a genome download/failure
+            from ..wgs.genome import GENOME_SOURCES
+
+            fname = GENOME_SOURCES[args.ref_genome][0]
+            for cand in (fname, fname[: -len(".gz")]):
+                if os.path.exists(os.path.join(folder, cand)):
+                    args.wgs_index_folder = folder
+                    break
+        if not args.index_prefix and os.path.isdir(folder):
+            kir = os.path.join(folder, "kir")
+            if os.path.exists(kir + ".npz"):
+                args.index_prefix = kir
+            else:
+                npz = [f for f in os.listdir(folder) if f.endswith(".npz")]
+                if len(npz) == 1:
+                    args.index_prefix = os.path.join(folder, npz[0][:-4])
 
     # ---- inputs
     cn_files: list[str] = []

@@ -199,3 +199,40 @@ def test_cli_wgs_index_folder_flag(tmp_path):
     )
     assert args.wgs_index_folder == str(tmp_path)
     assert args.ref_genome == "hg38"
+
+
+def test_index_folder_and_index_wgs_aliases(tmp_path, synth_index, monkeypatch):
+    """Reference-surface aliases (main.py:335-344): --index-folder
+    resolves the KIR index (and the genome, when present); --index-wgs
+    is --wgs-genome."""
+    import gzip
+
+    import kir_graph_tpu.wgs.extract as wx
+    from kir_graph_tpu.index.build import saveIndex
+    from kir_graph_tpu.pipeline.main import createParser, main
+
+    folder = tmp_path / "index"
+    folder.mkdir()
+    saveIndex(synth_index, str(folder / "kir"))
+
+    # bare KIR-index folder: index resolves, no genome -> no extraction
+    args = createParser().parse_args(
+        ["--r1", "a", "--r2", "b", "--index-folder", str(folder),
+         "--index-wgs", "/some/genome.fa"]
+    )
+    with pytest.raises(FileNotFoundError, match="a"):
+        main(args)  # fails at the FASTQ, i.e. alias resolution ran
+    assert args.index_prefix == str(folder / "kir")
+    assert args.wgs_genome == "/some/genome.fa"
+    assert not args.wgs_index_folder
+
+    # genome present in the folder -> doubles as --wgs-index-folder
+    monkeypatch.setattr(wx, "KIR_REGIONS", {"hg19": ["chrT:1-8"]})
+    with gzip.open(folder / "hs37d5.fa.gz", "wt") as f:
+        f.write(">chrT\nACGTACGT\n")
+    args = createParser().parse_args(
+        ["--r1", "a", "--r2", "b", "--index-folder", str(folder)]
+    )
+    with pytest.raises(FileNotFoundError, match="a"):
+        main(args)
+    assert args.wgs_index_folder == str(folder)
